@@ -1,0 +1,140 @@
+"""Scalar function family (SURVEY.md §2.8; routine UDFs §2.9 F1).
+
+Every function returns a Column built from pyspark.sql.functions
+built-ins so it stays inside whole-stage codegen — none of these is
+a Python UDF. The reference implements these as persistent BigQuery
+SQL routines (jobs/webcompat-kb/data/sql/webcompat_knowledge_base/
+routines/*/routine.sql); here they are expression macros, which is
+also how the reference's UDF-with-subquery problem (F1 rank modifier)
+is solved: anything that needs data becomes a join at the operator
+layer, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# URL / host family
+# ---------------------------------------------------------------------------
+
+
+def url_parse(url: Column | str) -> Column:
+    """Parse a URL into struct<protocol, host, path, query, fragment>.
+
+    Reference: URL_PARSE routine (routines/URL_PARSE/routine.sql:1-8,
+    regex-based). Spark-first: ``parse_url`` is a built-in JVM
+    expression, one call per component.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    return F.struct(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)).alias("protocol"),
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("REF")).alias("fragment"),
+    )
+
+
+def url_host(url: Column | str, strip_www: bool = False) -> Column:
+    """Hostname of a URL, optionally stripped of a leading ``www.``.
+
+    Reference: WEBCOMPAT_HOST routine
+    (routines/WEBCOMPAT_HOST/routine.sql:1-9 — NET.HOST + conditional
+    SUBSTR) and NET.HOST usage in etl/user_reports_aggregate.py:38.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.parse_url(u, F.lit("HOST"))
+    if strip_www:
+        host = F.when(
+            host.startswith("www."), host.substr(F.lit(5), F.length(host))
+        ).otherwise(host)
+    return host
+
+
+def host_variants(host: Column | str) -> Column:
+    """Array of match-key variants {host, www.host, m.host}.
+
+    Reference: host-variant expansion join J13
+    (views/webcompat_topline_metric_bug_hosts/view.sql:10-40).
+    Returned as an array so the caller explodes it into a join key —
+    a union-free formulation of the reference's three-branch UNION.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    return F.array(h, F.concat(F.lit("www."), h), F.concat(F.lit("m."), h))
+
+
+def bug_id_from_bugzilla_url(url: Column | str) -> Column:
+    """Extract a numeric bug id from a bugzilla show_bug URL.
+
+    Reference: BUG_ID_FROM_BUGZILLA_URL routine
+    (routines/BUG_ID_FROM_BUGZILLA_URL/routine.sql:1-12).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(u, r"show_bug\.cgi\?id=(\d+)", 1).try_cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Version / numeric family
+# ---------------------------------------------------------------------------
+
+
+def truncate_version(version: Column | str, part: str = "major") -> Column:
+    """``mozfun.norm.truncate_version`` reimplementation (F4).
+
+    Reference usage: graphics summary.sql:23. Returns the numeric
+    major (``109``) or major.minor (``109.1``) prefix of a version
+    string, NULL when unparseable.
+    """
+    v = F.col(version) if isinstance(version, str) else version
+    pattern = r"^(\d+)" if part == "major" else r"^(\d+\.\d+|\d+)"
+    return F.regexp_extract(v, pattern, 1).try_cast("double")
+
+
+def safe_divide(num: Column, den: Column) -> Column:
+    """BigQuery SAFE_DIVIDE (P10): NULL on zero/NULL denominator."""
+    return F.try_divide(num, den)
+
+
+def decimal_money(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Cast a money-like double to an exact decimal.
+
+    Engine policy (SURVEY.md §1.2 NUMERIC semantics): aggregates over
+    money columns run in decimal so results are exact and
+    reproducible across engines; cast back to double only at the
+    output edge.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({precision},{scale})")
+
+
+def extract_array(json_str: Column | str) -> Column:
+    """EXTRACT_ARRAY routine (F1): JSON array → array of strings,
+    scalar fallback to a one-element array.
+
+    Reference: routines/EXTRACT_ARRAY/routine.sql:1-14 (JSON_VALUE_ARRAY
+    with fallback-to-scalar coercion).
+    """
+    c = F.col(json_str) if isinstance(json_str, str) else json_str
+    as_array = F.from_json(c, "array<string>")
+    as_scalar = F.from_json(c, "string")
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.coalesce(as_array, F.array(as_scalar))
+    )
+
+
+def deterministic_order_key(*cols: Column | str, seed: str = "") -> Column:
+    """Random-but-reproducible ordering key (W3).
+
+    Reference: FARM_FINGERPRINT(CONCAT(client_id, seed)) ordering in
+    client_regeneration/main.py:80 and graphics_trends.sql:47-48.
+    Spark has no FARM_FINGERPRINT; xxhash64 provides the same
+    property (deterministic pseudo-random order). Hash VALUES differ
+    from the reference — only ordering/bucketing semantics are
+    preserved, which is all the reference relies on.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if seed:
+        cs = [*cs, F.lit(seed)]
+    return F.xxhash64(*cs)

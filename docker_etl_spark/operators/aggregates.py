@@ -1,0 +1,153 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A15).
+
+All of these compile to Spark HashAggregate with partial (map-side)
+aggregation — the engine never collects to the driver to aggregate.
+Money/score math runs in DecimalType (exact, engine-portable) and is
+cast to double only at the output edge (SURVEY.md §1.2 NUMERIC
+semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_counts(
+    df: DataFrame,
+    group_by: Sequence[str],
+    conditions: dict[str, Column],
+) -> DataFrame:
+    """COUNTIF-per-group (A2/A3): one scan, one aggregate, N conditions.
+
+    Reference: summary.sql:51-55 COUNTIFs; metric framework
+    agg_function generation (webcompat_kb/metrics/metrics.py:151-177)
+    — the dict-of-named-conditions here is that metric registry's
+    Spark form.
+    """
+    aggs = [F.count_if(cond).alias(name) for name, cond in conditions.items()]
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def ordered_limited_collect(
+    df: DataFrame,
+    keys: Sequence[str],
+    sort_cols: Sequence[str],
+    value_col: Column | str,
+    limit: int,
+    descending: bool = True,
+    ignore_nulls: bool = True,
+) -> DataFrame:
+    """ARRAY_AGG(x ORDER BY ... DESC LIMIT n) per key (A5/O3).
+
+    Reference: out_of_date_details.sql:144-174 — longitudinal
+    per-client ping arrays, most-recent-first, capped at 1000.
+
+    Spark-first formulation: collect structs of (sort keys, value),
+    sort_array, slice to the cap, project the value out. All four are
+    JVM higher-order functions; the only shuffle is the groupBy.
+    ``ignore_nulls=False`` preserves the reference's deliberately
+    misaligned legacy mode (nulls kept, consuming limit slots —
+    out_of_date_details.sql:133-140).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    if ignore_nulls:
+        df = df.filter(v.isNotNull())
+    packed = F.struct(*[F.col(c) for c in sort_cols], v.alias("__v"))
+    collected = F.sort_array(F.collect_list(packed), asc=not descending)
+    arr = F.transform(F.slice(collected, 1, limit), lambda s: s["__v"])
+    return df.groupBy(*keys).agg(arr.alias("values"))
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float],
+    approximate: bool = False,
+) -> DataFrame:
+    """Percentiles per group (A7/A8).
+
+    ``approximate=True`` uses percentile_approx (t-digest-style GK
+    sketch — mergeable, single-pass, the 100 TB path; reference:
+    APPROX_QUANTILES in webcompat_bugs_diagnosis_lifetime_percentiles/
+    query.sql:43-48). ``approximate=False`` uses exact interpolated
+    percentile for oracle-comparable results.
+    """
+    pct = F.array(*[F.lit(p) for p in percentiles])
+    fn = F.percentile_approx if approximate else F.percentile
+    return df.groupBy(*group_by).agg(fn(value_col, pct).alias("percentiles"))
+
+
+def elementwise_vector_sum(
+    df: DataFrame, group_by: Sequence[str], vec_col: str
+) -> DataFrame:
+    """Element-wise sum of fixed-length vectors per group (A10).
+
+    Reference: DAP sumvec aggregation (dap_collector/main.py:96-104)
+    and histogram bucket sums (graphics_dashboard.sql:386-388).
+
+    Scale-first formulation: explode to (group, slot, value) and
+    groupBy — this gets map-side partial aggregation and spills
+    cleanly, unlike collect_list-then-reduce which materializes every
+    vector per group. Output is re-assembled with an ordered collect
+    keyed by slot index.
+    """
+    pos = F.posexplode(F.col(vec_col))
+    exploded = df.select(*group_by, pos.alias("slot", "v"))
+    slot_sums = exploded.groupBy(*group_by, "slot").agg(F.sum("v").alias("s"))
+    packed = F.sort_array(F.collect_list(F.struct("slot", "s")))
+    return (
+        slot_sums.groupBy(*group_by)
+        .agg(F.transform(packed, lambda x: x["s"]).alias("vector_sum"))
+    )
+
+
+def jackknife_sum_ci(
+    df: DataFrame,
+    group_by: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Jackknife (leave-one-bucket-out) confidence interval for a SUM
+    (A9 / F3).
+
+    Reference: udf_js.jackknife_sum_ci(20, ARRAY_AGG(mau)) in
+    desktop-mobile-mau-2020/mobile_mau/forecast_and_actual.sql:55-80 —
+    a JS UDAF over 20 id_buckets per group.
+
+    Spark-first: pre-aggregate per (group, bucket) — a cheap partial
+    agg — then a *closed-form* leave-one-out computation with plain
+    Column expressions. No UDAF, no pandas: for sums, the i-th
+    leave-one-out estimate is (n/(n-1))·(total − bucket_i), so mean
+    and variance of the pseudo-values reduce to expressions over
+    per-bucket sums. Output: struct(total, low, high) at ±1.96σ like
+    the reference's UDAF.
+    """
+    per_bucket = df.groupBy(*group_by, bucket_col).agg(
+        F.sum(value_col).alias("__bv")
+    )
+    n = F.lit(float(n_buckets))
+    agg = per_bucket.groupBy(*group_by).agg(
+        F.sum("__bv").alias("__total"),
+        F.sum(F.col("__bv") * F.col("__bv")).alias("__sumsq"),
+    )
+    total = F.col("__total")
+    # Pseudo-value for bucket i: t_i = n/(n-1) * (total - b_i); the
+    # jackknife variance is (n-1)/n * sum_i (t_i - mean_t)^2, which for
+    # sums simplifies to (n-1)/n * (n/(n-1))^2 * sum_i (b_i - total/n)^2.
+    mean_b = total / n
+    ss = F.col("__sumsq") - n * mean_b * mean_b
+    var = (n / (n - 1)) * ss
+    sd = F.sqrt(var)
+    return agg.select(
+        *group_by,
+        F.struct(
+            total.alias("total"),
+            (total - F.lit(1.96) * sd).alias("low"),
+            (total + F.lit(1.96) * sd).alias("high"),
+        ).alias("ci"),
+    )

@@ -1,0 +1,74 @@
+"""Deduplication operators (SURVEY.md §2.5 W1-W3, §2.3 J11, §2.7 U3).
+
+The reference's dominant dedup idiom is BigQuery
+``QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) = 1``
+(graphics_dashboard.sql:164-169; graphics_trends.sql:88-92;
+experiments_monitoring_data_export/export.py:119-131). In Spark that
+is a single window + filter — one shuffle on the partition key, no
+join. The min-by join variant (user_reports_dedupe/view.sql:1-6) is
+also expressed as the same window dedup, which Catalyst executes
+without the self-join the SQL implies.
+
+Scale notes: the window shuffles once on ``keys``; at 100 TB that is
+the unavoidable shuffle (dedup is a per-key decision). Skewed keys
+are handled by AQE skew-join/partition splitting; ordering columns
+should include a deterministic tiebreak (the reference uses
+FARM_FINGERPRINT for this — see
+functions.scalars.deterministic_order_key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(cols: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def dedupe_latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Keep exactly one row per key, the first under ``order_by`` (W1/W2).
+
+    ``order_by`` should be a *total* order within each key (add a
+    unique tiebreak column) so results are deterministic.
+
+    Reference: graphics_dashboard.sql:164-169 (latest ping per
+    client); experiments export.py:119-131 (one row per timestamp).
+    """
+    w = Window.partitionBy(*keys).orderBy(*_cols(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedupe_min_by_join(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Min-by dedupe (J11): keep the row holding MIN(order_col) per key.
+
+    Reference formulation is a groupBy+min joined back
+    (user_reports_dedupe/view.sql:1-6); the window form below is
+    plan-equivalent with one fewer shuffle (no join).
+    """
+    return dedupe_latest_per_key(df, keys, [F.col(order_col).asc()])
+
+
+def dedupe_natural_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Streaming-style natural-key dedup (U3/T3): arbitrary survivor.
+
+    Reference: fxci_etl/loaders/bigquery.py:60-73 (drop duplicate
+    task records before insert); broken_site_report_ml/main.py:279-286.
+    ``dropDuplicates`` is the Spark-native form (map-side partial
+    dedup before the shuffle — cheaper than a window when any
+    survivor is acceptable).
+    """
+    return df.dropDuplicates(list(keys))

@@ -1,0 +1,127 @@
+"""Join operators (SURVEY.md §2.3 J1-J15).
+
+Plain equi-joins (J1-J3) need no operator wrapper — ``df.join`` with
+Catalyst's broadcast/SMJ selection is already the right physical
+plan. This module implements the join *patterns* the reference
+hand-builds: the date-spine range join (J6+F7), semi/anti joins
+(J8/J9), and the stratified-sampling join (J10).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docker_etl_spark.functions.scalars import deterministic_order_key
+
+
+def date_spine(
+    spark: SparkSession,
+    start: str | dt.date,
+    stop: str | dt.date,
+    step_days: int | None = None,
+    step_months: int | None = None,
+    col_name: str = "spine_date",
+) -> DataFrame:
+    """Generated date-array row source (F7).
+
+    Reference: GENERATE_DATE_ARRAY + UNNEST
+    (webcompat_topline_metric/view.sql:23;
+    webcompat_bugs_diagnosis_survival/query.sql:51).
+
+    Built with ``sequence()`` + explode — a single literal-folded
+    expression, so the spine is computed once at plan time, not via a
+    driver loop.
+    """
+    if step_months is not None:
+        interval = F.expr(f"interval {step_months} month")
+    else:
+        interval = F.expr(f"interval {step_days or 1} day")
+    seq = F.sequence(
+        F.lit(str(start)).cast("date"), F.lit(str(stop)).cast("date"), interval
+    )
+    return spark.range(1).select(F.explode(seq).alias(col_name))
+
+
+def range_join_active_at(
+    spine: DataFrame,
+    entities: DataFrame,
+    spine_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "left",
+    end_open: bool = False,
+) -> DataFrame:
+    """Temporal-validity range join (J6): spine date × entities active
+    at that date (start <= d AND (d <= end OR end IS NULL)).
+
+    Reference: webcompat_topline_metric/view.sql:21-31 (week dates ×
+    bugs open at each date).
+
+    Physical note: a non-equi join — Catalyst executes it as
+    broadcast-nested-loop when one side is small (the spine always
+    is: broadcast it). At 100 TB the entities side streams past the
+    broadcast spine exactly once; no shuffle. If both sides were
+    large, bucket both by month and add the month equi-key.
+    """
+    d = spine[spine_col]
+    upper = d < entities[end_col] if end_open else d <= entities[end_col]
+    cond = (entities[start_col] <= d) & (upper | entities[end_col].isNull())
+    return F.broadcast(spine).join(entities, cond, how)
+
+
+def semi_join(df: DataFrame, other: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """EXISTS semi-join (J8). Reference: site_reports/view.sql:26-27."""
+    return df.join(other, on, "left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """NOT IN / set-difference anti-join (J9/U4).
+
+    Reference: client_regeneration/main.py:133-141 (churn-pool
+    removal); bqhelpers.py:469-516 (schema diffing).
+    """
+    return df.join(other, on, "left_anti")
+
+
+def stratified_sampling_join(
+    pool: DataFrame,
+    demand: DataFrame,
+    stratum_col: str,
+    pool_id_cols: Sequence[str],
+    demand_id_cols: Sequence[str],
+    seed: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rank-aligned stratified-sampling join (J10).
+
+    Pairs each ``demand`` row with a distinct ``pool`` row in the same
+    stratum, in deterministic pseudo-random order: both sides get
+    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hash(id, seed))
+    and join on (stratum, rn).
+
+    Reference: client_regeneration/main.py:61-117 — replacement
+    clients matched to churned clients per sample bucket with a
+    seeded FARM_FINGERPRINT order (here xxhash64; ordering semantics
+    preserved, hash values differ — see deterministic_order_key).
+
+    ``hash_fn='md5'`` orders by an md5 hex digest instead — slower,
+    but engine-portable (identical ordering in any SQL engine), which
+    is what the differential-test queries use.
+    """
+    def order_key(id_cols: Sequence[str]) -> Column:
+        if hash_fn == "md5":
+            parts = [F.col(c).cast("string") for c in id_cols] + [F.lit(seed)]
+            return F.md5(F.concat(*parts))
+        return deterministic_order_key(*id_cols, seed=seed)
+
+    def ranked(df: DataFrame, id_cols: Sequence[str]) -> DataFrame:
+        w = Window.partitionBy(stratum_col).orderBy(order_key(id_cols), *id_cols)
+        return df.withColumn("__rn", F.row_number().over(w))
+
+    p = ranked(pool, pool_id_cols)
+    c = ranked(demand, demand_id_cols)
+    return p.join(c, [stratum_col, "__rn"], "inner").drop("__rn")

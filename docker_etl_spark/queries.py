@@ -1,0 +1,906 @@
+"""Differential query registry — the engine's correctness surface.
+
+Each entry implements one (or a cluster of) operator(s) from the
+SURVEY.md §2 inventory as an idiomatic Spark DataFrame plan, paired
+with an ANSI-SQL oracle that DuckDB runs over the same parquet
+tables. The driver compares row count + schema + order-insensitive
+value hash, so every query here follows the engine's cross-engine
+determinism rules:
+
+- Money/metric aggregation runs in DecimalType (exact) and is cast to
+  double only at the output edge, so sums are bit-identical across
+  engines regardless of accumulation order.
+- Ratios divide doubles that were derived from exact decimals — IEEE
+  division of identical inputs is deterministic.
+- Percentiles use only binary-fraction probabilities (.25/.5/.75) on
+  integer-valued measures so linear interpolation is exact.
+- Every ORDER BY ... LIMIT has a unique tiebreak column.
+- Pseudo-random ordering (W3/J10) uses md5 hex strings — identical in
+  both engines (the production operator default is xxhash64, which is
+  faster but engine-specific; see functions.scalars.deterministic_order_key).
+
+Naming: q_<operator-id>_<slug> keyed to SURVEY.md §2 row ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docker_etl_spark.functions.scalars import safe_divide
+from docker_etl_spark.operators.aggregates import (
+    conditional_counts,
+    elementwise_vector_sum,
+    group_percentiles,
+    ordered_limited_collect,
+)
+from docker_etl_spark.operators.dedupe import dedupe_latest_per_key
+from docker_etl_spark.operators.joins import (
+    anti_join,
+    date_spine,
+    range_join_active_at,
+    semi_join,
+    stratified_sampling_join,
+)
+from docker_etl_spark.operators.windows import lag_features, share_of_total
+from docker_etl_spark.sources.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(c: Column | str) -> Column:
+    """Exact money cast — see module docstring determinism rules."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+def _dbl(c: Column) -> Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/P4 — pricing summary (hash aggregate with conditional + exact math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped hash aggregate (A1) with derived measures.
+
+    Operators: A1 (grouped SUM/COUNT/AVG), P4 (pushed date predicate).
+    Scale notes: partial aggregation map-side; the date filter pushes
+    to the parquet scan (PushedFilters in explain).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _dbl(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            _dbl(F.sum(charge)).alias("sum_charge"),
+            (_dbl(F.sum(_dec("l_quantity"))) / n).alias("avg_qty"),
+            (_dbl(F.sum(_dec("l_extendedprice"))) / n).alias("avg_price"),
+            (_dbl(F.sum(_dec("l_discount"))) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3/A1 — star-schema revenue rollup (flagship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j01_star_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j01_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue by region/nation (J1 inner equi-joins, A1).
+
+    Scale notes: supplier/nation/region are dimensions — broadcast
+    them so the fact table never shuffles for the join; the only
+    shuffle is the final small aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(_dbl(F.sum(revenue)).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — global top-k with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o01_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o01_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by revenue (O1 global sort + limit, J1).
+
+    Scale notes: Spark plans TakeOrderedAndProject — a per-partition
+    top-k then a driver merge of k·partitions rows; no global sort
+    materialization.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(o["o_orderkey"], F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(_dbl(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — latest-per-key dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w01_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w01_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per user (W1 QUALIFY ROW_NUMBER()=1)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedupe_latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# J11 — min-by dedupe (first event per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j11_first_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+    """,
+)
+def j11_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-by dedupe (J11): the row holding MIN(ts) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedupe_latest_per_key(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# W4 — lag features on a daily series
+# ---------------------------------------------------------------------------
+
+_DAILY_CTE = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "w04_lag_features",
+    oracle=_DAILY_CTE
+    + """
+    SELECT day, event_type, value_sum,
+           LAG(value_sum, 1) OVER w AS lag_1,
+           LAG(value_sum, 7) OVER w AS lag_7,
+           value_sum / NULLIF(LAG(value_sum, 1) OVER w, 0) AS dod,
+           value_sum / NULLIF(LAG(value_sum, 7) OVER w, 0) AS wow
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def w04_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search-alert-style lag/ratio features (W4) on daily sums."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(_dbl(F.sum(_dec("value"))).alias("value_sum"))
+    )
+    out = lag_features(
+        daily, ["event_type"], "day", "value_sum", lags=(1, 7), with_ratios=False
+    )
+    return out.select(
+        "day",
+        "event_type",
+        "value_sum",
+        "lag_1",
+        "lag_7",
+        safe_divide(F.col("value_sum"), F.nullif(F.col("lag_1"), F.lit(0.0))).alias("dod"),
+        safe_divide(F.col("value_sum"), F.nullif(F.col("lag_7"), F.lit(0.0))).alias("wow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — share of total
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w05_share_of_day",
+    oracle="""
+    SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+           value / CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE) AS pcnt_value
+    FROM events
+    """,
+)
+def w05_share_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event's share of its day's total value (W5)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    w = Window.partitionBy("day")
+    return ev.select(
+        "event_id",
+        "day",
+        "value",
+        (F.col("value") / _dbl(F.sum(_dec("value")).over(w))).alias("pcnt_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — trailing moving average (exact accumulation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w06_moving_average",
+    oracle=_DAILY_CTE
+    + """
+    SELECT day, event_type, value_sum,
+           CAST(SUM(CAST(value_sum AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mov_avg_7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w06_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing mean of daily sums (W6), decimal-exact frame sum."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .agg(_dbl(F.sum(_dec("value"))).alias("value_sum"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mov = _dbl(F.sum(F.col("value_sum").cast("decimal(18,6)")).over(w)) / F.count("*").over(w)
+    return daily.select("day", "event_type", "value_sum", mov.alias("mov_avg_7"))
+
+
+# ---------------------------------------------------------------------------
+# J8 / J9 — semi & anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j08_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j08_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (J8)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = semi_join(c, o, c["c_custkey"] == o["o_custkey"])
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "j09_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN anti-join (J9/U4)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    out = anti_join(c, o, c["c_custkey"] == o["o_custkey"])
+    return out.select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J6/F7 — date-spine range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j06_orders_active_per_month",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS spine_date
+        FROM generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH) t(d)
+    ), o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_date FROM orders
+    )
+    SELECT spine_date, COUNT(o_orderkey) AS n_active
+    FROM spine LEFT JOIN o
+      ON o.start_date <= spine.spine_date AND spine.spine_date <= o.start_date + 89
+    GROUP BY spine_date
+    """,
+)
+def j06_orders_active_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-validity range join (J6) over a generated date spine (F7).
+
+    Orders are 'active' for 90 days from order date; count actives at
+    each month start — the webcompat topline-metric pattern.
+    """
+    spine = date_spine(spark, "1995-01-01", "2001-12-01", step_months=1)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_date"),
+    )
+    o = o.withColumn("end_date", F.date_add("start_date", 89))
+    joined = range_join_active_at(spine, o, "spine_date", "start_date", "end_date")
+    return joined.groupBy("spine_date").agg(
+        F.count("o_orderkey").alias("n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — stratified-sampling join (engine-portable md5 ordering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j10_stratified_pairing",
+    oracle="""
+    WITH pool AS (
+        SELECT c_mktsegment, c_custkey,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY md5(CAST(c_custkey AS VARCHAR) || 'seed42'), c_custkey) AS rn
+        FROM customer WHERE c_custkey % 2 = 0
+    ), demand AS (
+        SELECT c_mktsegment, c_custkey,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY md5(CAST(c_custkey AS VARCHAR) || 'seed42'), c_custkey) AS rn
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT p.c_mktsegment, p.c_custkey AS pool_custkey, d.c_custkey AS demand_custkey
+    FROM pool p JOIN demand d ON p.c_mktsegment = d.c_mktsegment AND p.rn = d.rn
+    """,
+)
+def j10_stratified_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aligned stratified-sampling join (J10/W3).
+
+    client_regeneration's replacement-matching pattern: pair rows
+    across two sets within each stratum in seeded pseudo-random order.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pool = c.filter(F.col("c_custkey") % 2 == 0).select("c_mktsegment", "c_custkey")
+    demand = (
+        c.filter(F.col("c_custkey") % 2 == 1)
+        .select("c_mktsegment", F.col("c_custkey").alias("d_custkey"))
+    )
+    out = stratified_sampling_join(
+        pool,
+        demand,
+        "c_mktsegment",
+        ["c_custkey"],
+        ["d_custkey"],
+        seed="seed42",
+        hash_fn="md5",
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("c_custkey").alias("pool_custkey"),
+        F.col("d_custkey").alias("demand_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — enter/exit self-join (event pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j12_signup_to_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, MIN(ts) AS purchase_ts FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT s.user_id,
+           date_diff('second', s.signup_ts, p.purchase_ts) AS secs_to_purchase
+    FROM s JOIN p ON s.user_id = p.user_id
+    WHERE p.purchase_ts >= s.signup_ts
+    """,
+)
+def j12_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enter/exit self-join (J12): first signup → first purchase lag.
+
+    The diagnosis-lifetime pattern: two filtered projections of the
+    same event table joined on the entity key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user_id"))
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(p, s["user_id"] == p["p_user_id"])
+        .filter(F.col("purchase_ts") >= F.col("signup_ts"))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+            ).alias("secs_to_purchase"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — conditional counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a02_conditional_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE value > 100) AS n_high,
+           COUNT(*) FILTER (WHERE value <= 100) AS n_low,
+           COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user
+    FROM events GROUP BY event_type
+    """,
+)
+def a02_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTIF-per-group metric registry pattern (A2/A3)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = conditional_counts(
+        ev,
+        ["event_type"],
+        {
+            "n_high": F.col("value") > 100,
+            "n_low": F.col("value") <= 100,
+            "n_even_user": F.col("user_id") % 2 == 0,
+        },
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    return totals.join(base, "event_type").select(
+        "event_type", "n_total", "n_high", "n_low", "n_even_user"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/O3 — ordered, limited array agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a05_last5_events_per_user",
+    oracle="""
+    SELECT user_id, (list(event_id ORDER BY ts DESC, event_id DESC))[1:5] AS last5_event_ids
+    FROM events GROUP BY user_id
+    """,
+)
+def a05_last5_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG(... ORDER BY ts DESC LIMIT 5) per user (A5/O3) —
+    the longitudinal most-recent-first capped history."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ordered_limited_collect(
+        ev, ["user_id"], ["ts", "event_id"], "event_id", limit=5, descending=True
+    )
+    return out.withColumnRenamed("values", "last5_event_ids")
+
+
+# ---------------------------------------------------------------------------
+# A7 — grouped percentiles (exact, binary-fraction probabilities)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a07_quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS qty_quartiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a07_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped continuous percentiles (A7/A8). Exact interpolation at
+    binary-fraction probabilities so both engines agree bit-for-bit;
+    the scale path (approximate=True → percentile_approx sketch) is
+    exercised in unit tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = group_percentiles(
+        li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75], approximate=False
+    )
+    return out.withColumnRenamed("percentiles", "qty_quartiles")
+
+
+# ---------------------------------------------------------------------------
+# A10 — element-wise vector aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a10_vector_sum_by_label",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               UNNEST(embedding) AS v,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    ), s AS (
+        SELECT label, i,
+               CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sv
+        FROM e GROUP BY label, i
+    )
+    SELECT label, list(sv ORDER BY i) AS vector_sum FROM s GROUP BY label
+    """,
+)
+def a10_vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector sum per group (A10) — the DAP sumvec
+    aggregation. Vectors are quantized to integers (floor(x*1000)) so
+    the cross-engine sum is exact; production use on doubles is the
+    same plan."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ints = em.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+        ).alias("ivec"),
+    )
+    return elementwise_vector_sum(ints, ["label"], "ivec")
+
+
+# ---------------------------------------------------------------------------
+# U1 — unpivot / fan-in union
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u01_orders_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    """,
+)
+def u01_orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (U1) — the manual UNION-ALL unpivot the
+    reference builds (search_alert/main.py:76-110), via Spark's native
+    unpivot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    )
+    return o.unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# U2 — distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u02_distinct_user_event_types",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def u02_distinct_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (U2)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# P/§2.8 — scalar gauntlet (string/conditional families)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_scalar_gauntlet",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS name_word1,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+           (p_type LIKE 'PROMO%') AS is_promo,
+           upper(p_name) AS upper_name,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_name, 'widget', 'gadget') AS renamed,
+           p_brand || ':' || p_type AS brand_type,
+           p_retailprice / NULLIF(p_size, 0) AS price_per_size,
+           CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 25 THEN 'medium' ELSE 'large' END AS size_class,
+           coalesce(nullif(p_type, 'PROMO'), 'not-promo-exact') AS null_gauntlet
+    FROM part
+    """,
+)
+def p01_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/conditional scalar families (§2.8; P6/P7/P9/P10/P11)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(0).alias("name_word1"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).try_cast("bigint").alias("brand_num"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.upper("p_name").alias("upper_name"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("renamed"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        safe_divide(F.col("p_retailprice"), F.nullif(F.col("p_size"), F.lit(0))).alias("price_per_size"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 25, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.coalesce(F.nullif("p_type", F.lit("PROMO")), F.lit("not-promo-exact")).alias("null_gauntlet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 date/time family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f01_date_family",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(date_trunc('week', CAST(o.o_orderdate AS DATE)) AS DATE) AS order_week,
+           CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS order_month,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_lag_days,
+           CAST(dayofweek(CAST(o.o_orderdate AS DATE)) + 1 AS BIGINT) AS order_dow,
+           CAST(o.o_orderdate AS DATE) + 30 AS due_date,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o.o_orderdate) AS BIGINT) AS order_quarter
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def f01_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (§2.8): trunc, diff, dow, arithmetic.
+
+    dow convention: Spark dayofweek (1=Sunday) — oracle shifts
+    DuckDB's 0=Sunday to match.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        od.alias("order_date"),
+        F.date_trunc("week", od).cast("date").alias("order_week"),
+        F.date_trunc("month", od).cast("date").alias("order_month"),
+        F.datediff(F.col("l_shipdate").cast("date"), od).cast("bigint").alias("ship_lag_days"),
+        F.dayofweek(od).cast("bigint").alias("order_dow"),
+        F.date_add(od, 30).alias("due_date"),
+        F.year(od).cast("bigint").alias("order_year"),
+        F.quarter(od).cast("bigint").alias("order_quarter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 JSON family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f02_json_family",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f02_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction family (§2.8): semi-structured props column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.sum(k.try_cast("bigint")).cast("bigint").alias("sum_k"),
+        F.max(k.try_cast("bigint")).cast("bigint").alias("max_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6 — tumbling-window aggregation (batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t06_tumbling_5min",
+    oracle="""
+    SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 300) * 300000000 AS BIGINT)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t06_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregation (T6) — batch twin of the
+    DAP collection slots; identical window() call works under
+    Structured Streaming with a watermark (see streaming/)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dbl(F.sum(_dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x01_token_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def x01_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + corpus stats per language."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@register(
+    "x02_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+               / NULLIF(len(string_split(text, ' ')), 0) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / NULLIF(len(string_split(text, ' ')), 0) AS chars_per_token
+    FROM documents
+    """,
+)
+def x02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, stopword ratio,
+    chars-per-token — the text-quality features of a training-data
+    pipeline, all as JVM expressions (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    low_tokens = F.split(F.lower("text"), " ")
+    stop = F.size(
+        F.filter(low_tokens, lambda w: w.isin("the", "a", "and", "of", "to"))
+    )
+    n_tok = F.size(tokens)
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        stop.cast("bigint").alias("n_stopwords"),
+        safe_divide(stop.cast("double"), F.nullif(n_tok, F.lit(0))).alias("stopword_ratio"),
+        safe_divide(F.col("n_chars").cast("double"), F.nullif(n_tok, F.lit(0))).alias("chars_per_token"),
+    )
+
+
+@register(
+    "x03_exact_dedup_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+    FROM documents GROUP BY source
+    """,
+)
+def x03_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection summary (hash-groupBy dedup family)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("text").alias("n_distinct"),
+        (F.count("*") - F.count_distinct("text")).alias("n_exact_dups"),
+    )

@@ -1,0 +1,173 @@
+"""Batch sources and sinks (SURVEY.md §2.1, §2.10).
+
+The reference's IO surface is BigQuery tables plus JSON/CSV/parquet
+side channels (S1, S5-S8) with append / truncate / partition-replace
+write dispositions (D1-D4) and a dry-run gate (D6). Here every source
+is a Spark reader (columnar parquet scans get predicate pushdown and
+column pruning from Catalyst for free) and every sink is a Spark
+writer whose mode maps the reference's write dispositions:
+
+- WRITE_APPEND            → mode("append")                (D1, S5)
+- WRITE_TRUNCATE          → mode("overwrite")             (D4)
+- delete+insert partition → dynamic partition overwrite   (D3)
+  (reference: webcompat_kb/etl/siterank.py:114-135)
+- dry-run                 → ``write=False`` gate, logs instead
+  (reference: webcompat_kb/bqhelpers.py:580-593)
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+log = logging.getLogger(__name__)
+
+#: Canonical table names of the synthetic test corpus (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark has no
+#: native type for. Read as nano-longs (legacy conf) and normalized
+#: to TimestampType (microseconds) at load — DuckDB's TIMESTAMP_NS →
+#: TIMESTAMP cast truncates identically, so oracles stay aligned.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table from a scale-factor directory.
+
+    A plain ``spark.read.parquet`` so filters/projections placed on
+    the result push down into the scan (verify via
+    ``df.explain`` → PushedFilters / ReadSchema).
+    """
+    if name in _NANO_TS_COLS:
+        # Session-settable legacy conf; required to scan NANOS columns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # ns-long → TIMESTAMP_NTZ, truncated to microseconds.
+            # Arithmetic (epoch seconds + fractional micros, both exact
+            # in double) rather than timestamp_micros(): the latter
+            # yields TIMESTAMP_LTZ, whose downstream date semantics
+            # depend on the session timezone — NTZ matches the other
+            # tables' parquet timestamps and DuckDB's naive reading.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"make_timestamp_ntz(1970, 1, 1, 0, 0, 0)"
+                    f" + make_dt_interval(0, 0, 0, cast({c} div 1000000000 as double))"
+                    f" + make_dt_interval(0, 0, 0, cast(({c} div 1000) % 1000000 as double) / 1e6)"
+                ),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+@dataclass
+class TableCatalog:
+    """Registers the test corpus as temp views so queries can be
+    expressed in Spark SQL against the same names the DuckDB oracle
+    uses (region, nation, … embeddings)."""
+
+    spark: SparkSession
+    sf_dir: str
+    names: tuple[str, ...] = TESTDATA_TABLES
+    _views: dict[str, DataFrame] = field(default_factory=dict)
+
+    def register(self) -> "TableCatalog":
+        for n in self.names:
+            df = load_table(self.spark, self.sf_dir, n)
+            df.createOrReplaceTempView(n)
+            self._views[n] = df
+        return self
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._views:
+            df = load_table(self.spark, self.sf_dir, name)
+            df.createOrReplaceTempView(name)
+            self._views[name] = df
+        return self._views[name]
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    single_file: bool = False,
+    write: bool = True,
+) -> None:
+    """Sink with the reference's write dispositions.
+
+    Parameters
+    ----------
+    mode:
+        "append" (D1), "overwrite" (D4 truncate-replace), or
+        "overwrite" + ``partition_by`` for idempotent partition
+        replace (D3 — session default partitionOverwriteMode=dynamic
+        only rewrites partitions present in ``df``).
+    max_records_per_file:
+        The Spark-native analogue of the reference's batch binpacking
+        caps (S4: 5000 rows / 9 MB per batch —
+        fxci_etl/loaders/bigquery.py:26-101). File-level caps replace
+        API-level caps.
+    single_file:
+        Small-output single-file write (reference:
+        mozaggregator2bq/bin/pg_dump_to_parquet.py:84 repartition(1));
+        uses coalesce to avoid a shuffle.
+    write:
+        Dry-run gate (D6): when False, log the plan instead of
+        executing the write but still force a count so the SELECT
+        side runs (mirrors bqhelpers.py:580-593 behaviour).
+    """
+    if not write:
+        log.info(
+            "dry-run: would write %s rows to %s (mode=%s, fmt=%s, partitionBy=%s)",
+            df.count(),
+            path,
+            mode,
+            fmt,
+            partition_by,
+        )
+        return
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
+
+
+def struct_type_from_fields(fields: list[tuple[str, str, bool]]) -> StructType:
+    """Declared-schema helper: build a StructType from
+    (name, sql_type, nullable) triples — the engine-side analogue of
+    the reference's TOML→SchemaField pipeline
+    (webcompat_kb/projectdata.py:67-127)."""
+    schema = StructType()
+    for name, sql_type, nullable in fields:
+        schema.add(name, sql_type, nullable)
+    return schema
