@@ -1,0 +1,205 @@
+"""Embedding similarity search: brute-force cosine top-k and an
+LSH-bucketed approximate variant.
+
+Scale design: the baseline broadcasts the (small) query set against
+the full corpus — one pass over the corpus, no shuffle, dot products
+as JVM higher-order expressions (zip_with/aggregate). The
+random-hyperplane LSH variant buckets the corpus once and probes
+only matching buckets — the 100 TB path when the query set is large.
+No UDFs in either path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays (fold over zip_with)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product (bigint arrays) — used by the
+    differential oracle queries; same plan shape as ``dot``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def squared_norm(v: Column, exact_int: bool = False) -> Column:
+    return (dot_int if exact_int else dot)(v, v)
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "vec",
+    exact_int: bool = False,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × scan corpus.
+
+    Inputs: ``queries(query_id, vec)`` (small), ``corpus(corpus_id,
+    vec)``. Output: (query_id, corpus_id, cosine), k rows per query,
+    deterministic tiebreak on corpus_id.
+
+    Scale notes: corpus is scanned once; per-query top-k runs through
+    a window on query_id — the shuffle is on the (tiny) query-id
+    space after a map-side filterable projection. Zero-norm vectors
+    are excluded (cosine undefined).
+    """
+    d = dot_int if exact_int else dot
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qv"),
+        squared_norm(F.col(vec_col), exact_int).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("__cv"),
+        squared_norm(F.col(vec_col), exact_int).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col(query_id) != F.col(corpus_id))
+    cos = d(F.col("__qv"), F.col("__cv")).cast("double") / F.sqrt(
+        (F.col("__qn") * F.col("__cn")).cast("double")
+    )
+    scored = pairs.select(query_id, corpus_id, cos.alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (sign of projection).
+
+    Vectors with high cosine similarity land in the same bucket with
+    probability 1 - θ/π per bit. Returns bigint bucket key.
+    """
+    key = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = dot(vec, lit_plane)
+        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        key = key.bitwiseOR(F.shiftleft(bit, i))
+    return key
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table sign-LSH.
+
+    Both sides are bucketed under ``n_tables`` independent hyperplane
+    sets; candidates are bucket equi-join matches in any table; exact
+    cosine is computed only for candidates. Recall rises with
+    n_tables, cost with bucket collision rate (2^-n_planes).
+
+    Scale notes: this replaces the brute-force cross join with a
+    shuffle on (table, bucket) — the corpus-side work is O(|corpus| ·
+    n_tables) hashing plus candidate-local dot products.
+    """
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+        keys = []
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + t)
+            keys.append(F.struct(F.lit(t).alias("tbl"), signlsh_bucket(F.col(vec_col), planes).alias("bkt")))
+        return df.select(
+            F.col(idc), F.col(vec_col), F.explode(F.array(*keys)).alias("tb")
+        ).select(idc, vec_col, "tb.tbl", "tb.bkt")
+
+    qb = bucketed(queries, query_id).withColumnRenamed(vec_col, "__qv")
+    cb = bucketed(corpus, corpus_id).withColumnRenamed(vec_col, "__cv")
+    cand = (
+        qb.join(cb, ["tbl", "bkt"])
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "__qv", "__cv")
+        .dropDuplicates([query_id, corpus_id])
+    )
+    qn = dot(F.col("__qv"), F.col("__qv"))
+    cn = dot(F.col("__cv"), F.col("__cv"))
+    cos = dot(F.col("__qv"), F.col("__cv")) / F.sqrt(qn * cn)
+    scored = cand.select(query_id, corpus_id, cos.alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) via the same sign-LSH bucketing, corpus against itself."""
+    def bucketed(df: DataFrame) -> DataFrame:
+        keys = []
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + t)
+            keys.append(F.struct(F.lit(t).alias("tbl"), signlsh_bucket(F.col(vec_col), planes).alias("bkt")))
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.explode(F.array(*keys)).alias("tb")
+        ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+
+    bk = bucketed(corpus)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / F.sqrt(
+        dot(F.col("__va"), F.col("__va")) * dot(F.col("__vb"), F.col("__vb"))
+    )
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

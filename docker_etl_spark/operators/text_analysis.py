@@ -1,0 +1,122 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Training-data-pipeline operators over a ``documents``-shaped table.
+All pure Column expressions (split / filter / transform / md5) so
+they run inside whole-stage codegen at any scale — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docker_etl_spark.functions.scalars import safe_divide
+from docker_etl_spark.operators.text_dedup import word_shingles
+
+# Compact function-word profiles. A real deployment would use larger
+# lists or character-n-gram models; the operator shape (profile
+# overlap scoring) is the same.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the reference-free tokenizer baseline)."""
+    return F.size(tokens(text, lowercase=False))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: split on word boundaries/punctuation so
+    punctuation and numbers count as separate tokens — a deterministic
+    stand-in for a real subword tokenizer."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(t, r"(?<=\W)|(?=\W)")
+    return F.size(F.filter(pieces, lambda p: (p != "") & (p != " ")))
+
+
+def stopword_overlap(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many distinct tokens appear in a stopword profile."""
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language profile-overlap scores."""
+    toks = tokens(text)
+    return {lang: stopword_overlap(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def langid_predict(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of profile overlap, fixed
+    priority order on ties ('en' > 'de' > 'es' > 'fr' > 'zh'),
+    'und' when every score is zero."""
+    scores = langid_scores(text)
+    langs = list(scores)
+    pred = F.lit("und")
+    # Build the when-chain in reverse priority so earlier langs win ties.
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        cond = cond & (scores[lang] > 0)
+        branch = F.when(cond, F.lit(lang))
+        expr = branch if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(pred)
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, punctuation ratio, uppercase ratio, repetition
+    (distinct-token ratio). The classic cheap quality filters of a
+    pretraining pipeline."""
+    t = F.col(text_col)
+    toks = tokens(text_col, lowercase=False)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop = stopword_overlap(tokens(text_col), LANG_STOPWORDS["en"])
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return df.select(
+        *[F.col(c) for c in id_cols],
+        n_tok.cast("bigint").alias("n_tokens"),
+        safe_divide(n_chars.cast("double"), F.nullif(n_tok, F.lit(0))).alias("chars_per_token"),
+        safe_divide(stop.cast("double"), F.nullif(n_tok, F.lit(0))).alias("stopword_ratio"),
+        safe_divide(n_punct.cast("double"), F.nullif(n_chars, F.lit(0))).alias("punct_ratio"),
+        safe_divide(n_upper.cast("double"), F.nullif(n_chars, F.lit(0))).alias("upper_ratio"),
+        safe_divide(
+            F.size(F.array_distinct(toks)).cast("double"), F.nullif(n_tok, F.lit(0))
+        ).alias("distinct_token_ratio"),
+    )
+
+
+def document_fingerprint(
+    text: Column | str, k: int = 5, shingle_n: int = 3
+) -> Column:
+    """Winnowing-style fingerprint: the k lexicographically-smallest
+    shingle digests. Robust to local edits; two documents sharing most
+    shingles share most fingerprint entries. array<string> length ≤ k."""
+    sh = word_shingles(text, shingle_n)
+    return F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, k)
+
+
+def fingerprint_key(text: Column | str, k: int = 5, shingle_n: int = 3) -> Column:
+    """Single-value digest of the fingerprint — a clusterable key."""
+    return F.md5(F.array_join(document_fingerprint(text, k, shingle_n), ""))

@@ -1,0 +1,307 @@
+"""Text deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+These are the training-data-pipeline operators layered on top of the
+reference's dedup idioms (SURVEY.md §2.7 U2/U3): exact dedup is a
+hash-groupBy; *near*-dup detection is MinHash signatures + LSH
+banding so candidate generation is a bucket equi-join (shuffle on
+band key) instead of an O(n²) cross join — the only formulation that
+survives 100 TB.
+
+Everything below is built from JVM higher-order functions (split /
+transform / array_min / md5 / xxhash64) — no Python UDFs anywhere in
+the hot path.
+
+Hash portability: the fast path hashes shingles with xxhash64
+(engine-specific values). ``hash_fn='md5'`` switches to md5 hex
+strings, which any engine computes identically — that is what the
+differential-oracle queries use; structure and semantics are
+identical in both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    array<string>; empty array when the text has fewer than ``n``
+    tokens. Pure expression: split → sliding join via transform over
+    an index sequence.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    w = F.split(t, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
+    """MinHash signature: per permutation i, min over shingle hashes.
+
+    xxhash64 mode → array<bigint> (fast path); md5 mode →
+    array<string> (lexicographic min of hex digests — engine-portable
+    and still a uniform permutation of the shingle space).
+    """
+    if hash_fn == "md5":
+        def h(i: int) -> Column:
+            return F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"p{i}"))))
+            )
+    else:
+        def h(i: int) -> Column:
+            return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+    return F.array(*[h(i) for i in range(num_perm)])
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH banding → candidate pairs (id_a < id_b), deduplicated.
+
+    Each signature is cut into ``bands`` bands of ``rows_per_band``
+    values; a band's key is md5 over its values. Candidates are pairs
+    sharing any (band, key) bucket — a self equi-join on the bucket
+    key, the scalable core: shuffle is on band keys, never a cross
+    join.
+
+    ``max_bucket_size`` drops pathological buckets (a near-universal
+    shingle pattern can put thousands of docs in one bucket, turning
+    the self-join quadratic). Dropped buckets lose recall on exactly
+    the documents that match everything — the standard LSH trade; set
+    None to disable.
+    """
+    key_exprs = []
+    for b in range(bands):
+        parts = [F.col(sig_col)[b * rows_per_band + j].cast("string") for j in range(rows_per_band)]
+        key_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bkey"))
+        )
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.array(*key_exprs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bkey")
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bkey")
+        exploded = (
+            exploded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs with exact-Jaccard
+    verification.
+
+    Pipeline: shingle → signature → LSH candidates → join shingle
+    sets back → keep pairs with true Jaccard ≥ threshold. Returns
+    (id_a, id_b, jaccard).
+
+    Scale notes: two shuffles (band-bucket join, shingle re-join);
+    the verify join is on candidate ids only — candidates are rare,
+    so the re-join is tiny. Tune bands/rows so the LSH S-curve knee
+    sits at ``threshold`` (b=3, r=4 → knee ≈ 0.76 for the default).
+    """
+    rows_per_band = num_perm // bands
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm, hash_fn))
+    cand = lsh_candidate_pairs(sig, id_col, "sig", bands, rows_per_band)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("source",),
+    length_col: str | None = "n_chars",
+    length_tolerance: int = 20,
+    shingle_n: int = 3,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard similarity (the non-LSH variant).
+
+    Candidate generation by *blocking* (equi-join on ``block_cols``
+    plus a length band) instead of hashing — the classic dedup
+    baseline. Quadratic within a block, so blocks must be small; LSH
+    (minhash_near_duplicates) is the scale path.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        *( [F.col(length_col)] if length_col else [] ),
+        word_shingles(text_col, shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_col:
+        cond = cond & (
+            F.abs(F.col(f"a.{length_col}") - F.col(f"b.{length_col}"))
+            <= length_tolerance
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: per bit, sum ±1 votes from
+    each token's xxhash64; bit set where the vote is positive.
+
+    Pure expressions: for each bit position, count tokens whose hash
+    has that bit set, compare against half the token count. Returns
+    bigint (the packed signature).
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(tokens)
+    bits = []
+    for i in range(64):
+        # NB: 1 << 63 overflows a signed long literal — derive the mask
+        # with shiftleft so the sign bit works too.
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        # bit i set when ones > n/2 (strict majority of ±1 votes)
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded blocking on signature chunks.
+
+    Signatures within ``max_hamming`` of each other must agree on at
+    least one of ceil(64/block_bits) chunks when max_hamming <
+    64/block_bits (pigeonhole) — so candidates come from equi-joins
+    on chunk values, never a cross join. Returns (id_a, id_b, hamming).
+    """
+    sigs = docs.select(
+        F.col(id_col),
+        simhash64(F.split(F.lower(text_col), " ")).alias("sig"),
+    )
+    n_chunks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    chunk_keys = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("sig", c * block_bits)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("ckey"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    exploded = sigs.select(id_col, "sig", F.explode(chunk_keys).alias("ck")).select(
+        id_col, "sig", "ck.chunk", "ck.ckey"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

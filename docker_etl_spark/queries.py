@@ -904,3 +904,258 @@ def x03_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("text").alias("n_distinct"),
         (F.count("*") - F.count_distinct("text")).alias("n_exact_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+from docker_etl_spark.operators.text_dedup import (  # noqa: E402
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from docker_etl_spark.operators.text_analysis import (  # noqa: E402
+    document_fingerprint,
+    langid_scores,
+)
+from docker_etl_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_duplicates,
+)
+
+
+@register(
+    "x04_ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id, source, n_chars,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM tok WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.01
+    """,
+)
+def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard near-dup scoring (dedup baseline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, block_cols=("source",), length_tolerance=20, shingle_n=3, threshold=0.01
+    )
+
+
+@register(
+    "x05_minhash_lsh_near_dups",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM tok WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               [list_min(list_transform(s, x -> md5(x || 'p0'))),
+                list_min(list_transform(s, x -> md5(x || 'p1'))),
+                list_min(list_transform(s, x -> md5(x || 'p2'))),
+                list_min(list_transform(s, x -> md5(x || 'p3'))),
+                list_min(list_transform(s, x -> md5(x || 'p4'))),
+                list_min(list_transform(s, x -> md5(x || 'p5'))),
+                list_min(list_transform(s, x -> md5(x || 'p6'))),
+                list_min(list_transform(s, x -> md5(x || 'p7'))),
+                list_min(list_transform(s, x -> md5(x || 'p8'))),
+                list_min(list_transform(s, x -> md5(x || 'p9'))),
+                list_min(list_transform(s, x -> md5(x || 'p10'))),
+                list_min(list_transform(s, x -> md5(x || 'p11')))] AS g
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+        FROM sig, unnest([0, 1, 2]) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    """,
+)
+def x05_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, md5-portable mode
+    (12 perms, 3 bands × 4 rows, exact-Jaccard verify ≥ 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, num_perm=12, bands=3, threshold=0.5, hash_fn="md5"
+    )
+
+
+@register(
+    "x06_ann_cosine_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 5 AND nrm > 0),
+    c AS (SELECT * FROM n WHERE nrm > 0),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS DOUBLE)
+                   / sqrt(CAST(q.nrm * c.nrm AS DOUBLE)) AS cosine
+        FROM q JOIN c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, corpus_id, cosine FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) <= 3
+    """,
+)
+def x06_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 (similarity-search baseline), integer
+    quantization for cross-engine exactness; float path in tests."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ivec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), ivec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), ivec.alias("vec"))
+    return cosine_topk_bruteforce(q, c, k=3, exact_int=True)
+
+
+@register(
+    "x07_langid",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_intersect(toks, ['the','and','of','to','a','in','is','that'])) AS s_en,
+               len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+               len(list_intersect(toks, ['el','la','de','que','y','en','un','es'])) AS s_es,
+               len(list_intersect(toks, ['le','la','de','et','un','est','que','pour'])) AS s_fr,
+               len(list_intersect(toks, ['的','是','不','了','在','人','有','我'])) AS s_zh
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+             WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+             WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+             WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr AND s_zh > 0 THEN 'zh'
+             ELSE 'und'
+           END AS pred_lang,
+           CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+           CAST(s_zh AS BIGINT) AS s_zh
+    FROM s
+    """,
+)
+def x07_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword-profile overlap (argmax with
+    fixed tie priority)."""
+    from docker_etl_spark.operators.text_analysis import langid_predict
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = langid_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        langid_predict(F.col("text")).alias("pred_lang"),
+        *[scores[lang].cast("bigint").alias(f"s_{lang}") for lang in ("en", "de", "es", "fr", "zh")],
+    )
+
+
+@register(
+    "x08_document_fingerprints",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM tok WHERE len(w) >= 3
+    )
+    SELECT doc_id,
+           (list_sort(list_transform(s, x -> md5(x))))[1:5] AS fingerprint,
+           md5(list_aggregate((list_sort(list_transform(s, x -> md5(x))))[1:5], 'string_agg', '')) AS fp_key
+    FROM sh
+    """,
+)
+def x08_document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints (k smallest shingle
+    digests) + a single clusterable fingerprint key."""
+    from docker_etl_spark.operators.text_analysis import fingerprint_key
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = document_fingerprint("text", k=5, shingle_n=3)
+    return (
+        d.select("doc_id", fp.alias("fingerprint"), fingerprint_key("text").alias("fp_key"))
+        .filter(F.size("fingerprint") > 0)
+    )
+
+
+# Scale-path variants (engine-specific hashing / float math — no SQL
+# oracle; the driver records rows-only checks, semantics covered by
+# the md5/int-quantized twins above and unit tests).
+
+
+@register("x09_minhash_fast")
+def x09_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with xxhash64 signatures — the production/scale
+    configuration (64 perms, 8 bands)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
+    )
+
+
+@register("x10_simhash_near_dups")
+def x10_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole chunk blocking."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=8, block_bits=16)
+
+
+@register("x11_ann_cosine_lsh")
+def x11_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via multi-table sign-LSH (float path)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), vec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), vec.alias("vec"))
+    return cosine_topk_lsh(q, c, dim=64, k=3, n_planes=8, n_tables=4)
+
+
+@register("x12_embedding_near_dups")
+def x12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the whole corpus
+    (sign-LSH self-join)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    c = em.select("vec_id", vec.alias("vec"))
+    return embedding_near_duplicates(c, dim=64, threshold=0.9, n_planes=10, n_tables=6)

@@ -1,0 +1,93 @@
+"""Semantic unit tests for the LLM-data operators (dedup, similarity,
+text analysis) — properties the differential oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docker_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from docker_etl_spark.operators.text_analysis import (
+    bpe_ish_token_count,
+    quality_features,
+)
+from docker_etl_spark.operators.text_dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from docker_etl_spark.sources.io import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_minhash_fast_finds_known_near_dup(spark, sf_dir):
+    """The corpus contains a ~0.97-Jaccard pair; the xxhash64 LSH
+    configuration must recover it (S-curve knee well below 0.97)."""
+    pairs = minhash_near_duplicates(
+        _docs(spark, sf_dir), num_perm=64, bands=8, threshold=0.8, hash_fn="xxhash64"
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert any(j >= 0.9 for (_, _, j) in [(r.id_a, r.id_b, r.jaccard) for r in pairs])
+    # cross-check against exhaustive blocked jaccard
+    exact = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), length_tolerance=50, threshold=0.8
+    ).collect()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact}
+    assert exact_pairs <= found or exact_pairs & found, (exact_pairs, found)
+
+
+def test_simhash_detects_near_dup(spark, sf_dir):
+    pairs = simhash_near_duplicates(
+        _docs(spark, sf_dir), max_hamming=12, block_bits=16
+    ).collect()
+    # the known near-dup pair should have a small hamming distance
+    assert any(r.hamming <= 12 for r in pairs), pairs[:5]
+
+
+def test_ann_lsh_overlaps_bruteforce(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), vec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), vec.alias("vec"))
+    brute = cosine_topk_bruteforce(q, c, k=5)
+    lsh = cosine_topk_lsh(q, c, dim=64, k=5, n_planes=4, n_tables=16)
+    b = {(r.query_id, r.corpus_id) for r in brute.collect()}
+    lsh_rows = lsh.collect()
+    l = {(r.query_id, r.corpus_id) for r in lsh_rows}
+    # These embeddings are near-random (weak neighbor structure), so
+    # absolute recall is data-limited; 4-plane/16-table buckets must
+    # still recover a meaningful fraction of the true top-5 sets.
+    recall = len(b & l) / len(b)
+    assert recall >= 0.25, f"LSH recall too low: {recall}"
+    # And every cosine the LSH path reports must equal the brute-force
+    # cosine for that pair (same expression, candidates only).
+    bcos = {(r.query_id, r.corpus_id): r.cosine for r in brute.collect()}
+    for r in lsh_rows:
+        if (r.query_id, r.corpus_id) in bcos:
+            assert abs(r.cosine - bcos[(r.query_id, r.corpus_id)]) < 1e-12
+
+
+def test_quality_features_ranges(spark, sf_dir):
+    qf = quality_features(_docs(spark, sf_dir)).collect()
+    assert len(qf) > 0
+    for r in qf:
+        assert r.n_tokens > 0
+        for ratio in (r.stopword_ratio, r.punct_ratio, r.upper_ratio, r.distinct_token_ratio):
+            assert ratio is None or 0.0 <= ratio <= 1.0
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [("hello, world! it's 42",), ("one",), ("",)], ["text"]
+    ).select(bpe_ish_token_count("text").alias("n"))
+    rows = [r.n for r in df.collect()]
+    # "hello , world ! it ' s 42" → punctuation split out
+    assert rows[0] >= 6
+    assert rows[1] == 1
