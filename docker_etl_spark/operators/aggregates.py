@@ -127,13 +127,16 @@ def jackknife_sum_ci(
     per-bucket sums. Output: struct(total, low, high) at ±1.96σ like
     the reference's UDAF.
     """
+    # Exact decimal bucket sums so total/sumsq are identical across
+    # engines/partition orders; only the closed-form CI math runs in
+    # floating point (deterministic: all inputs exact).
     per_bucket = df.groupBy(*group_by, bucket_col).agg(
-        F.sum(value_col).alias("__bv")
+        F.sum(F.col(value_col).cast("decimal(12,2)")).alias("__bv")
     )
     n = F.lit(float(n_buckets))
     agg = per_bucket.groupBy(*group_by).agg(
-        F.sum("__bv").alias("__total"),
-        F.sum(F.col("__bv") * F.col("__bv")).alias("__sumsq"),
+        F.sum("__bv").cast("double").alias("__total"),
+        F.sum(F.col("__bv") * F.col("__bv")).cast("double").alias("__sumsq"),
     )
     total = F.col("__total")
     # Pseudo-value for bucket i: t_i = n/(n-1) * (total - b_i); the

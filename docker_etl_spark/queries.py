@@ -1159,3 +1159,335 @@ def x12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.transform("embedding", lambda x: x.cast("double"))
     c = em.select("vec_id", vec.alias("vec"))
     return embedding_near_duplicates(c, dim=64, threshold=0.9, n_planes=10, n_tables=6)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: weighted scores, jackknife, funnel, rollup/cube, rankings,
+# set ops, scalar subquery, lateral explode
+# ---------------------------------------------------------------------------
+
+from docker_etl_spark.operators.aggregates import jackknife_sum_ci  # noqa: E402
+from docker_etl_spark.operators.funnel import funnel_counts  # noqa: E402
+
+_WEIGHTS_VALUES = """
+    VALUES ('segment','BUILDING',   CAST(1.10 AS DECIMAL(12,2))),
+           ('segment','AUTOMOBILE', CAST(1.05 AS DECIMAL(12,2))),
+           ('segment','MACHINERY',  CAST(1.00 AS DECIMAL(12,2))),
+           ('segment','FURNITURE',  CAST(0.95 AS DECIMAL(12,2))),
+           ('segment','HOUSEHOLD',  CAST(0.90 AS DECIMAL(12,2))),
+           ('parity','even',        CAST(2.00 AS DECIMAL(12,2))),
+           ('parity','odd',         CAST(3.00 AS DECIMAL(12,2)))
+"""
+
+
+@register(
+    "a04_weighted_score_product",
+    oracle=f"""
+    WITH weights(lookup_type, lookup_value, score) AS ({_WEIGHTS_VALUES})
+    SELECT c.c_custkey,
+           CAST(SUM(CASE WHEN w.lookup_type = 'segment' AND w.lookup_value = c.c_mktsegment
+                         THEN w.score ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS segment_term,
+           CAST(SUM(CASE WHEN w.lookup_type = 'parity'
+                          AND w.lookup_value = CASE WHEN c.c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+                         THEN w.score ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS parity_term,
+           CAST(SUM(CASE WHEN w.lookup_type = 'segment' AND w.lookup_value = c.c_mktsegment
+                         THEN w.score ELSE CAST(0 AS DECIMAL(12,2)) END)
+              * SUM(CASE WHEN w.lookup_type = 'parity'
+                          AND w.lookup_value = CASE WHEN c.c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+                         THEN w.score ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS final_score
+    FROM customer c CROSS JOIN weights w
+    GROUP BY c.c_custkey
+    """,
+)
+def a04_weighted_score_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted score product (A4/J4): CROSS JOIN a broadcast weights
+    dimension, pivoted conditional sums per lookup_type, product of
+    terms — the WEBCOMPAT_METRIC_SCORE pattern decorrelated into a
+    join + expressions (SURVEY.md §4 'UDF-with-subquery' rewrite)."""
+    c = load_table(spark, sf_dir, "customer")
+    weights = spark.sql(
+        f"SELECT * FROM ({_WEIGHTS_VALUES}) AS t(lookup_type, lookup_value, score)"
+    )
+    parity = F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd")
+    zero = F.lit(0).cast("decimal(12,2)")
+    seg_term = F.sum(
+        F.when(
+            (F.col("lookup_type") == "segment")
+            & (F.col("lookup_value") == F.col("c_mktsegment")),
+            F.col("score"),
+        ).otherwise(zero)
+    )
+    par_term = F.sum(
+        F.when(
+            (F.col("lookup_type") == "parity") & (F.col("lookup_value") == parity),
+            F.col("score"),
+        ).otherwise(zero)
+    )
+    return (
+        c.crossJoin(F.broadcast(weights))
+        .groupBy("c_custkey")
+        .agg(
+            seg_term.cast("double").alias("segment_term"),
+            par_term.cast("double").alias("parity_term"),
+            (seg_term * par_term).cast("double").alias("final_score"),
+        )
+    )
+
+
+@register(
+    "a06_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def a06_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG(DISTINCT ...) (A6): sorted distinct-set collection."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+@register(
+    "a09_jackknife_ci",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, user_id % 20 AS bucket,
+               SUM(CAST(value AS DECIMAL(12,2))) AS bv
+        FROM events GROUP BY 1, 2
+    ), a AS (
+        SELECT event_type,
+               CAST(SUM(bv) AS DOUBLE) AS total,
+               CAST(SUM(bv * bv) AS DOUBLE) AS sumsq
+        FROM b GROUP BY 1
+    )
+    SELECT event_type, total,
+           total - 1.96 * sqrt((20.0 / (20.0 - 1)) * (sumsq - 20.0 * (total / 20.0) * (total / 20.0))) AS ci_low,
+           total + 1.96 * sqrt((20.0 / (20.0 - 1)) * (sumsq - 20.0 * (total / 20.0) * (total / 20.0))) AS ci_high
+    FROM a
+    """,
+)
+def a09_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife sum CI over 20 id-buckets (A9/F3) — the
+    udf_js.jackknife_sum_ci UDAF as a closed-form expression."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 20
+    )
+    out = jackknife_sum_ci(ev, ["event_type"], "bucket", "value", n_buckets=20)
+    return out.select(
+        "event_type",
+        F.col("ci.total").alias("total"),
+        F.col("ci.low").alias("ci_low"),
+        F.col("ci.high").alias("ci_high"),
+    )
+
+
+@register(
+    "a11_funnel_stages",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderpriority = '1-URGENT' THEN 'urgent_open'
+                WHEN o_totalprice > 100000 THEN 'big_open'
+                ELSE 'other' END AS stage,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def a11_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-circuit funnel classification + per-stage counts (A11/A12)
+    — the update-orphaning categorize() as one when-chain aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return funnel_counts(
+        o,
+        [
+            ("finished", F.col("o_orderstatus") == "F"),
+            ("urgent_open", F.col("o_orderpriority") == "1-URGENT"),
+            ("big_open", F.col("o_totalprice") > 100000),
+        ],
+    )
+
+
+@register(
+    "a15_monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a15_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-to-period (A15): date_trunc month + exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+    ).agg(_dbl(F.sum(revenue)).alias("revenue"), F.count("*").alias("n_items"))
+
+
+@register(
+    "j07_token_explode",
+    oracle="""
+    SELECT t.token,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_total
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    WHERE t.token <> ''
+    GROUP BY t.token
+    """,
+)
+def j07_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array join (J7): correlated UNNEST → explode, with
+    per-token document frequencies."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+@register(
+    "j14_scalar_subquery_recent_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >
+          (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem) - 90
+    """,
+)
+def j14_scalar_subquery_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery join (J14): filter against MAX over another
+    table via a broadcast 1-row aggregate (no driver-side collect)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("__mx"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_orderdate").cast("date") > F.date_sub("__mx", 90))
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+    )
+
+
+@register(
+    "u05_intersect_except",
+    oracle="""
+    WITH a AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT c_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT c_custkey, 'building_only' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """,
+)
+def u05_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (U5)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return a.intersect(b).withColumn("op", F.lit("both")).unionByName(
+        a.subtract(b).withColumn("op", F.lit("building_only"))
+    )
+
+
+@register(
+    "g01_rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def g01_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (§2.4 note: the reference hand-rolls this via
+    UNION ALL of per-dim and 'all' aggregates; Spark has it native)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(_dbl(F.sum(revenue)).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "g02_cube_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 1 AS BIGINT) AS dow,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 1 AS BIGINT))
+    """,
+)
+def g02_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek(F.date_trunc("day", "ts").cast("date")).cast("bigint")
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").alias("n"), _dbl(F.sum(_dec("value"))).alias("total_value")
+    )
+
+
+@register(
+    "w07_ranking_suite",
+    oracle="""
+    WITH totals AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, total_value,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           LEAD(total_value, 1) OVER w AS next_total,
+           LAG(total_value, 1) OVER w AS prev_total
+    FROM totals
+    WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id ASC)
+    """,
+)
+def w07_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions beyond row_number (SURVEY.md §2.5 note:
+    rank/dense_rank/ntile/lead come free in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        _dbl(F.sum(_dec("value"))).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lead("total_value", 1).over(w).alias("next_total"),
+        F.lag("total_value", 1).over(w).alias("prev_total"),
+    )
