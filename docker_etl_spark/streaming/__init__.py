@@ -1,0 +1,9 @@
+"""Structured Streaming layer (SURVEY.md §2.11 T1-T8)."""
+
+from docker_etl_spark.streaming.core import (  # noqa: F401
+    drain_available,
+    file_stream,
+    foreach_batch_with_dead_letter,
+    streaming_dedupe,
+    tumbling_window_agg,
+)

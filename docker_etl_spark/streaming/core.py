@@ -1,0 +1,151 @@
+"""Streaming semantics from the reference, as Structured Streaming
+(SURVEY.md §2.11).
+
+The reference's one true stream is the fxci pulse consumer (kombu
+AMQP → buffered batches → BigQuery with GCS dead-letter), plus
+windowed-batch DAP collectors. The mappings implemented here:
+
+- T1 drain-until-quiet  → Trigger.AvailableNow (process the backlog,
+  then stop) — fxci_etl/pulse/consume.py:47-60.
+- T2 buffered micro-batching → native micro-batch model.
+- T3 natural-key dedup  → withWatermark + dropDuplicates —
+  fxci_etl/loaders/bigquery.py:60-73.
+- T4 dead-letter on failed sink writes → foreachBatch with a
+  failure-capture path — fxci_etl/loaders/bigquery.py:129-220 (failed
+  inserts persisted to GCS, replayed next run).
+- T6 fixed tumbling collection windows → window(ts, "5 minutes") —
+  dap_collector/main.py:17,129-148.
+- T8 lateness margin → withWatermark — etl/user_reports_aggregate.py:17-31
+  (CURRENT_DATE - 2 days margin).
+
+Event-time columns must be TIMESTAMP (LTZ): Spark rejects watermarks
+on TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Cast NTZ
+event time with ``col.cast("timestamp")`` (session timezone applies —
+the engine pins UTC).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+log = logging.getLogger(__name__)
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (S2 analogue for tests/batch-drain).
+
+    File sources require an explicit schema — streaming cannot infer.
+    ``max_files_per_trigger`` bounds micro-batch size, the engine's
+    analogue of the reference's batch caps (S4).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, Column],
+    group_by: Sequence[str] = (),
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregation with lateness watermark (T6 + T8).
+
+    Identical call shape works on a batch DataFrame (watermark
+    ignored) — the registry query t06_tumbling_5min is the batch twin.
+    """
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    return (
+        stream.groupBy(F.window(ts_col, window_duration).alias("w"), *group_by)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_by,
+            *aggs.keys(),
+        )
+    )
+
+
+def streaming_dedupe(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-ish natural-key dedup (T3): state-backed
+    dropDuplicates bounded by a watermark so state is evictable —
+    unbounded dedup state is the classic streaming OOM at scale."""
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+        return stream.dropDuplicates([*keys, ts_col]) if ts_col in keys else stream.dropDuplicates(list(keys))
+    return stream.dropDuplicates(list(keys))
+
+
+def foreach_batch_with_dead_letter(
+    write_batch: Callable[[DataFrame, int], None],
+    dead_letter_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch wrapper with a dead-letter capture path (T4).
+
+    If ``write_batch`` raises, the batch is persisted to
+    ``dead_letter_path`` (parquet, append) instead of failing the
+    query — mirroring the reference's failed-insert GCS backup that a
+    later run replays (fxci_etl/loaders/bigquery.py:129-220). Replay =
+    read the path as another source and re-sink.
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            write_batch(batch_df, batch_id)
+        except Exception:
+            log.exception(
+                "batch %s failed; dead-lettering to %s", batch_id, dead_letter_path
+            )
+            batch_df.write.mode("append").parquet(dead_letter_path)
+
+    return _fn
+
+
+def drain_available(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    checkpoint: str | None = None,
+    query_name: str = "drain",
+    output_mode: str = "append",
+    fmt: str = "memory",
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """Drain-until-quiet semantics (T1): process everything available,
+    then stop — Trigger.AvailableNow, the Structured Streaming twin of
+    the pulse consumer's 'stop when queue quiet' loop.
+
+    With ``sink`` set, runs foreachBatch; otherwise writes to the
+    named memory sink (test/debug). Blocks until the drain finishes.
+    """
+    writer = stream_df.writeStream.trigger(availableNow=True).outputMode(output_mode)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if sink is not None:
+        writer = writer.foreachBatch(sink)
+    else:
+        writer = writer.format(fmt).queryName(query_name)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,119 @@
+"""Structured Streaming semantics tests (SURVEY.md §2.11 T1-T8):
+drain (AvailableNow), tumbling windows + watermark, stateful dedup,
+dead-letter capture — driven end-to-end through streaming queries
+against file sources."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from docker_etl_spark.streaming import (
+    drain_available,
+    file_stream,
+    foreach_batch_with_dead_letter,
+    streaming_dedupe,
+    tumbling_window_agg,
+)
+
+# NB: streaming event-time must be TIMESTAMP (LTZ) — watermarks reject NTZ.
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(start_min: int, n: int, etype: str = "click", base_id: int = 0):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        (base_id + i, t0 + dt.timedelta(minutes=start_min + i), i % 3, etype, 1.0)
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def src(tmp_path, spark):
+    path = str(tmp_path / "stream_src")
+    _write_batch(spark, path, _rows(0, 10, base_id=0))
+    _write_batch(spark, path, _rows(10, 10, base_id=100))
+    return path
+
+
+def test_drain_available_now_tumbling_windows(spark, src, tmp_path):
+    """T1 + T6 + T8: drain the backlog with AvailableNow; 5-minute
+    tumbling windows with a watermark; results match the batch twin."""
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_window_agg(
+        stream,
+        "ts",
+        "5 minutes",
+        {"n": F.count("*"), "total": F.sum("value")},
+        group_by=("event_type",),
+        watermark="10 minutes",
+    )
+    q = drain_available(
+        agg,
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="windows",
+        output_mode="append",
+    )
+    assert not q.isActive
+    got = {
+        (r.window_start, r.n)
+        for r in spark.sql("SELECT * FROM windows").collect()
+    }
+    batch = spark.read.schema(SCHEMA).parquet(src)
+    expect = {
+        (r.w.start, r.n)
+        for r in batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must agree with the batch computation
+    assert got <= expect
+    assert got, "no windows closed — watermark never advanced"
+
+
+def test_streaming_dedupe_across_batches(spark, tmp_path):
+    """T3: duplicate natural keys across micro-batches are dropped via
+    watermark-bounded state."""
+    path = str(tmp_path / "dup_src")
+    _write_batch(spark, path, _rows(0, 5, base_id=0))
+    _write_batch(spark, path, _rows(0, 5, base_id=0))  # exact duplicates
+    stream = file_stream(spark, path, SCHEMA, max_files_per_trigger=1)
+    deduped = streaming_dedupe(stream, ["event_id"], ts_col="ts")
+    drain_available(
+        deduped, checkpoint=str(tmp_path / "ckpt2"), query_name="dedup"
+    )
+    rows = spark.sql("SELECT * FROM dedup").collect()
+    assert len(rows) == 5, f"expected 5 unique events, got {len(rows)}"
+
+
+def test_dead_letter_capture(spark, tmp_path):
+    """T4: a failing sink batch lands in the dead-letter path instead
+    of failing the query; healthy batches reach the target."""
+    path = str(tmp_path / "dl_src")
+    _write_batch(spark, path, _rows(0, 4, etype="ok", base_id=0))
+    _write_batch(spark, path, _rows(10, 4, etype="poison", base_id=100))
+    target = str(tmp_path / "target")
+    dlq = str(tmp_path / "dlq")
+
+    def write_batch(df, batch_id):
+        if df.filter(F.col("event_type") == "poison").count() > 0:
+            raise RuntimeError("sink rejected batch")
+        df.write.mode("append").parquet(target)
+
+    stream = file_stream(spark, path, SCHEMA, max_files_per_trigger=1)
+    drain_available(
+        stream,
+        sink=foreach_batch_with_dead_letter(write_batch, dlq),
+        checkpoint=str(tmp_path / "ckpt3"),
+    )
+    ok = spark.read.parquet(target).collect()
+    dead = spark.read.parquet(dlq).collect()
+    assert {r.event_type for r in ok} == {"ok"} and len(ok) == 4
+    assert {r.event_type for r in dead} == {"poison"} and len(dead) == 4
