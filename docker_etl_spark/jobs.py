@@ -1,0 +1,123 @@
+"""EtlJob framework: registry + CLI + dry-run (SURVEY.md §3.1, §2.10 D5/D6).
+
+The reference's job lifecycle (webcompat_kb/main.py:37-64 + base.py):
+EtlJob subclasses self-register into ALL_JOBS at import time; a CLI
+builds subcommands from the registry; every job gets a --write gate
+(dry-run default in spirit) and idempotency guards.
+
+Engine version: ``EtlJob`` subclasses register via
+``__init_subclass__``; ``main()`` exposes ``list`` and ``run <job>``
+with --sf-dir/--out/--write; jobs receive a configured SparkSession
+and the write gate. Two demo jobs wire the registry to real engine
+operators so the CLI is a working end-to-end surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from docker_etl_spark.session import get_spark
+from docker_etl_spark.sources.io import load_table, write_table
+
+log = logging.getLogger(__name__)
+
+ALL_JOBS: dict[str, type["EtlJob"]] = {}
+
+
+@dataclass
+class JobContext:
+    spark: SparkSession
+    sf_dir: str
+    out: str | None
+    write: bool
+
+
+class EtlJob:
+    """Base job. Subclasses set ``name`` and implement ``run``."""
+
+    name: str = ""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        if cls.name:
+            ALL_JOBS[cls.name] = cls
+
+    def run(self, ctx: JobContext) -> DataFrame | None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class MonthlyRevenueJob(EtlJob):
+    """Demo: monthly revenue rollup → partitioned parquet (D1/D3)."""
+
+    name = "monthly_revenue"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from docker_etl_spark.queries import QUERIES
+
+        df = QUERIES["a15_monthly_revenue"](ctx.spark, ctx.sf_dir)
+        if ctx.out:
+            write_table(
+                df.withColumn("ym", df["ship_month"].substr(1, 7)),
+                ctx.out,
+                mode="overwrite",
+                partition_by=["ym"],
+                write=ctx.write,
+            )
+        return df
+
+
+class NearDupReportJob(EtlJob):
+    """Demo: MinHash-LSH near-duplicate report over documents."""
+
+    name = "near_dup_report"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+        docs = load_table(ctx.spark, ctx.sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs, num_perm=64, bands=8, threshold=0.8)
+        if ctx.out:
+            write_table(pairs, ctx.out, mode="overwrite", write=ctx.write)
+        return pairs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="docker-etl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered jobs")
+    runp = sub.add_parser("run", help="run a job")
+    runp.add_argument("job", choices=sorted(ALL_JOBS))
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    runp.add_argument("--out", default=None)
+    runp.add_argument(
+        "--write",
+        action="store_true",
+        help="actually write outputs (default: dry-run, like the reference's --write gate)",
+    )
+    runp.add_argument("--show", type=int, default=5, help="rows to display")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "list":
+        for name, cls in sorted(ALL_JOBS.items()):
+            print(f"{name}\t{(cls.__doc__ or '').strip().splitlines()[0]}")
+        return 0
+    spark = get_spark(app_name=f"docker-etl-spark-{args.job}")
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = JobContext(spark, args.sf_dir, args.out, args.write)
+    df = ALL_JOBS[args.job]().run(ctx)
+    if df is not None and args.show:
+        df.show(args.show, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
