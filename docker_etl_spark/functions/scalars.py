@@ -118,7 +118,9 @@ def extract_array(json_str: Column | str) -> Column:
     """
     c = F.col(json_str) if isinstance(json_str, str) else json_str
     as_array = F.from_json(c, "array<string>")
-    as_scalar = F.from_json(c, "string")
+    # Scalar fallback: JSON_VALUE-style extraction of the root value
+    # (from_json cannot take a scalar schema).
+    as_scalar = F.get_json_object(c, "$")
     return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
         F.coalesce(as_array, F.array(as_scalar))
     )

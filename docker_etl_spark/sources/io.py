@@ -167,7 +167,8 @@ def struct_type_from_fields(fields: list[tuple[str, str, bool]]) -> StructType:
     (name, sql_type, nullable) triples — the engine-side analogue of
     the reference's TOML→SchemaField pipeline
     (webcompat_kb/projectdata.py:67-127)."""
-    schema = StructType()
-    for name, sql_type, nullable in fields:
-        schema.add(name, sql_type, nullable)
-    return schema
+    ddl = ", ".join(
+        f"{name} {sql_type}{'' if nullable else ' NOT NULL'}"
+        for name, sql_type, nullable in fields
+    )
+    return StructType.fromDDL(ddl)

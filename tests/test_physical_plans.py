@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale contract.
+
+Correctness says what a query returns; these tests pin HOW Spark
+executes it — filters reach the parquet scan, dimensions broadcast,
+top-k avoids global sorts, aggregates run partial+final, and the hot
+path never drops into row-at-a-time Python. A regression here is a
+100TB regression even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docker_etl_spark.queries import QUERIES
+from docker_etl_spark.sources.io import load_table
+
+from pyspark.sql import functions as F
+
+
+def formatted(df) -> str:
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """P4: the a01 date predicate must appear in PushedFilters."""
+    txt = formatted(QUERIES["a01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters" in txt
+    assert "l_shipdate" in txt.split("PushedFilters", 1)[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    """Column pruning: a 2-column projection must not scan all 16
+    lineitem columns."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    txt = formatted(df)
+    read_schema_line = [l for l in txt.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema_line
+    assert "l_orderkey" in read_schema_line and "l_quantity" in read_schema_line
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """J1: supplier/nation/region joins must be BroadcastHashJoin —
+    the fact table never shuffles for the join."""
+    txt = formatted(QUERIES["j01_star_revenue"](spark, sf_dir))
+    assert txt.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in txt
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """O1: ORDER BY + LIMIT must plan TakeOrderedAndProject, not a
+    global Sort."""
+    txt = formatted(QUERIES["o01_top_revenue_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """A1: hash aggregation must run map-side partial + final."""
+    txt = formatted(QUERIES["a01_pricing_summary"](spark, sf_dir))
+    assert "HashAggregate" in txt
+    assert "partial_sum" in txt or "Partial" in txt
+
+
+def test_range_join_broadcasts_spine(spark, sf_dir):
+    """J6: the date-spine non-equi join must be broadcast nested loop
+    (spine side broadcast), not a cartesian shuffle."""
+    txt = formatted(QUERIES["j06_orders_active_per_month"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_in_hot_path(spark, sf_dir, name):
+    """Every registry query executes fully JVM-side: no row-at-a-time
+    Python UDFs (BatchEvalPython) and no Arrow Python stages
+    (mapInPandas lives in the multimodal/forecast modules, not the
+    query registry)."""
+    txt = formatted(QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in txt, f"{name} fell back to Python UDF"
+    assert "ArrowEvalPython" not in txt, f"{name} uses a pandas UDF"
+    assert "MapInPandas" not in txt, f"{name} uses mapInPandas"
+
+
+def test_whole_stage_codegen_covers_scalar_gauntlet(spark, sf_dir):
+    """§2.8 scalar families must stay inside WholeStageCodegen
+    (formatted explain marks codegen'd operators with a '*' prefix)."""
+    txt = formatted(QUERIES["p01_scalar_gauntlet"](spark, sf_dir))
+    assert "* Project" in txt, txt
