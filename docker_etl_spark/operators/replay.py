@@ -44,6 +44,7 @@ def replay_states(
     time_col: str = "change_time",
     changes_col: str = "changes",
     state_col: str = "state",
+    time_type: str = "timestamp_ntz",
 ) -> DataFrame:
     """Reconstruct per-entity historical states from reverse diffs.
 
@@ -84,7 +85,7 @@ def replay_states(
 
     seeded = F.array(
         F.struct(
-            F.lit(None).cast("timestamp_ntz").alias("t"),
+            F.lit(None).cast(time_type).alias("t"),
             F.col(state_col).alias("state"),
         )
     )

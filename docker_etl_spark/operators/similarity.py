@@ -91,19 +91,66 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     ]
 
 
+def _matrix_literal(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal built as ONE SQL expression.
+
+    ``F.lit`` on a nested list expands to thousands of py4j calls
+    (one per element) — for a 64x64 plane matrix that is seconds of
+    driver time per query build. A single ``expr`` string parses
+    JVM-side in milliseconds. ``repr(float)`` round-trips exactly.
+    """
+    body = ",".join(
+        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane (sign of projection).
 
     Vectors with high cosine similarity land in the same bucket with
     probability 1 - θ/π per bit. Returns bigint bucket key.
     """
-    key = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = dot(vec, lit_plane)
-        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        key = key.bitwiseOR(F.shiftleft(bit, i))
-    return key
+    planes_lit = _matrix_literal(planes)
+    pow2 = F.lit([1 << i for i in range(len(planes))])
+    signs = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(vec, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(signs, pow2, lambda s, p2: s * p2),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a.bitwiseOR(b),
+    )
+
+
+def signlsh_table_buckets(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> Column:
+    """All ``n_tables`` sign-LSH bucket keys of a vector as ONE
+    expression: array<struct<tbl:int, bkt:bigint>>.
+
+    Each table's bucket subtree contains ONLY that table's plane
+    matrix (one nested-array SQL literal each, O(1) py4j calls), so
+    per-row work is exactly n_tables · n_planes dot products — a
+    single shared all-tables projection array would be duplicated
+    into every per-table expression by column reuse and cost
+    n_tables× more. Bucket values are bit-identical to
+    ``signlsh_bucket`` per table.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                signlsh_bucket(
+                    vec, random_hyperplanes(dim, n_planes, seed + t)
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def cosine_topk_lsh(
@@ -130,12 +177,9 @@ def cosine_topk_lsh(
     n_tables) hashing plus candidate-local dot products.
     """
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
-        keys = []
-        for t in range(n_tables):
-            planes = random_hyperplanes(dim, n_planes, seed + t)
-            keys.append(F.struct(F.lit(t).alias("tbl"), signlsh_bucket(F.col(vec_col), planes).alias("bkt")))
+        keys = signlsh_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
         return df.select(
-            F.col(idc), F.col(vec_col), F.explode(F.array(*keys)).alias("tb")
+            F.col(idc), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(idc, vec_col, "tb.tbl", "tb.bkt")
 
     qb = bucketed(queries, query_id).withColumnRenamed(vec_col, "__qv")
@@ -158,6 +202,83 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    centroid_id: str = "centroid_id",
+    vec_col: str = "vec",
+    exact_int: bool = False,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: coarse-quantize the corpus
+    into centroid cells, probe only the ``nprobe`` nearest cells per
+    query.
+
+    ``centroids(centroid_id, vec)`` is the coarse quantizer (seeded
+    rows or k-means output — the cell-probe plan is identical).
+
+    Scale notes: assignment is |corpus| × |centroids| dot products
+    against a BROADCAST centroid table (no corpus shuffle), then one
+    shuffle on cell id for the probe equi-join — the cross join of
+    brute force never materializes. Recall is tuned by nprobe /
+    centroid count; cells also give the natural unit for bucketed
+    parquet layout so repeated query batches skip assignment.
+    """
+    d = dot_int if exact_int else dot
+
+    def with_norm(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vec_col),
+            squared_norm(F.col(vec_col), exact_int).alias("__n"),
+        ).filter(F.col("__n") > 0)
+
+    cent = centroids.select(
+        F.col(centroid_id),
+        F.col(vec_col).alias("__cent_v"),
+        squared_norm(F.col(vec_col), exact_int).alias("__cent_n"),
+    ).filter(F.col("__cent_n") > 0)
+
+    def nearest_cells(df: DataFrame, idc: str, n_cells: int) -> DataFrame:
+        cos = d(F.col(vec_col), F.col("__cent_v")).cast("double") / F.sqrt(
+            (F.col("__n") * F.col("__cent_n")).cast("double")
+        )
+        scored = df.join(F.broadcast(cent)).select(
+            idc, vec_col, "__n", F.col(centroid_id).alias("cell"), cos.alias("__cos")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__cos"), F.asc("cell"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_cells)
+            .drop("__rn", "__cos")
+        )
+
+    assigned = nearest_cells(with_norm(corpus, corpus_id), corpus_id, 1)
+    probed = nearest_cells(with_norm(queries, query_id), query_id, nprobe)
+    cand = probed.withColumnRenamed(vec_col, "__qv").withColumnRenamed(
+        "__n", "__qn"
+    ).join(
+        assigned.withColumnRenamed(vec_col, "__cv").withColumnRenamed("__n", "__cn"),
+        "cell",
+    ).filter(F.col(query_id) != F.col(corpus_id))
+    cos = d(F.col("__qv"), F.col("__cv")).cast("double") / F.sqrt(
+        (F.col("__qn") * F.col("__cn")).cast("double")
+    )
+    scored = cand.select(query_id, corpus_id, cos.alias("cosine")).dropDuplicates(
+        [query_id, corpus_id]
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     dim: int,
@@ -171,12 +292,9 @@ def embedding_near_duplicates(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) via the same sign-LSH bucketing, corpus against itself."""
     def bucketed(df: DataFrame) -> DataFrame:
-        keys = []
-        for t in range(n_tables):
-            planes = random_hyperplanes(dim, n_planes, seed + t)
-            keys.append(F.struct(F.lit(t).alias("tbl"), signlsh_bucket(F.col(vec_col), planes).alias("bkt")))
+        keys = signlsh_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
         return df.select(
-            F.col(id_col), F.col(vec_col), F.explode(F.array(*keys)).alias("tb")
+            F.col(id_col), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
 
     bk = bucketed(corpus)

@@ -1491,3 +1491,756 @@ def w07_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("total_value", 1).over(w).alias("next_total"),
         F.lag("total_value", 1).over(w).alias("prev_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: metric registry, replay, incremental/snapshot, left/variant
+# joins, top-k family, set sync, quantiles, approx-distinct, roundtrips
+# ---------------------------------------------------------------------------
+
+from docker_etl_spark.functions.metrics import (  # noqa: E402
+    CountMetric,
+    SumMetric,
+    metric_columns,
+    metric_select_sql,
+)
+from docker_etl_spark.functions.scalars import host_variants  # noqa: E402
+from docker_etl_spark.operators.replay import replay_states  # noqa: E402
+
+_ORDER_METRICS = [
+    CountMetric("n_urgent", "o_orderpriority = '1-URGENT'"),
+    CountMetric("n_low_pri", "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')"),
+    SumMetric("open_revenue", "o_totalprice", "o_orderstatus = 'O'"),
+    SumMetric("big_revenue", "o_totalprice", "o_totalprice > 200000"),
+    CountMetric("n_all", "TRUE"),
+]
+
+
+@register(
+    "a03_metric_registry",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {metric_select_sql(_ORDER_METRICS)}
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a03_metric_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven generated aggregates (A3): one metric registry
+    emits both the Spark Column plan and the oracle SQL.
+
+    Reference: webcompat_kb/metrics/metrics.py:151-177 (CountMetricType
+    → COUNTIF, SumMetricType → SUM(IF(...))), spliced into views at
+    metrics/metrics.py:196-216. Scale: a single hash aggregate;
+    metric count only widens the aggregation buffer."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(*metric_columns(_ORDER_METRICS))
+
+
+@register(
+    "a08_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a08_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (A8) — the client-side pandas
+    ``df.quantile`` path (data_validation.py:219-221;
+    kpi_forecasting/pandas_extras.py:5-12) as a distributed exact
+    ``percentile``. Binary-fraction probabilities on integer-valued
+    measures keep interpolation exact across engines (see module
+    docstring). Scale: exact percentile sorts per group in the
+    aggregation buffer — use a07's percentile_approx sketch when
+    groups are huge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a12_priority_classify_counts",
+    oracle="""
+    SELECT CASE
+             WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'O' THEN 'urgent_open'
+             WHEN o_orderpriority = '1-URGENT' THEN 'urgent_done'
+             WHEN o_totalprice > 250000 THEN 'jumbo'
+             WHEN o_orderstatus = 'P' THEN 'pending'
+             ELSE 'normal'
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def a12_priority_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match classification chain then counts (A12) — the
+    graphics sanity-outcome priority pick (graphics_dashboard.sql:
+    431-489). A when-chain is evaluated top-down exactly like SQL
+    CASE, so the first matching arm wins in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O"),
+            "urgent_open",
+        )
+        .when(F.col("o_orderpriority") == "1-URGENT", "urgent_done")
+        .when(F.col("o_totalprice") > 250000, "jumbo")
+        .when(F.col("o_orderstatus") == "P", "pending")
+        .otherwise("normal")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        _dbl(F.sum(_dec("o_totalprice"))).alias("revenue"),
+    )
+
+
+@register(
+    "a13_incremental_append_window",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 30 DAY FROM orders)
+    GROUP BY 1
+    """,
+)
+def a13_incremental_append_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded incremental aggregation (A13/T8): aggregate
+    only days newer than the stored watermark (here: max-30d so the
+    fixture is self-contained). Reference:
+    etl/user_reports_aggregate.py:17-53 (@latest_stored bound).
+
+    Scale: the watermark scalar broadcasts into a partition-prunable
+    predicate — on a date-partitioned lake this reads only the new
+    partitions. plans/incremental.py is the stateful-watermark
+    runtime around this plan."""
+    o = load_table(spark, sf_dir, "orders")
+    wm = o.agg((F.max("o_orderdate") - F.expr("INTERVAL 30 DAY")).alias("wm"))
+    return (
+        o.join(F.broadcast(wm))
+        .filter(F.col("o_orderdate") > F.col("wm"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dbl(F.sum(_dec("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "a14_snapshot_history_insert",
+    oracle="""
+    SELECT (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders) AS as_of,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 2
+    """,
+)
+def a14_snapshot_history_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-history row (A14): current-state aggregate stamped
+    with the run date (etl/metric.py:41-56 INSERT SELECT
+    CURRENT_DATE(), ...). Deterministic twin: stamp with max(data
+    date) instead of wall-clock; production callers pass
+    current_date() and append via write_table(mode='append')."""
+    o = load_table(spark, sf_dir, "orders")
+    as_of = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("as_of"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dbl(F.sum(_dec("o_totalprice"))).alias("revenue"),
+        )
+        .join(F.broadcast(as_of))
+        .select("as_of", "o_orderstatus", "n_orders", "revenue")
+    )
+
+
+@register(
+    "j03_left_outer_enrich",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.rev, 0) AS DOUBLE) AS revenue
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def j03_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER enrichment join with zero-fill (J3) — component
+    ownership / host-category pattern (site_reports/view.sql:31-35).
+    Aggregate-then-join keeps the join input small (one row per
+    custkey) instead of joining raw orders then re-aggregating —
+    at scale the pre-aggregation is the difference between shuffling
+    |orders| and |customers| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        _dbl(F.sum(_dec("o_totalprice"))).alias("rev"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@register(
+    "j13_host_variant_join",
+    oracle="""
+    WITH site_list AS (SELECT DISTINCT source AS canonical FROM documents),
+    variants AS (
+      SELECT canonical, canonical AS match_host FROM site_list
+      UNION ALL SELECT canonical, 'www.' || canonical FROM site_list
+      UNION ALL SELECT canonical, 'm.' || canonical FROM site_list
+    ),
+    probes AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN source
+                             WHEN 1 THEN 'www.' || source
+                             ELSE 'm.' || source END AS host
+      FROM documents
+    )
+    SELECT v.canonical, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM probes p JOIN variants v ON p.host = v.match_host
+    GROUP BY v.canonical
+    """,
+)
+def j13_host_variant_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-variant expansion join (J13): match hosts against a site
+    list under {host, www.host, m.host} equivalence
+    (webcompat_topline_metric_bug_hosts/view.sql:10-40).
+
+    Spark-first: explode the variant array (union-free) and equi-join;
+    the site list is small → broadcast, so variant expansion never
+    shuffles the big side."""
+    d = load_table(spark, sf_dir, "documents")
+    site_list = d.select(F.col("source").alias("canonical")).distinct()
+    variants = site_list.select(
+        "canonical", F.explode(host_variants("canonical")).alias("match_host")
+    )
+    probes = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("source"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("www."), F.col("source")))
+        .otherwise(F.concat(F.lit("m."), F.col("source")))
+        .alias("host"),
+    )
+    return (
+        probes.join(F.broadcast(variants), probes.host == variants.match_host)
+        .groupBy("canonical")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "w02_one_per_timestamp",
+    oracle="""
+    SELECT user_id, window_start, event_id, event_type
+    FROM (
+      SELECT user_id,
+             make_timestamp(CAST(FLOOR(epoch(ts) / 300) * 300000000 AS BIGINT)) AS window_start,
+             event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, FLOOR(epoch(ts) / 300)
+               ORDER BY event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w02_one_per_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (entity, time bucket) dedup (W2) — the
+    experiments-export ROW_NUMBER-per-timestamp pattern
+    (experiments_monitoring_data_export/export.py:119-131), with the
+    5-minute bucketing of T6. Deterministic survivor via event_id
+    tiebreak (never rely on dropDuplicates order)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "user_id",
+        F.window("ts", "300 seconds").getField("start").alias("window_start"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id", "window_start").orderBy("event_id")
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "o02_latest_row",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """,
+)
+def o02_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT 1 latest-row lookup (O2) — watermark reads
+    (etl/metric.py:23-28, etl/siterank.py:40-45). Spark plans this as
+    TakeOrderedAndProject: per-partition top-1 then a driver merge —
+    no global sort at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "o03_topk_in_array",
+    oracle="""
+    SELECT c_mktsegment,
+           (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3] AS top3
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def o03_topk_in_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k inside an array aggregate (O3/A5) — ARRAY_AGG(... ORDER
+    BY ... LIMIT k) (out_of_date_details.sql:144). sort_array over
+    collected structs then slice; o_orderkey tiebreaks duplicate
+    prices so both engines pick identical elements."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    packed = F.struct(
+        (-F.col("o_totalprice")).alias("negp"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("__v"),
+    )
+    top3 = F.transform(
+        F.slice(F.sort_array(F.collect_list(packed)), 1, 3), lambda s: s["__v"]
+    )
+    return joined.groupBy("c_mktsegment").agg(top3.alias("top3"))
+
+
+@register(
+    "o04_rank_tier_scores",
+    oracle="""
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS tier_price
+    FROM (
+      SELECT p_retailprice,
+             CASE WHEN rnk <= 10 THEN 15.0
+                  WHEN rnk <= 100 THEN 7.5
+                  WHEN rnk <= 1000 THEN 5.0
+                  ELSE 1.0 END AS tier
+      FROM (
+        SELECT p_retailprice,
+               ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+        FROM part
+      )
+    ) GROUP BY tier
+    """,
+)
+def o04_rank_tier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-threshold tiering (O4) — the site-rank score modifier
+    tiers (WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER/routine.sql:4-40,
+    rank<=1000 → 15 etc.; thresholds scaled to fixture size). The
+    correlated-subquery routine is decorrelated into rank + CASE —
+    the rewrite §4 mandates (UDFs cannot subquery)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    ranked = p.select(
+        "p_retailprice", F.row_number().over(w).alias("rnk")
+    )
+    tier = (
+        F.when(F.col("rnk") <= 10, 15.0)
+        .when(F.col("rnk") <= 100, 7.5)
+        .when(F.col("rnk") <= 1000, 5.0)
+        .otherwise(1.0)
+    )
+    return ranked.groupBy(tier.alias("tier")).agg(
+        F.count("*").alias("n_parts"),
+        _dbl(F.sum(_dec("p_retailprice"))).alias("tier_price"),
+    )
+
+
+@register(
+    "u03_natural_key_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def u03_natural_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-key dedup with a deterministic survivor (U3/T3) —
+    fxci_etl/loaders/bigquery.py:60-73. Production uses
+    dedupe_natural_key (dropDuplicates: map-side partial dedup,
+    arbitrary survivor); the differential twin pins the survivor to
+    min(event_id) so both engines agree."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", F.col("value").cast("double").alias("value"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "u04_set_diff_sync",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    )
+    """,
+)
+def u04_set_diff_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference sync (U4): desired-vs-existing anti join —
+    schema diffing (bqhelpers.py:469-516), missing-relations backfill
+    (etl/bugzilla.py:570-577). left_anti never materializes the
+    difference set; the filter pushes to the scan."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    ).select(F.col("l_suppkey").alias("s_suppkey"))
+    return anti_join(s.select("s_suppkey", "s_name"), recent, ["s_suppkey"])
+
+
+@register(
+    "cd01_approx_distinct_guardrail",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def cd01_approx_distinct_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct with an exactness guardrail (§2.4 note:
+    the reference's MAU tables need COUNT(DISTINCT) at scale; HLL++ is
+    the 100 TB path). The sketch value is engine-specific, so the
+    differential contract checks the *error bound*: |approx - exact|
+    ≤ 5% — deterministic for fixed data, portable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02).cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            <= 0.05 * F.count_distinct("user_id").cast("double")
+        ).alias("within_5pct"),
+    )
+
+
+@register(
+    "r01_event_replay",
+    oracle="""
+    SELECT user_id, event_id, prev_type
+    FROM (
+      SELECT user_id, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      FROM events
+    ) WHERE prev_type IS NOT NULL
+    """,
+)
+def r01_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced state replay (F6): reconstruct each entity's
+    prior state by applying reverse diffs newest-first
+    (etl/metric_changes.py:186-314).
+
+    The fixture derives a change log from events (each event's
+    ``removed`` = the previous event_type), seeds ``current`` with the
+    latest state, and the JVM-HOF fold must reproduce exactly what a
+    LAG window computes — a genuine differential check of the fold.
+
+    Scale: one shuffle (groupBy entity); per-entity logs stay in the
+    aggregation buffer — cap log length upstream (A5) for hot
+    entities."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hist = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("change_time"),
+            F.array(
+                F.struct(
+                    F.lit("last_type").alias("field_name"),
+                    F.col("event_type").alias("added"),
+                    F.col("prev_type").alias("removed"),
+                )
+            ).alias("changes"),
+        )
+    )
+    current = (
+        dedupe_latest_per_key(ev, ["user_id"], [F.asc("event_id")])
+        .select(
+            "user_id",
+            F.create_map(F.lit("last_type"), F.col("event_type")).alias("state"),
+        )
+    )
+    states = replay_states(
+        current,
+        hist,
+        entity_col="user_id",
+        time_col="change_time",
+        changes_col="changes",
+        state_col="state",
+        time_type="bigint",
+    )
+    return states.select(
+        "user_id",
+        F.col("change_time").alias("event_id"),
+        F.col("state_before").getItem("last_type").alias("prev_type"),
+    )
+
+
+@register(
+    "s05_json_lines_roundtrip",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def s05_json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (S5): write_table(fmt=json,
+    overwrite) then spark.read.json with an explicit schema —
+    the load_table_from_json WRITE_TRUNCATE path
+    (bqhelpers.py:564-593; quicksuggest2bq/main.py:130-190).
+    The aggregate over the roundtripped data must match the oracle
+    over the original parquet — i.e. the sink/source pair is
+    lossless for these types."""
+    import os
+    import tempfile
+
+    from docker_etl_spark.sources.io import write_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = os.path.join(
+        tempfile.gettempdir(), f"docker_etl_spark_s05_{os.getpid()}"
+    )
+    write_table(n, path, mode="overwrite", fmt="json")
+    back = spark.read.schema(n.schema).json(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "s07_csv_roundtrip",
+    oracle="""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def s07_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd scan roundtrip (S7): the pg_dump TSV scan
+    with explicit schema (mozaggregator2bq/bin/pg_dump_to_parquet.py:
+    104-112) and the Tranco CSV fetch (etl/siterank.py:138-150).
+    Tab separator, header off, explicit schema — inference is never
+    trusted at scale."""
+    import os
+    import tempfile
+
+    s = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(
+        tempfile.gettempdir(), f"docker_etl_spark_s07_{os.getpid()}"
+    )
+    s.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(path)
+    back = spark.read.schema(s.schema).option("sep", "\t").csv(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        _dbl(F.sum(_dec("s_acctbal"))).alias("total_bal"),
+    )
+
+
+@register("f09_forecast_segments")
+def f09_forecast_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model fit/predict via applyInPandas (F9) — the
+    FunnelForecast shape (funnel_forecast.py:75-156: one model per
+    segment, parallelism across segments). Deterministic linear+DOW
+    model (numpy closed form, no RNG); rows-only check: model output
+    is not SQL-expressible. 7-day horizon per event_type segment over
+    daily event totals."""
+    from docker_etl_spark.operators.forecast import fit_predict_segments
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("ds")
+    ).agg(_dbl(F.sum(_dec("value"))).alias("y"))
+    return fit_predict_segments(
+        daily, ["event_type"], date_col="ds", value_col="y", horizon_days=7
+    )
+
+
+@register("m01_media_features")
+def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only): documents → binary
+    media table (typed meta struct) → Arrow-batched decode kernel
+    (deterministic stub — no image libs in this container) → feature
+    aggregation. The Spark-side contract (schema, mapInPandas batch
+    shape, partitioning) is real; only the pixel decode is faked."""
+    from docker_etl_spark.operators.multimodal import (
+        decode_image_features,
+        media_table_from_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(d, kind="image")
+    feats = decode_image_features(media)
+    return feats.groupBy("decoder").agg(
+        F.count("*").alias("n_media"),
+        F.avg("mean_luma").alias("avg_luma"),
+    )
+
+
+@register(
+    "x13_ivf_cosine_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+    scored_a AS (
+        SELECT n.vec_id, n.v, n.nrm, cent.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i])) AS DOUBLE)
+                          / sqrt(CAST(n.nrm * cent.cn AS DOUBLE)) DESC, cent.cid ASC
+               ) AS rn
+        FROM n, cent
+    ),
+    assigned AS (SELECT vec_id, v, nrm, cell FROM scored_a WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell
+        FROM scored_a WHERE vec_id < 5 AND rn <= 2
+    ),
+    pairs AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS corpus_id,
+               CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i])) AS DOUBLE)
+                   / sqrt(CAST(p.qn * a.nrm AS DOUBLE)) AS cosine
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, corpus_id, cosine FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) <= 3
+    """,
+)
+def x13_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-3 (the scale path beside x11's sign-LSH):
+    seeded centroids (every 100th vector), top-1 cell assignment,
+    2-cell probe, exact int-quantized cosine within candidates.
+    Broadcast centroids → the corpus never cross-joins."""
+    from docker_etl_spark.operators.similarity import ivf_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    ivec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), ivec.alias("vec"))
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), ivec.alias("vec")
+    )
+    cent = em.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), ivec.alias("vec")
+    )
+    return ivf_topk(q, c, cent, k=3, nprobe=2, exact_int=True)
+
+
+@register(
+    "h01_histogram_algebra",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN CAST(FLOOR(value / 50) AS INT) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_at0,
+           CAST(COUNT(DISTINCT CAST(FLOOR(value / 50) AS INT)) AS INT) AS n_nz_buckets,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def h01_histogram_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-histogram algebra end-to-end (§1.1 Histogram, F2/A10):
+    per (user, day) sparse map<int,bigint> histograms, longitudinal
+    per-user reduce via hist_sum_maps (map_zip_with fold — no
+    densify, no extra shuffle), then the reference's temp-UDF
+    reducers (count_at0, enum_nz). The oracle recomputes the
+    reductions directly from rows — the map algebra must agree.
+
+    Scale: two hash aggregations; histograms stay sparse maps
+    throughout (the reference's ~50-100x dense-blowup lesson,
+    out_of_date_details.sql:28-36)."""
+    from docker_etl_spark.functions.histograms import (
+        hist_count_at0,
+        hist_enum_nz,
+        hist_sum_maps,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("int")
+    per_day = (
+        ev.select(
+            "user_id", F.col("ts").cast("date").alias("day"), bucket.alias("bucket")
+        )
+        .groupBy("user_id", "day", "bucket")
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bucket", "c")))
+            ).alias("day_hist")
+        )
+    )
+    longitudinal = per_day.groupBy("user_id").agg(
+        F.collect_list("day_hist").alias("day_hists")
+    )
+    hist = longitudinal.select(
+        "user_id", hist_sum_maps(F.col("day_hists")).alias("hist")
+    )
+    return hist.select(
+        "user_id",
+        hist_count_at0("hist").cast("bigint").alias("n_at0"),
+        F.size(hist_enum_nz("hist")).cast("int").alias("n_nz_buckets"),
+        F.aggregate(
+            F.map_values(F.col("hist")), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("total"),
+    )

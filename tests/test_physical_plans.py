@@ -73,12 +73,17 @@ def test_range_join_broadcasts_spine(spark, sf_dir):
     assert "CartesianProduct" not in txt
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# The ONLY queries allowed an Arrow-batched Python stage: model fit
+# (F9) and media kernels — the two workloads the engine explicitly
+# quarantines behind applyInPandas/mapInPandas (README design rules).
+PANDAS_STAGE_ALLOWED = {"f09_forecast_segments", "m01_media_features"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - PANDAS_STAGE_ALLOWED))
 def test_no_python_in_hot_path(spark, sf_dir, name):
-    """Every registry query executes fully JVM-side: no row-at-a-time
-    Python UDFs (BatchEvalPython) and no Arrow Python stages
-    (mapInPandas lives in the multimodal/forecast modules, not the
-    query registry)."""
+    """Every relational registry query executes fully JVM-side: no
+    row-at-a-time Python UDFs (BatchEvalPython) and no Arrow Python
+    stages (those live only in the PANDAS_STAGE_ALLOWED set)."""
     txt = formatted(QUERIES[name](spark, sf_dir))
     assert "BatchEvalPython" not in txt, f"{name} fell back to Python UDF"
     assert "ArrowEvalPython" not in txt, f"{name} uses a pandas UDF"
