@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from docker_etl_spark.operators._util import spread_for_compute as _spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two numeric arrays (fold over zip_with)."""
@@ -66,7 +68,7 @@ def cosine_topk_bruteforce(
         F.col(query_id), F.col(vec_col).alias("__qv"),
         squared_norm(F.col(vec_col), exact_int).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id), F.col(vec_col).alias("__cv"),
         squared_norm(F.col(vec_col), exact_int).alias("__cn"),
     ).filter(F.col("__cn") > 0)
@@ -178,7 +180,7 @@ def cosine_topk_lsh(
     """
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
         keys = signlsh_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
-        return df.select(
+        return _spread(df).select(
             F.col(idc), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(idc, vec_col, "tb.tbl", "tb.bkt")
 
@@ -257,7 +259,7 @@ def ivf_topk(
             .drop("__rn", "__cos")
         )
 
-    assigned = nearest_cells(with_norm(corpus, corpus_id), corpus_id, 1)
+    assigned = nearest_cells(with_norm(_spread(corpus), corpus_id), corpus_id, 1)
     probed = nearest_cells(with_norm(queries, query_id), query_id, nprobe)
     cand = probed.withColumnRenamed(vec_col, "__qv").withColumnRenamed(
         "__n", "__qn"
@@ -293,7 +295,7 @@ def embedding_near_duplicates(
     threshold) via the same sign-LSH bucketing, corpus against itself."""
     def bucketed(df: DataFrame) -> DataFrame:
         keys = signlsh_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
-        return df.select(
+        return _spread(df).select(
             F.col(id_col), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
 

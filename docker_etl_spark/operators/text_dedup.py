@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docker_etl_spark.operators._util import spread_for_compute as _spread
+
 # ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
@@ -181,7 +183,7 @@ def minhash_near_duplicates(
     sits at ``threshold`` (b=3, r=4 → knee ≈ 0.76 for the default).
     """
     rows_per_band = num_perm // bands
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm, hash_fn))
@@ -210,19 +212,41 @@ def ngram_jaccard_pairs(
 
     Candidate generation by *blocking* (equi-join on ``block_cols``
     plus a length band) instead of hashing — the classic dedup
-    baseline. Quadratic within a block, so blocks must be small; LSH
-    (minhash_near_duplicates) is the scale path.
+    baseline. The length band is itself an EQUI key: lengths are
+    bucketed at width ``length_tolerance + 1`` and the right side
+    emits its bucket ±1, so every |Δlen| ≤ tolerance pair falls on
+    exactly one (block, bucket) key — a pure hash join whose
+    candidate count is near-linear, instead of the quadratic
+    all-pairs-per-block join a non-equi length predicate degenerates
+    to. Results are identical (the exact |Δlen| filter still applies
+    after the join). LSH (minhash_near_duplicates) remains the path
+    when no natural blocking exists.
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         *( [F.col(length_col)] if length_col else [] ),
         word_shingles(text_col, shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    bucket_w = length_tolerance + 1
+    a = sh.withColumn("__bkt", F.floor(F.col(length_col) / bucket_w)) if length_col else sh
+    if length_col:
+        b = sh.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.floor(F.col(length_col) / bucket_w) - 1,
+                    F.floor(F.col(length_col) / bucket_w),
+                    F.floor(F.col(length_col) / bucket_w) + 1,
+                )
+            ).alias("__bkt"),
+        )
+    else:
+        b = sh
+    a, b = a.alias("a"), b.alias("b")
+    keys = [*block_cols, *(["__bkt"] if length_col else [])]
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for c in block_cols:
+    for c in keys:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     if length_col:
         cond = cond & (
@@ -301,7 +325,7 @@ def simhash_near_duplicates(
     64/block_bits (pigeonhole) — so candidates come from equi-joins
     on chunk values, never a cross join. Returns (id_a, id_b, hamming).
     """
-    sigs = docs.select(
+    sigs = _spread(docs).select(
         F.col(id_col),
         simhash64(F.split(F.lower(text_col), " ")).alias("sig"),
     )

@@ -1107,9 +1107,10 @@ def x07_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x08_document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprints (k smallest shingle
     digests) + a single clusterable fingerprint key."""
+    from docker_etl_spark.operators._util import spread_for_compute
     from docker_etl_spark.operators.text_analysis import fingerprint_key
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     fp = document_fingerprint("text", k=5, shingle_n=3)
     return (
         d.select("doc_id", fp.alias("fingerprint"), fingerprint_key("text").alias("fp_key"))
@@ -2244,3 +2245,85 @@ def h01_histogram_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(F.col("hist")), F.lit(0).cast("bigint"), lambda a, v: a + v
         ).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c01 — catalog view-DAG lifecycle (§3.1): the same templated view
+# texts deploy as a Spark temp-view chain AND assemble into the
+# oracle's WITH chain, so the catalog layer itself is differentially
+# checked, not just the final plan.
+# ---------------------------------------------------------------------------
+
+_C01_VIEWS: list[tuple[str, str]] = [
+    (
+        "scored_orders",
+        """SELECT o_custkey,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 2 ELSE 1 END AS weight
+           FROM {{ ref('orders_base') }}""",
+    ),
+    (
+        "segment_revenue",
+        """SELECT c.c_mktsegment AS segment,
+                  SUM(s.price * s.weight) AS rev_dec,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM {{ ref('scored_orders') }} s
+           JOIN {{ ref('customer_base') }} c ON c.c_custkey = s.o_custkey
+           GROUP BY c.c_mktsegment""",
+    ),
+    (
+        "topline",
+        """SELECT segment,
+                  CAST(rev_dec AS DOUBLE) AS revenue,
+                  n_orders,
+                  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+                      AS revenue_share
+           FROM {{ ref('segment_revenue') }}""",
+    ),
+]
+
+
+def _c01_oracle() -> str:
+    """Assemble the oracle WITH-chain from the SAME view texts."""
+    import re
+
+    def resolve(sql: str) -> str:
+        return re.sub(
+            r"\{\{\s*ref\(\s*['\"](\w+)['\"]\s*\)\s*\}\}",
+            lambda m: {"orders_base": "orders", "customer_base": "customer"}.get(
+                m.group(1), m.group(1)
+            ),
+            sql,
+        )
+
+    ctes = ",\n".join(f"{name} AS ({resolve(sql)})" for name, sql in _C01_VIEWS[:-1])
+    return f"WITH {ctes}\n{resolve(_C01_VIEWS[-1][1])}"
+
+
+@register("c01_catalog_view_dag", oracle=_c01_oracle())
+def c01_catalog_view_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The webcompat-kb catalog lifecycle end-to-end (§3.1): TOML/
+    Jinja-style templated views with {{ ref() }} dependency edges →
+    topological deploy as a temp-view chain → query the top view
+    (projectdata.py:295-420; bqhelpers.py create_view). The oracle
+    runs the *same view texts* as a CTE chain — the render/deploy
+    machinery is what's under test.
+
+    Scale: views are logical — Catalyst inlines and optimizes across
+    the whole chain exactly as if hand-written (the join broadcasts,
+    the aggregate runs partial+final)."""
+    from docker_etl_spark.plans.catalog import Project
+
+    proj = Project(
+        spark,
+        base_tables={
+            "orders_base": load_table(spark, sf_dir, "orders"),
+            "customer_base": load_table(spark, sf_dir, "customer"),
+        },
+        prefix="c01_",
+    )
+    for name, sql in _C01_VIEWS:
+        proj.add_view(name, sql)
+    proj.deploy()
+    return proj.table("topline")
