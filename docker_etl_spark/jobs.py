@@ -86,6 +86,47 @@ class NearDupReportJob(EtlJob):
         return pairs
 
 
+class DashboardSnapshotJob(EtlJob):
+    """Graphics-dashboard lifecycle (§3.2): long-format union query →
+    driver-side reshape (KB-scale) → JSON blob snapshot (S9) with
+    atomic swap. Mirrors dashboard.py reshape + common.py:75-104
+    upload; the blob root is ``--out``."""
+
+    name = "dashboard_snapshot"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from docker_etl_spark.queries import QUERIES
+        from docker_etl_spark.sources.adapters import JsonBlobStore
+
+        df = QUERIES["gd01_dashboard_union"](ctx.spark, ctx.sf_dir)
+        if ctx.out and ctx.write:
+            rows = [r.asDict() for r in df.collect()]  # KB-scale by design
+            snapshot: dict[str, dict] = {}
+            for r in rows:
+                snapshot.setdefault(r["output"], {})[
+                    "|".join(filter(None, [r["key"], r["subkey"]])) or "_"
+                ] = r["value"]
+            JsonBlobStore(ctx.out).upload("dashboard", snapshot)
+        return df
+
+
+class SearchAlertJob(EtlJob):
+    """Search-alert lifecycle: anomaly rule query → append only the
+    non-normal rows (the alert records table; main.py:306-313)."""
+
+    name = "search_alert"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from docker_etl_spark.queries import QUERIES
+
+        alerts = QUERIES["an01_search_anomaly_rules"](ctx.spark, ctx.sf_dir).filter(
+            "severity <> 'normal'"
+        )
+        if ctx.out:
+            write_table(alerts, ctx.out, mode="append", write=ctx.write)
+        return alerts
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="docker-etl-spark")
     sub = p.add_subparsers(dest="cmd", required=True)

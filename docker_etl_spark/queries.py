@@ -2327,3 +2327,239 @@ def c01_catalog_view_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj.add_view(name, sql)
     proj.deploy()
     return proj.table("topline")
+
+
+@register(
+    "an01_search_anomaly_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2
+    ),
+    feats AS (
+      SELECT event_type, day, value,
+             LAG(value, 1) OVER w AS value_prev1d,
+             value / LAG(value, 1) OVER w AS dod,
+             value / LAG(value, 7) OVER w AS wow,
+             value / SUM(value) OVER (PARTITION BY day) AS pcnt_value,
+             dayofweek(day) AS dow
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, value, dod, wow,
+           CASE
+             WHEN value_prev1d > 100 AND pcnt_value > 0.3 AND dod < 0.5 THEN 'severe_drop'
+             WHEN value_prev1d > 100 AND dod < 0.8 AND dow BETWEEN 1 AND 5 THEN 'weekday_drop'
+             WHEN wow < 0.7 THEN 'wow_drop'
+             WHEN dod > 2.0 THEN 'spike'
+             ELSE 'normal'
+           END AS severity
+    FROM feats
+    """,
+)
+def an01_search_anomaly_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-alert anomaly detection end-to-end (W4/W5 + the
+    first-match rule chain): daily totals → lag/ratio features (dod,
+    wow, share-of-day) → ordered severity conditions exactly like the
+    reference's np.select rule list (search_alert/main.py:195-231
+    features, 244-260 conditions: magnitude guard + share guard +
+    ratio threshold + weekday gate).
+
+    Cross-engine notes: features divide doubles derived from exact
+    decimal sums; Spark dayofweek is 1=Sunday..7 vs DuckDB 0..6, so
+    the weekday gate offsets by one. One shuffle for the daily
+    aggregate; both windows repartition by small keys."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(_dbl(F.sum(_dec("value"))).alias("value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wd = Window.partitionBy("day")
+    feats = daily.select(
+        "event_type",
+        "day",
+        "value",
+        F.lag("value", 1).over(w).alias("value_prev1d"),
+        (F.col("value") / F.lag("value", 1).over(w)).alias("dod"),
+        (F.col("value") / F.lag("value", 7).over(w)).alias("wow"),
+        (F.col("value") / F.sum("value").over(wd)).alias("pcnt_value"),
+        F.dayofweek("day").alias("dow"),  # 1=Sunday..7
+    )
+    severity = (
+        F.when(
+            (F.col("value_prev1d") > 100)
+            & (F.col("pcnt_value") > 0.3)
+            & (F.col("dod") < 0.5),
+            "severe_drop",
+        )
+        .when(
+            (F.col("value_prev1d") > 100)
+            & (F.col("dod") < 0.8)
+            & F.col("dow").between(2, 6),  # Mon..Fri
+            "weekday_drop",
+        )
+        .when(F.col("wow") < 0.7, "wow_drop")
+        .when(F.col("dod") > 2.0, "spike")
+        .otherwise("normal")
+    )
+    return feats.select(
+        "event_type", "day", "value", "dod", "wow", severity.alias("severity")
+    )
+
+
+@register(
+    "gd01_dashboard_union",
+    oracle="""
+    WITH latest_per_user_day AS (
+      SELECT * FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT 'by_type' AS output, 'event_type' AS dimension, event_type AS key,
+           CAST(NULL AS VARCHAR) AS subkey, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM latest_per_user_day GROUP BY event_type
+    UNION ALL
+    SELECT 'by_day', 'day', CAST(day AS VARCHAR), CAST(NULL AS VARCHAR), CAST(COUNT(*) AS DOUBLE)
+    FROM latest_per_user_day GROUP BY day
+    UNION ALL
+    SELECT 'by_type_day', 'cross', event_type, CAST(day AS VARCHAR),
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+    FROM latest_per_user_day GROUP BY event_type, day
+    UNION ALL
+    SELECT 'session_count', 'count', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(COUNT(*) AS DOUBLE)
+    FROM latest_per_user_day
+    """,
+)
+def gd01_dashboard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graphics-dashboard output shape (§3.2): windowed dedup (one
+    ping per client, W1) → per-output aggregate CTEs → N-way UNION ALL
+    into long (output, dimension, key, subkey, value) rows
+    (graphics_dashboard.sql:164-169 dedup, 671-684 13-way union).
+
+    Spark-first: the dedup'd frame is computed once and fanned into
+    unionByName branches; Catalyst reuses the exchange under AQE. The
+    long format is what lets the driver-side reshape stay KB-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.col("ts").cast("date")
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    s = F.lit(None).cast("string")
+
+    def shape(output: str, dimension: str, key, subkey, value) -> DataFrame:
+        return (
+            F.lit(output).alias("output"),
+            F.lit(dimension).alias("dimension"),
+            key.alias("key"),
+            subkey.alias("subkey"),
+            value.cast("double").alias("value"),
+        )
+
+    by_type = latest.groupBy("event_type").agg(F.count("*").alias("n")).select(
+        *shape("by_type", "event_type", F.col("event_type"), s, F.col("n"))
+    )
+    by_day = latest.groupBy("day").agg(F.count("*").alias("n")).select(
+        *shape("by_day", "day", F.col("day").cast("string"), s, F.col("n"))
+    )
+    by_cross = (
+        latest.groupBy("event_type", "day")
+        .agg(_dbl(F.sum(_dec("value"))).alias("v"))
+        .select(
+            *shape(
+                "by_type_day",
+                "cross",
+                F.col("event_type"),
+                F.col("day").cast("string"),
+                F.col("v"),
+            )
+        )
+    )
+    total = latest.agg(F.count("*").alias("n")).select(
+        *shape("session_count", "count", s, s, F.col("n"))
+    )
+    return by_type.unionByName(by_day).unionByName(by_cross).unionByName(total)
+
+
+@register(
+    "lo01_longitudinal_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+             SUM(CAST(value AS DECIMAL(12,2))) AS tv
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN n_purch > 0 THEN 'purchaser'
+                  WHEN n_err > 10 THEN 'error_prone'
+                  WHEN n_events >= 80 THEN 'power_user'
+                  ELSE 'casual' END AS stage,
+             tv
+      FROM per_user
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(tv) AS DOUBLE) AS total_value
+    FROM staged GROUP BY stage
+    """,
+)
+def lo01_longitudinal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The update-orphaning longitudinal lifecycle (§3 / A5+A11+F6):
+    per-client ordered event arrays (ARRAY_AGG ... LIMIT 1000,
+    out_of_date_details.sql:141-179) → per-client short-circuit
+    funnel classification evaluated over the ARRAY with HOFs
+    (exists/filter — the reference's Python funnel mappers,
+    processing.py:154-307) → stage Counter (countByKey port).
+
+    The oracle computes stages directly from rows, so the
+    collect→HOF path must reproduce plain aggregate semantics — a
+    real differential of the longitudinal formulation. The exact-
+    decimal fold makes the per-user sum order-independent; the 1000
+    cap exceeds the fixture's max (99 events/user), so capping never
+    changes results here.
+
+    Scale: one shuffle (groupBy user); per-user arrays bounded by the
+    cap — hot entities are exactly what the cap is for."""
+    ev = load_table(spark, sf_dir, "events")
+    packed = F.struct(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("et"),
+        F.col("value").alias("v"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.slice(
+            F.reverse(F.sort_array(F.collect_list(packed))), 1, 1000
+        ).alias("evts")
+    )
+    evts = F.col("evts")
+    tv = F.aggregate(
+        evts,
+        F.lit(0).cast("decimal(32,2)"),
+        lambda a, e: (a + e["v"].cast("decimal(12,2)")).cast("decimal(32,2)"),
+    )
+    stage = (
+        F.when(F.exists(evts, lambda e: e["et"] == "purchase"), "purchaser")
+        .when(F.size(F.filter(evts, lambda e: e["et"] == "error")) > 10, "error_prone")
+        .when(F.size(evts) >= 80, "power_user")
+        .otherwise("casual")
+    )
+    staged = per_user.select(
+        "user_id", stage.alias("stage"), tv.alias("tv")
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        _dbl(F.sum("tv")).alias("total_value"),
+    )

@@ -149,3 +149,85 @@ def drain_available(
     q = writer.start()
     q.awaitTermination(timeout_sec)
     return q
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` (§2.11 extension — the escape hatch the
+    reference never needed because BigQuery jobs are batch; Spark's
+    arbitrary-state API is how a pulse-like stream would track
+    per-entity session state across micro-batches).
+
+    Emits one row per CLOSED session (key, session_start,
+    session_end, n_events); state times out ``gap`` after the last
+    event (GroupStateTimeout.EventTimeTimeout driven by the
+    watermark), so open sessions flush exactly when no more on-time
+    data can extend them.
+
+    Scale notes: state is per-key and O(1) (start, end, count — no
+    event buffering); the shuffle is the groupBy(key). Watermark
+    bounds state size; skewed keys shard upstream like any grouped
+    aggregate.
+    """
+    import pandas as pd  # noqa: F401 (kernel-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # Parse the gap once, driver-side, in ms (simple "<n> minutes/seconds").
+    n, unit = gap.split()
+    gap_ms = int(n) * {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}[unit]
+
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in events.select(*key_cols).dtypes)
+        + ", session_start timestamp, session_end timestamp, n_events bigint"
+    )
+    state_schema = "start long, end long, n long"
+
+    out_cols = [*key_cols, "session_start", "session_end", "n_events"]
+
+    def row(key, s):
+        return [*key, pd.Timestamp(s[0], unit="ms"), pd.Timestamp(s[1], unit="ms"), s[2]]
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            closed = state.get
+            state.remove()
+            yield pd.DataFrame([row(key, closed)], columns=out_cols)
+            return
+        # Merge batch events (ordered) into the open session, SPLITTING
+        # at every gap: intra-batch closed sessions emit immediately,
+        # only the trailing open session stays in state.
+        ts_all: list[int] = []
+        for pdf in pdf_iter:
+            ts_all.extend((pdf[time_col].astype("int64") // 1_000_000).tolist())
+        ts_all.sort()
+        cur = tuple(state.get) if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_all:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_ms:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        state.update(cur)
+        state.setTimeoutTimestamp(cur[1] + gap_ms)
+        yield pd.DataFrame([row(key, s) for s in closed], columns=out_cols)
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
