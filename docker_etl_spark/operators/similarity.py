@@ -215,10 +215,17 @@ def ivf_topk(
     centroid_id: str = "centroid_id",
     vec_col: str = "vec",
     exact_int: bool = False,
+    broadcast_probes: bool = False,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k: coarse-quantize the corpus
     into centroid cells, probe only the ``nprobe`` nearest cells per
     query.
+
+    ``broadcast_probes=True`` when the query batch is small: the
+    probe side (|queries| × nprobe rows) broadcasts, so the assigned
+    corpus never shuffles for the cell join — the common
+    few-queries-huge-corpus shape. Leave False for query batches that
+    rival the corpus.
 
     ``centroids(centroid_id, vec)`` is the coarse quantizer (seeded
     rows or k-means output — the cell-probe plan is identical).
@@ -261,6 +268,8 @@ def ivf_topk(
 
     assigned = nearest_cells(with_norm(_spread(corpus), corpus_id), corpus_id, 1)
     probed = nearest_cells(with_norm(queries, query_id), query_id, nprobe)
+    if broadcast_probes:
+        probed = F.broadcast(probed)
     cand = probed.withColumnRenamed(vec_col, "__qv").withColumnRenamed(
         "__n", "__qn"
     ).join(

@@ -1155,11 +1155,29 @@ def x11_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x12_embedding_near_dups")
 def x12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over the whole corpus
-    (sign-LSH self-join)."""
+    (sign-LSH self-join).
+
+    The fixture's random vectors have no genuine near-dups (max
+    pairwise cosine ≈ 0.51), so the corpus is augmented with
+    deterministic perturbed copies of vec_id < 20 (one component
+    nudged, id + 1_000_000): each planted pair has cosine ≈ 1, and
+    the LSH must recover all 20 — a built-in recall check instead of
+    a vacuous empty result."""
     em = load_table(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
     c = em.select("vec_id", vec.alias("vec"))
-    return embedding_near_duplicates(c, dim=64, threshold=0.9, n_planes=10, n_tables=6)
+    planted = (
+        em.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                vec, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+            ).alias("vec"),
+        )
+    )
+    return embedding_near_duplicates(
+        c.unionByName(planted), dim=64, threshold=0.9, n_planes=10, n_tables=6
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2186,7 +2204,7 @@ def x13_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = em.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("centroid_id"), ivec.alias("vec")
     )
-    return ivf_topk(q, c, cent, k=3, nprobe=2, exact_int=True)
+    return ivf_topk(q, c, cent, k=3, nprobe=2, exact_int=True, broadcast_probes=True)
 
 
 @register(
@@ -2562,4 +2580,32 @@ def lo01_longitudinal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(
         F.count("*").alias("n_users"),
         _dbl(F.sum("tv")).alias("total_value"),
+    )
+
+
+@register(
+    "v01_variant_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def v01_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4 VARIANT (§1.2 JSON row):
+    parse_json once, typed try_variant_get paths — the engine's
+    answer to BigQuery JSON columns (graphics_dashboard.sql:138-148
+    JSON_VALUE/JSON_QUERY_ARRAY) with a binary-encoded, predicate-
+    pushable representation instead of per-access string re-parsing.
+    The oracle uses DuckDB's json_extract on the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
     )

@@ -95,3 +95,19 @@ def test_whole_stage_codegen_covers_scalar_gauntlet(spark, sf_dir):
     (formatted explain marks codegen'd operators with a '*' prefix)."""
     txt = formatted(QUERIES["p01_scalar_gauntlet"](spark, sf_dir))
     assert "* Project" in txt, txt
+
+
+def test_ivf_probe_join_broadcasts(spark, sf_dir):
+    """x13: the cell-probe join must broadcast the (tiny) probe side —
+    the assigned corpus never shuffles for it."""
+    txt = formatted(QUERIES["x13_ivf_cosine_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastHashJoin" in txt
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registry query may plan a CartesianProduct — every join has
+    equi keys, a broadcast, or a bounded non-equi broadcast-NL."""
+    for name in sorted(QUERIES):
+        txt = formatted(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in txt, name
