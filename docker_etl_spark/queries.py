@@ -2609,3 +2609,39 @@ def v01_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("k_sum"),
         )
     )
+
+
+@register(
+    "p05_sampling_predicate",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    GROUP BY event_type
+    """,
+)
+def p05_sampling_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling predicate (P5): the reference's
+    ``sample_id = 42`` / ``sample_id < @count`` bucket filters
+    (out_of_date_details.sql:121; graphics_dashboard.sql:155) on data
+    without a precomputed sample_id — derive it by hashing the entity
+    id. md5-hex → int is engine-portable (the production operator
+    uses xxhash64: one fused JVM op, same semantics —
+    scalars.deterministic_order_key).
+
+    Scale: the predicate is a pure row-local expression → evaluated
+    at the scan, no shuffle; with a materialized sample_id column it
+    becomes a partition/bucket prune."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return (
+        ev.filter(bucket < 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -80,3 +80,23 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """§1.3/P4: a date-partitioned lake layout + date predicate must
+    prune at the source (PartitionFilters, not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-03")
+    txt = _formatted(back)
+    part_line = [l for l in txt.splitlines() if "PartitionFilters" in l]
+    assert part_line and "2024-01-03" in part_line[0], txt
+    # and the pruned read returns exactly that day's rows
+    expected = ev.filter(F.col("day") == "2024-01-03").count()
+    assert back.count() == expected > 0
