@@ -127,10 +127,55 @@ class SearchAlertJob(EtlJob):
         return alerts
 
 
+JOB_TEMPLATE = '''"""{name} job (generated scaffold — docker-etl-spark new)."""
+
+from pyspark.sql import DataFrame
+
+from docker_etl_spark.jobs import EtlJob, JobContext
+from docker_etl_spark.sources.io import load_table, write_table
+
+
+class {cls}Job(EtlJob):
+    """TODO: one-line job description."""
+
+    name = "{name}"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        df = load_table(ctx.spark, ctx.sf_dir, "events")
+        # TODO: build the plan (see docker_etl_spark.operators / queries.py)
+        if ctx.out:
+            write_table(df, ctx.out, mode="overwrite", write=ctx.write)
+        return df
+'''
+
+
+def scaffold_job(name: str, directory: str) -> str:
+    """Generate a new job module from the template (the reference's
+    create_new_job scaffolding, docker_etl/create_new_job.py +
+    tests/test_create_new_job.py). Importing the generated module
+    registers the job (EtlJob.__init_subclass__)."""
+    import os
+    import re
+
+    if not re.fullmatch(r"[a-z][a-z0-9_]*", name):
+        raise ValueError(f"job name must be snake_case, got {name!r}")
+    cls = "".join(part.capitalize() for part in name.split("_"))
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{name}.py")
+    if os.path.exists(path):
+        raise FileExistsError(path)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(JOB_TEMPLATE.format(name=name, cls=cls))
+    return path
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="docker-etl-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="list registered jobs")
+    newp = sub.add_parser("new", help="scaffold a new job module")
+    newp.add_argument("name")
+    newp.add_argument("--dir", default="jobs_local")
     runp = sub.add_parser("run", help="run a job")
     runp.add_argument("job", choices=sorted(ALL_JOBS))
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -149,6 +194,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name, cls in sorted(ALL_JOBS.items()):
             print(f"{name}\t{(cls.__doc__ or '').strip().splitlines()[0]}")
+        return 0
+    if args.cmd == "new":
+        print(scaffold_job(args.name, args.dir))
         return 0
     spark = get_spark(app_name=f"docker-etl-spark-{args.job}")
     spark.sparkContext.setLogLevel("ERROR")

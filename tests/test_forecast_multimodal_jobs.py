@@ -100,3 +100,25 @@ def test_jobs_registry_and_dry_run(spark, sf_dir, tmp_path):
     ctx2 = JobContext(spark, sf_dir, out, write=True)
     ALL_JOBS["monthly_revenue"]().run(ctx2)
     assert spark.read.parquet(out).count() == df.count()
+
+
+def test_scaffold_job_generates_registering_module(tmp_path):
+    """Reference parity: create_new_job scaffolding
+    (docker_etl/create_new_job.py; tests/test_create_new_job.py).
+    The generated module registers its job on import."""
+    import runpy
+
+    import pytest as _pytest
+
+    from docker_etl_spark.jobs import ALL_JOBS, scaffold_job
+
+    path = scaffold_job("daily_widget_report", str(tmp_path))
+    assert path.endswith("daily_widget_report.py")
+    runpy.run_path(path)
+    assert "daily_widget_report" in ALL_JOBS
+    ALL_JOBS.pop("daily_widget_report")
+
+    with _pytest.raises(FileExistsError):
+        scaffold_job("daily_widget_report", str(tmp_path))
+    with _pytest.raises(ValueError):
+        scaffold_job("Bad-Name", str(tmp_path))
