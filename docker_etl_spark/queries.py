@@ -2645,3 +2645,37 @@ def p05_sampling_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "sq01_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sq01_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL execution (S1): the reference's
+    ScalarQueryParameter binds (graphics_dashboard/common.py:50-73
+    @end_date/@time_window) as Spark named parameters —
+    ``spark.sql(sql, args={...})`` keeps the text injectable-free and
+    the literals foldable (params constant-fold into pushable
+    predicates; the date filter reaches PushedFilters)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq01_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM sq01_orders
+        WHERE o_orderdate >= :start_date AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "start_date": "1996-01-01 00:00:00",
+            "min_price": 150000.0,
+        },
+    ).withColumn("n_orders", F.col("n_orders").cast("bigint"))
