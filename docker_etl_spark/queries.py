@@ -2679,3 +2679,23 @@ def sq01_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 150000.0,
         },
     ).withColumn("n_orders", F.col("n_orders").cast("bigint"))
+
+
+@register("i01_batched_inference")
+def i01_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model scoring via mapInPandas (F8) — the
+    broken-site-report-ml classifier pattern (one model/HTTP call per
+    Arrow batch; deterministic local stub here, rows-only check:
+    remote models are not SQL-expressible). Scores bucket into a
+    triage histogram, the job's real output shape."""
+    from docker_etl_spark.operators._util import spread_for_compute
+    from docker_etl_spark.operators.inference import batched_inference
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    scored = batched_inference(d, "text", score_col="break_prob")
+    return (
+        scored.groupBy(
+            F.floor(F.col("break_prob") * 10).cast("int").alias("prob_decile")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )

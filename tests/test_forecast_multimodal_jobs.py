@@ -122,3 +122,22 @@ def test_scaffold_job_generates_registering_module(tmp_path):
         scaffold_job("daily_widget_report", str(tmp_path))
     with _pytest.raises(ValueError):
         scaffold_job("Bad-Name", str(tmp_path))
+
+
+def test_batched_inference_matches_column_twin(spark, sf_dir):
+    """F8: the pandas-batched stub must equal the same formula as a
+    Column expression (pins batching doesn't change semantics)."""
+    from pyspark.sql import functions as F
+
+    from docker_etl_spark.operators.inference import batched_inference
+    from docker_etl_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = batched_inference(d, "text", score_col="p")
+    z = -3.0 + 0.002 * F.length("text") + 0.8 * (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("!"), F.lit("")))
+    )
+    twin = d.withColumn("p2", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    joined = scored.join(twin.select("doc_id", "p2"), "doc_id")
+    bad = joined.filter(F.abs(F.col("p") - F.col("p2")) > 1e-9).count()
+    assert bad == 0

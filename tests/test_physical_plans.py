@@ -76,7 +76,11 @@ def test_range_join_broadcasts_spine(spark, sf_dir):
 # The ONLY queries allowed an Arrow-batched Python stage: model fit
 # (F9) and media kernels — the two workloads the engine explicitly
 # quarantines behind applyInPandas/mapInPandas (README design rules).
-PANDAS_STAGE_ALLOWED = {"f09_forecast_segments", "m01_media_features"}
+PANDAS_STAGE_ALLOWED = {
+    "f09_forecast_segments",
+    "m01_media_features",
+    "i01_batched_inference",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - PANDAS_STAGE_ALLOWED))
