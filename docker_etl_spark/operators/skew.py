@@ -62,7 +62,16 @@ def salted_join_hot_keys(
     (from a stats pass or approx frequent-items). Cold keys join
     unsalted; the union is the full result. Dim-side explode is
     |hot_keys| × salt_buckets rows — trivially small by construction.
+
+    Only ``inner``/``left`` are supported: with right/full outer, an
+    unmatched exploded dim-hot row would surface once per salt bucket
+    (duplicated null-extended output).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join_hot_keys supports how='inner'/'left', got {how!r}: "
+            "outer joins would duplicate unmatched dim rows per salt bucket"
+        )
     hot = F.broadcast(hot_keys.select(on).distinct())
     big_hot = big.join(hot, on, "left_semi")
     big_cold = big.join(hot, on, "left_anti")

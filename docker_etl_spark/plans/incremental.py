@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 @dataclass
@@ -38,8 +39,14 @@ class WatermarkStore:
     def read(self):
         try:
             df = self.spark.read.parquet(self.target_path)
-        except Exception:
-            return None
+        except AnalysisException as ex:
+            # Only "target doesn't exist yet" means no watermark; any
+            # other failure (corruption, permissions, transient IO) must
+            # propagate — returning None there would silently re-append
+            # the whole source.
+            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
+                return None
+            raise
         row = df.agg(F.max(self.cursor_col).alias("wm")).first()
         return row.wm if row else None
 

@@ -563,18 +563,28 @@ def a02_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a05_last5_events_per_user",
     oracle="""
-    SELECT user_id, (list(event_id ORDER BY ts DESC, event_id DESC))[1:5] AS last5_event_ids
+    SELECT user_id,
+           array_to_string((list(event_id ORDER BY ts DESC, event_id DESC))[1:5], ',')
+               AS last5_event_ids
     FROM events GROUP BY user_id
     """,
 )
 def a05_last5_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY_AGG(... ORDER BY ts DESC LIMIT 5) per user (A5/O3) —
-    the longitudinal most-recent-first capped history."""
+    the longitudinal most-recent-first capped history. The array is
+    serialized to a comma-joined string at the query edge so the
+    harness can hash rows; ``ordered_limited_collect`` itself returns
+    the native array."""
     ev = load_table(spark, sf_dir, "events")
     out = ordered_limited_collect(
         ev, ["user_id"], ["ts", "event_id"], "event_id", limit=5, descending=True
     )
-    return out.withColumnRenamed("values", "last5_event_ids")
+    return out.select(
+        "user_id",
+        F.array_join(
+            F.transform("values", lambda x: x.cast("string")), ","
+        ).alias("last5_event_ids"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -586,7 +596,9 @@ def a05_last5_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a07_quantity_quartiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS qty_quartiles
+           array_to_string(
+               list_transform(quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]),
+                              x -> printf('%.4f', x)), ',') AS qty_quartiles
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -594,12 +606,18 @@ def a07_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped continuous percentiles (A7/A8). Exact interpolation at
     binary-fraction probabilities so both engines agree bit-for-bit;
     the scale path (approximate=True → percentile_approx sketch) is
-    exercised in unit tests."""
+    exercised in unit tests. The quartile array is %.4f-formatted and
+    comma-joined at the edge so harness rows hash."""
     li = load_table(spark, sf_dir, "lineitem")
     out = group_percentiles(
         li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75], approximate=False
     )
-    return out.withColumnRenamed("percentiles", "qty_quartiles")
+    return out.select(
+        "l_returnflag",
+        F.array_join(
+            F.transform("percentiles", lambda x: F.format_string("%.4f", x)), ","
+        ).alias("qty_quartiles"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -620,7 +638,8 @@ def a07_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sv
         FROM e GROUP BY label, i
     )
-    SELECT label, list(sv ORDER BY i) AS vector_sum FROM s GROUP BY label
+    SELECT label, array_to_string(list(sv ORDER BY i), ',') AS vector_sum
+    FROM s GROUP BY label
     """,
 )
 def a10_vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,7 +655,13 @@ def a10_vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
         ).alias("ivec"),
     )
-    return elementwise_vector_sum(ints, ["label"], "ivec")
+    out = elementwise_vector_sum(ints, ["label"], "ivec")
+    return out.select(
+        "label",
+        F.array_join(
+            F.transform("vector_sum", lambda x: x.cast("string")), ","
+        ).alias("vector_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1099,7 +1124,7 @@ def x07_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok WHERE len(w) >= 3
     )
     SELECT doc_id,
-           (list_sort(list_transform(s, x -> md5(x))))[1:5] AS fingerprint,
+           array_to_string((list_sort(list_transform(s, x -> md5(x))))[1:5], ',') AS fingerprint,
            md5(list_aggregate((list_sort(list_transform(s, x -> md5(x))))[1:5], 'string_agg', '')) AS fp_key
     FROM sh
     """,
@@ -1113,8 +1138,9 @@ def x08_document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     fp = document_fingerprint("text", k=5, shingle_n=3)
     return (
-        d.select("doc_id", fp.alias("fingerprint"), fingerprint_key("text").alias("fp_key"))
-        .filter(F.size("fingerprint") > 0)
+        d.select("doc_id", fp.alias("_fp"), fingerprint_key("text").alias("fp_key"))
+        .filter(F.size("_fp") > 0)
+        .select("doc_id", F.array_join("_fp", ",").alias("fingerprint"), "fp_key")
     )
 
 
@@ -1257,16 +1283,19 @@ def a04_weighted_score_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a06_event_type_sets",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
 )
 def a06_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ARRAY_AGG(DISTINCT ...) (A6): sorted distinct-set collection."""
+    """ARRAY_AGG(DISTINCT ...) (A6): sorted distinct-set collection,
+    comma-joined at the edge so harness rows hash."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.count_distinct("event_type").cast("bigint").alias("n_types"),
     )
 
@@ -1559,7 +1588,8 @@ def a03_metric_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a08_exact_quantiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+           array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                                          x -> printf('%.4f', x)), ',') AS qs,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1575,7 +1605,15 @@ def a08_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups are huge."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+        F.array_join(
+            F.transform(
+                F.percentile(
+                    "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                ),
+                lambda x: F.format_string("%.4f", x),
+            ),
+            ",",
+        ).alias("qs"),
         F.count("*").alias("n"),
     )
 
@@ -1828,7 +1866,9 @@ def o02_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o03_topk_in_array",
     oracle="""
     SELECT c_mktsegment,
-           (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3] AS top3
+           array_to_string(
+               list_transform((list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3],
+                              x -> printf('%.2f', x)), ',') AS top3
     FROM orders JOIN customer ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -1849,8 +1889,12 @@ def o03_topk_in_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("__v"),
     )
-    top3 = F.transform(
-        F.slice(F.sort_array(F.collect_list(packed)), 1, 3), lambda s: s["__v"]
+    top3 = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(F.collect_list(packed)), 1, 3),
+            lambda s: F.format_string("%.2f", s["__v"]),
+        ),
+        ",",
     )
     return joined.groupBy("c_mktsegment").agg(top3.alias("top3"))
 

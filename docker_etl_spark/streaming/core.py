@@ -91,10 +91,18 @@ def streaming_dedupe(
 ) -> DataFrame:
     """Exactly-once-ish natural-key dedup (T3): state-backed
     dropDuplicates bounded by a watermark so state is evictable —
-    unbounded dedup state is the classic streaming OOM at scale."""
+    unbounded dedup state is the classic streaming OOM at scale.
+
+    With ``ts_col`` set, uses ``dropDuplicatesWithinWatermark`` on the
+    natural keys alone: duplicates of a key are suppressed for the
+    watermark horizon and the key's state is then evicted, so state
+    stays bounded without changing the dedup key (a plain
+    ``dropDuplicates(keys)`` after ``withWatermark`` never evicts
+    unless the event-time column is part of the subset)."""
     if ts_col is not None:
         stream = stream.withWatermark(ts_col, watermark)
-        return stream.dropDuplicates([*keys, ts_col]) if ts_col in keys else stream.dropDuplicates(list(keys))
+        if stream.isStreaming:
+            return stream.dropDuplicatesWithinWatermark(list(keys))
     return stream.dropDuplicates(list(keys))
 
 
@@ -204,7 +212,8 @@ def sessionize_with_state(
         # only the trailing open session stays in state.
         ts_all: list[int] = []
         for pdf in pdf_iter:
-            ts_all.extend((pdf[time_col].astype("int64") // 1_000_000).tolist())
+            col = pdf[time_col].dropna()  # null event times carry no session signal
+            ts_all.extend((col.astype("int64") // 1_000_000).tolist())
         ts_all.sort()
         cur = tuple(state.get) if state.exists else None
         closed: list[tuple[int, int, int]] = []
@@ -212,12 +221,15 @@ def sessionize_with_state(
             if cur is None:
                 cur = (t, t, 1)
             elif t - cur[1] <= gap_ms:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                # min() on the start: a late event can extend the open
+                # session backwards, not just forwards.
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
             else:
                 closed.append(cur)
                 cur = (t, t, 1)
-        state.update(cur)
-        state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
         yield pd.DataFrame([row(key, s) for s in closed], columns=out_cols)
 
     return (
