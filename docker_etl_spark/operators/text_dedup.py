@@ -273,12 +273,10 @@ def simhash64(tokens: Column) -> Column:
     """64-bit SimHash of a token array: per bit, sum ±1 votes from
     each token's xxhash64; bit set where the vote is positive.
 
-    Pure expressions, single pass: fold over the token hashes
-    accumulating a 64-slot vote vector (``bit_get`` per position),
-    then pack bits where the vote is a strict majority. One
-    expression tree (O(1) driver-side construction) and one traversal
-    of the token array, vs the naive 64-filters-over-the-array form.
-    Returns bigint (the packed signature).
+    Reference implementation (64-slot vote array folded per token).
+    Kept as the semantic twin for ``simhash64_packed`` — production
+    paths use the packed SWAR kernel, which this must always match
+    (pinned by a differential unit test).
     """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     n = F.size(tokens)
@@ -306,6 +304,58 @@ def simhash64(tokens: Column) -> Column:
     )
 
 
+# 0x0001000100010001: one 16-bit counter lane per strided bit group.
+_LANE_MASK = 0x0001000100010001
+_LANE_BASE = [1, 1 << 16, 1 << 32, 1 << 48]
+
+_SIMHASH_PACKED_SQL = """
+aggregate(
+  transform({toks}, t -> xxhash64(t)),
+  array_repeat(0L, 17),
+  (acc, h) -> zip_with(acc, sequence(0, 16),
+      (a, k) -> a + if(k = 16, 1L, shiftrightunsigned(h, k) & {mask}L)),
+  acc -> aggregate(
+      zip_with(slice(acc, 1, 16), sequence(0, 15),
+        (a, k) -> shiftleft(
+            if(2 * (a & 65535L) > acc[16], 1L, 0L)
+          | if(2 * (shiftrightunsigned(a, 16) & 65535L) > acc[16], {b16}L, 0L)
+          | if(2 * (shiftrightunsigned(a, 32) & 65535L) > acc[16], {b32}L, 0L)
+          | if(2 * (shiftrightunsigned(a, 48) & 65535L) > acc[16], {b48}L, 0L),
+          k)),
+      0L, (s, x) -> s | x))
+"""
+
+
+def simhash64_packed(tokens_sql: str) -> Column:
+    """SWAR SimHash: same signature as ``simhash64`` at ~4x less
+    per-token work. Bit votes for the 64 positions accumulate into
+    sixteen longs of four 16-bit lanes each (lane j of long k counts
+    position k+16j), so the per-token update is 16 shift/mask/adds —
+    ``(h >>> k) & 0x0001000100010001`` — instead of materializing a
+    64-slot array. The 17th accumulator slot counts tokens for the
+    strict-majority test; the finishing lambda extracts each lane,
+    places its majority bit at the lane base, and shifts into
+    position (shift amount is a lambda variable, hence the SQL-text
+    form — the Python wrapper only takes int shift amounts).
+
+    Lane counters hold 65535 tokens; beyond that, votes saturate
+    incorrectly — cap or pre-truncate pathological documents.
+
+    ``tokens_sql`` is the token-array expression as SQL text (it is
+    referenced exactly once, so upstream expressions are not
+    re-evaluated per lane).
+    """
+    return F.expr(
+        _SIMHASH_PACKED_SQL.format(
+            toks=tokens_sql,
+            mask=_LANE_MASK,
+            b16=_LANE_BASE[1],
+            b32=_LANE_BASE[2],
+            b48=_LANE_BASE[3],
+        )
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -315,28 +365,50 @@ def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    block_bits: int = 16,
+    max_hamming: int = 3,
+    block_bits: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded blocking on signature chunks.
 
-    Signatures within ``max_hamming`` of each other must agree on at
-    least one of ceil(64/block_bits) chunks when max_hamming <
-    64/block_bits (pigeonhole) — so candidates come from equi-joins
-    on chunk values, never a cross join. Returns (id_a, id_b, hamming).
+    Pigeonhole: two signatures within ``max_hamming`` bits of each
+    other must agree exactly on at least one chunk when the 64 bits
+    are split into more than ``max_hamming`` chunks — so candidates
+    come from equi-joins on chunk values, never a cross join.
+
+    By default the chunking is DERIVED from ``max_hamming``
+    (``max_hamming + 1`` balanced chunks), so recall is always
+    complete. An explicit ``block_bits`` is validated against the
+    precondition (``64 // block_bits > max_hamming``) and rejected
+    otherwise — silently missing hamming-4..8 pairs with 16-bit
+    chunks was a real bug. Narrower chunks (bigger ``max_hamming``)
+    mean coarser buckets and more candidate pairs to verify: at 100 TB
+    keep ``max_hamming`` small or pre-shard by a cheap key (length
+    band, language) before blocking. Returns (id_a, id_b, hamming).
     """
+    if block_bits is not None:
+        n_chunks = 64 // block_bits
+        if n_chunks <= max_hamming:
+            raise ValueError(
+                f"block_bits={block_bits} gives {n_chunks} chunks, but pigeonhole "
+                f"blocking needs > max_hamming={max_hamming} chunks to be "
+                "recall-complete; pass block_bits=None to derive it"
+            )
+        widths = [block_bits] * n_chunks
+    else:
+        n_chunks = max_hamming + 1
+        base, extra = divmod(64, n_chunks)
+        widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    starts = [sum(widths[:c]) for c in range(n_chunks)]
     sigs = _spread(docs).select(
         F.col(id_col),
-        simhash64(F.split(F.lower(text_col), " ")).alias("sig"),
+        simhash64_packed(f"split(lower({text_col}), ' ')").alias("sig"),
     )
-    n_chunks = 64 // block_bits
-    mask = (1 << block_bits) - 1
     chunk_keys = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned("sig", c * block_bits)
-                .bitwiseAND(F.lit(mask).cast("long"))
+                F.shiftrightunsigned("sig", starts[c])
+                .bitwiseAND(F.lit((1 << widths[c]) - 1).cast("long"))
                 .alias("ckey"),
             )
             for c in range(n_chunks)

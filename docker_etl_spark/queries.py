@@ -1161,9 +1161,10 @@ def x09_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("x10_simhash_near_dups")
 def x10_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with pigeonhole chunk blocking."""
+    """SimHash near-dup pairs with pigeonhole chunk blocking
+    (max_hamming=3 -> four derived 16-bit chunks, recall-complete)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=8, block_bits=16)
+    return simhash_near_duplicates(d, max_hamming=3)
 
 
 @register("x11_ann_cosine_lsh")

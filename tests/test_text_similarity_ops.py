@@ -42,11 +42,30 @@ def test_minhash_fast_finds_known_near_dup(spark, sf_dir):
 
 
 def test_simhash_detects_near_dup(spark, sf_dir):
-    pairs = simhash_near_duplicates(
-        _docs(spark, sf_dir), max_hamming=12, block_bits=16
-    ).collect()
+    pairs = simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=12).collect()
     # the known near-dup pair should have a small hamming distance
     assert any(r.hamming <= 12 for r in pairs), pairs[:5]
+
+
+def test_simhash_rejects_lossy_block_bits(spark, sf_dir):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=8, block_bits=16)
+
+
+def test_simhash_packed_matches_reference(spark, sf_dir):
+    """The SWAR kernel must produce bit-identical signatures to the
+    64-slot reference fold on real document text."""
+    from docker_etl_spark.operators.text_dedup import simhash64, simhash64_packed
+
+    d = _docs(spark, sf_dir).limit(200)
+    both = d.select(
+        simhash64(F.split(F.lower("text"), " ")).alias("ref"),
+        simhash64_packed("split(lower(text), ' ')").alias("packed"),
+    )
+    diff = both.filter(F.col("ref") != F.col("packed")).count()
+    assert diff == 0
 
 
 def test_ann_lsh_overlaps_bruteforce(spark, sf_dir):
