@@ -1466,18 +1466,40 @@ def u05_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g01_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals (§2.4 note: the reference hand-rolls this via
-    UNION ALL of per-dim and 'all' aggregates; Spark has it native)."""
+    UNION ALL of per-dim and 'all' aggregates; Spark has it native).
+
+    Two plan moves vs the naive form, same exact values:
+
+    1. Pre-aggregate to the finest grain FIRST, then roll up the tiny
+       per-(region, nation) partials — Spark's rollup runs through an
+       Expand that triples its input, so expand 25 partial rows, not
+       every lineitem.
+    2. Per-row money math in scaled-long space (price cents ×
+       discount hundredths → long), decimal only at the 25-row edge.
+       Long multiply-accumulate stays in whole-stage codegen at ~2×
+       the throughput of per-row decimal(12,2) ops, and sums fit a
+       long up to ~9e18/1e8 ≈ 9e10 rows per group. Exactness: money
+       inputs are 2-dp values, so round(x*100) and cast(decimal(12,2))
+       agree (boundary flips would need an input with >2 real decimal
+       places), and the final decimal(38,0)/10000 → double conversion
+       is a single correctly-rounded step, identical to the oracle's
+       decimal-sum → double cast."""
     li = load_table(spark, sf_dir, "lineitem")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
     re = load_table(spark, sf_dir, "region")
-    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
-    return (
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    fine = (
         li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
         .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
         .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
-        .rollup("r_name", "n_name")
-        .agg(_dbl(F.sum(revenue)).alias("revenue"), F.count("*").alias("n_items"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents * (100 - disc_h)).alias("rev_e4"), F.count("*").alias("n_part"))
+    )
+    return fine.rollup("r_name", "n_name").agg(
+        ((F.sum("rev_e4").cast("decimal(38,0)") / 10000).cast("double")).alias("revenue"),
+        F.sum("n_part").alias("n_items"),
     )
 
 

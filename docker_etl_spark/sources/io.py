@@ -54,10 +54,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     A plain ``spark.read.parquet`` so filters/projections placed on
     the result push down into the scan (verify via
     ``df.explain`` → PushedFilters / ReadSchema).
+
+    The unresolved plan is memoized per (session, sf_dir, name):
+    building it costs a py4j round-trip plus a parquet footer read
+    (~50-150 ms), which dominated multi-table query *construction*
+    (a star query touches 4 tables). DataFrames are immutable lazy
+    plans, so sharing one across queries is safe, and the testdata
+    directories are read-only so the captured file listing can never
+    go stale. Paths that are written during a run must NOT go through
+    this cache (they use ``spark.read`` directly). The cache lives on
+    the session object itself so it dies with the session.
     """
+    cache: dict = getattr(spark, "_detl_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._detl_table_cache = cache
+    key = (sf_dir, name)
     if name in _NANO_TS_COLS:
         # Session-settable legacy conf; required to scan NANOS columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if key in cache:
+        return cache[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
@@ -75,6 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f" + make_dt_interval(0, 0, 0, cast(({c} div 1000) % 1000000 as double) / 1e6)"
                 ),
             )
+    cache[key] = df
     return df
 
 

@@ -115,3 +115,18 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in sorted(QUERIES):
         txt = formatted(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in txt, name
+
+def test_spread_for_compute_skips_already_parallel_input(spark, sf_dir):
+    """spread_for_compute must be a no-op (same object, no new
+    Exchange) when the input already meets default parallelism —
+    at 100 TB an unconditional round-robin would re-shuffle every
+    raw text payload before shingling."""
+    from docker_etl_spark.operators._util import spread_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target)
+    assert spread_for_compute(wide) is wide
+
+    narrow = spark.range(10).coalesce(1)
+    plan = formatted(spread_for_compute(narrow))
+    assert "Exchange" in plan
