@@ -100,7 +100,16 @@ class DashboardSnapshotJob(EtlJob):
 
         df = QUERIES["gd01_dashboard_union"](ctx.spark, ctx.sf_dir)
         if ctx.out and ctx.write:
-            rows = [r.asDict() for r in df.collect()]  # KB-scale by design
+            # KB-scale by design (post-aggregation long-format rows);
+            # limit(N+1) makes the contract enforceable without a
+            # second full pass over the plan.
+            max_rows = 1_000_000
+            rows = [r.asDict() for r in df.limit(max_rows + 1).collect()]
+            if len(rows) > max_rows:
+                raise ValueError(
+                    f"dashboard snapshot exceeds {max_rows} rows; "
+                    "driver-side reshape is for post-aggregation output only"
+                )
             snapshot: dict[str, dict] = {}
             for r in rows:
                 snapshot.setdefault(r["output"], {})[

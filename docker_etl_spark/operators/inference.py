@@ -19,9 +19,9 @@ in the kernel.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -33,7 +33,7 @@ def stub_break_probability(texts: pd.Series) -> pd.Series:
     n_chars = texts.str.len().astype("float64")
     n_bangs = texts.str.count("!").astype("float64")
     z = -3.0 + 0.002 * n_chars + 0.8 * n_bangs
-    return z.map(lambda v: 1.0 / (1.0 + math.exp(-v)))
+    return 1.0 / (1.0 + np.exp(-z))
 
 
 def batched_inference(

@@ -310,7 +310,7 @@ _LANE_BASE = [1, 1 << 16, 1 << 32, 1 << 48]
 
 _SIMHASH_PACKED_SQL = """
 aggregate(
-  transform({toks}, t -> xxhash64(t)),
+  transform(slice({toks}, 1, 32767), t -> xxhash64(t)),
   array_repeat(0L, 17),
   (acc, h) -> zip_with(acc, sequence(0, 16),
       (a, k) -> a + if(k = 16, 1L, shiftrightunsigned(h, k) & {mask}L)),
@@ -338,8 +338,13 @@ def simhash64_packed(tokens_sql: str) -> Column:
     position (shift amount is a lambda variable, hence the SQL-text
     form — the Python wrapper only takes int shift amounts).
 
-    Lane counters hold 65535 tokens; beyond that, votes saturate
-    incorrectly — cap or pre-truncate pathological documents.
+    Lane counters are 16-bit, but under ANSI arithmetic (Spark 4
+    default) the signed SWAR add raises ARITHMETIC_OVERFLOW once the
+    top lane's counter (bits 48-63) reaches 32768 — so the enforced
+    bound is a 32767-token prefix (``slice`` in the kernel). SimHash
+    on a 32767-token prefix is a sane approximation for pathological
+    web documents, and strictly better than either silent lane-carry
+    corruption or a hard runtime error mid-dedup.
 
     ``tokens_sql`` is the token-array expression as SQL text (it is
     referenced exactly once, so upstream expressions are not
@@ -399,16 +404,22 @@ def simhash_near_duplicates(
         base, extra = divmod(64, n_chunks)
         widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     starts = [sum(widths[:c]) for c in range(n_chunks)]
+    quoted = "`" + text_col.replace("`", "``") + "`"
     sigs = _spread(docs).select(
         F.col(id_col),
-        simhash64_packed(f"split(lower({text_col}), ' ')").alias("sig"),
+        simhash64_packed(f"split(lower({quoted}), ' ')").alias("sig"),
     )
+    # A 64-bit-wide chunk needs the all-ones mask; (1 << 64) - 1
+    # overflows a JVM long literal, so use -1 (two's complement).
+    masks = [
+        F.lit((1 << w) - 1 if w < 64 else -1).cast("long") for w in widths
+    ]
     chunk_keys = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
                 F.shiftrightunsigned("sig", starts[c])
-                .bitwiseAND(F.lit((1 << widths[c]) - 1).cast("long"))
+                .bitwiseAND(masks[c])
                 .alias("ckey"),
             )
             for c in range(n_chunks)

@@ -44,7 +44,24 @@ class WatermarkStore:
             # other failure (corruption, permissions, transient IO) must
             # propagate — returning None there would silently re-append
             # the whole source.
-            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
+            missing = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+            condition = None
+            for getter in ("getCondition", "getErrorClass"):
+                fn = getattr(ex, getter, None)
+                if callable(fn):
+                    try:
+                        condition = fn()
+                    except Exception:
+                        condition = None
+                    if condition:
+                        break
+            if condition in missing or (
+                condition is None
+                and (
+                    any(c in str(ex) for c in missing)
+                    or "Path does not exist" in str(ex)
+                )
+            ):
                 return None
             raise
         row = df.agg(F.max(self.cursor_col).alias("wm")).first()

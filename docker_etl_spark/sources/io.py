@@ -74,7 +74,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Session-settable legacy conf; required to scan NANOS columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if key in cache:
-        return cache[key]
+        # Fresh alias per lookup: a query that loads the same table
+        # twice and joins the results would otherwise self-join the
+        # identical plan instance (ambiguous-column trap).
+        return cache[key].alias(name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":

@@ -54,6 +54,43 @@ def test_simhash_rejects_lossy_block_bits(spark, sf_dir):
         simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=8, block_bits=16)
 
 
+def test_simhash_exact_dup_single_chunk(spark, sf_dir):
+    """max_hamming=0 → one 64-bit-wide chunk; the full-width mask must
+    not overflow a JVM long literal, and exact duplicates must pair."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "something else")],
+        "doc_id int, text string",
+    )
+    pairs = simhash_near_duplicates(docs, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_backtick_column_name(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id int, `my text` string"
+    )
+    pairs = simhash_near_duplicates(docs, text_col="my text", max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_packed_caps_token_count(spark):
+    """Documents beyond the 32767-token ANSI-safe bound use a prefix
+    signature rather than corrupting lane counters or raising
+    ARITHMETIC_OVERFLOW: a 70k-token doc's signature equals its
+    32767-token prefix's."""
+    from docker_etl_spark.operators.text_dedup import simhash64_packed
+
+    row = spark.range(1).select(
+        simhash64_packed(
+            "transform(sequence(1, 70000), i -> string(pmod(i, 97)))"
+        ).alias("full"),
+        simhash64_packed(
+            "transform(sequence(1, 32767), i -> string(pmod(i, 97)))"
+        ).alias("prefix"),
+    ).first()
+    assert row.full == row.prefix
+
+
 def test_simhash_packed_matches_reference(spark, sf_dir):
     """The SWAR kernel must produce bit-identical signatures to the
     64-slot reference fold on real document text."""
