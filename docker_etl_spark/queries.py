@@ -2414,6 +2414,64 @@ def c01_catalog_view_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.table("topline")
 
 
+# ---------------------------------------------------------------------------
+# c02 — file-driven project catalog (§3.1): TOML table schemas + SQL
+# view/routine templates loaded from an on-disk project directory
+# (projectdata.py:518-563 load_templates; update_schema.py:60-230
+# render + topological deploy), deployed as typed temp views + SQL
+# UDFs, queried through the top of the cross-dataset DAG. The oracle
+# is the hand-expanded equivalent (routine inlined, refs resolved) —
+# what's under test is the loader/renderer/deployer.
+# ---------------------------------------------------------------------------
+
+_C02_ORACLE = """
+WITH enriched AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate AS DATE) AS order_date,
+         CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_rank
+  FROM orders
+)
+SELECT priority_rank, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       MIN(order_date) AS first_order_date,
+       MAX(order_date) AS last_order_date
+FROM enriched
+GROUP BY priority_rank, o_orderstatus
+ORDER BY priority_rank, o_orderstatus
+"""
+
+
+@register("c02_project_from_files", oracle=_C02_ORACLE)
+def c02_project_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based project catalog end-to-end: load fixtures/
+    demo_project (two datasets, TOML table schemas incl. RECORD/
+    REPEATED, a SQL routine, cross-dataset qualified refs), bind the
+    declared table to the orders scan, deploy, query the rollup.
+
+    Scale: identical to c01 — everything deployed is logical (temp
+    views + Catalyst-inlined SQL UDFs), so the final plan is the
+    same partial+final aggregate over the parquet scan that a
+    hand-written query would produce."""
+    from pathlib import Path
+
+    from docker_etl_spark.plans.projectdata import FileProject
+
+    root = Path(__file__).resolve().parent.parent / "fixtures" / "demo_project"
+    proj = FileProject(
+        spark,
+        root,
+        table_bindings={
+            "analytics.priority_orders": load_table(spark, sf_dir, "orders")
+        },
+        prefix="c02_",
+    )
+    proj.deploy()
+    return proj.table("reporting.priority_rollup").orderBy(
+        "priority_rank", "o_orderstatus"
+    )
+
+
 @register(
     "an01_search_anomaly_rules",
     oracle="""
