@@ -35,14 +35,23 @@ def main() -> None:
     # the plans, not first-touch JIT/IO setup.
     QUERIES["j01_star_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Best-of-N per query: a contended sandbox inflates single-shot
+    # wall times fleet-wide (a 3x "regression" on untouched queries);
+    # the per-query MIN across passes is the stable signal. Pass 2
+    # re-runs the full set (not back-to-back per query) so caches
+    # can't flatter a query beyond what a warmed cluster would see.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # Force complete evaluation of every output column without
-        # collecting rows to the driver.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(max(1, passes)):
+        for name in names:
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # Force complete evaluation of every output column without
+            # collecting rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 4)
     print(

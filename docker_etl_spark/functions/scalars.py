@@ -140,3 +140,51 @@ def deterministic_order_key(*cols: Column | str, seed: str = "") -> Column:
     if seed:
         cs = [*cs, F.lit(seed)]
     return F.xxhash64(*cs)
+
+
+def parse_user_story(col: str) -> Column:
+    """``key:value``-line DSL → ``map<string, array<string>>`` (F1).
+
+    Reference: etl/bugzilla.py:407-433 parse_user_story — split
+    lines, keep only lines containing ``:``, key = text before the
+    FIRST colon (may be empty), value = everything after (may
+    contain further colons); repeated keys accumulate values in line
+    order. The reference returns ``str | list[str]`` per key; the
+    typed engine form is always-an-array, which is the same
+    information without the union type.
+
+    Pure JVM expression: one fold over the split lines building the
+    map (no Python), as SQL text because the lambda variables must be
+    shared between nested HOFs. ``try_element_at`` (not ``acc[key]``)
+    because ANSI mode errors on missing map keys.
+    """
+    if isinstance(col, str):
+        ident = "`" + col.replace("`", "``") + "`"
+    else:
+        # Resolve arbitrary Column expressions through a stable name.
+        raise TypeError(
+            "parse_user_story takes a column NAME (SQL-text kernel); "
+            "alias the expression to a column first"
+        )
+    key = "substring(l, 1, instr(l, ':') - 1)"
+    val = "substr(l, instr(l, ':') + 1)"
+    # Outer ifnull: the reference returns {} for None/empty input.
+    return F.expr(
+        f"""
+        ifnull(
+          aggregate(
+            split({ident}, '\\r\\n|\\r|\\n'),
+            cast(map() as map<string,array<string>>),
+            (acc, l) ->
+              if(instr(l, ':') > 0,
+                 map_concat(
+                   map_filter(acc, (k, v) -> k != {key}),
+                   map({key},
+                       array_append(
+                         ifnull(try_element_at(acc, {key}),
+                                cast(array() as array<string>)),
+                         {val}))),
+                 acc)),
+          cast(map() as map<string,array<string>>))
+        """
+    )

@@ -18,6 +18,7 @@ behind the same interface when the library exists (import-gated).
 from __future__ import annotations
 
 import datetime as dt
+import itertools
 from collections.abc import Sequence
 
 import numpy as np
@@ -34,33 +35,123 @@ except Exception:  # pragma: no cover
     HAVE_PROPHET = False
 
 
-def _fit_linear_dow(pdf: pd.DataFrame, horizon_days: int, z: float) -> pd.DataFrame:
-    """Closed-form linear trend + day-of-week offsets, normal bands.
+#: Defaults mirror the reference's fixed single-model path; the grid
+#: search explores alternatives per segment (funnel_forecast.py:393).
+_DEFAULT_PARAMS: dict = {"trend": "linear", "seasonality": "dow", "window_days": None}
 
-    Deterministic: plain OLS on (t, value) plus mean weekday
-    residual offsets; the ±z band uses the residual std.
+
+def _fit_curve(pdf: pd.DataFrame, params: dict):
+    """Fit one deterministic curve; return ``(predict(dates)->ndarray,
+    sigma, fitted)`` for the training rows.
+
+    The parameter space is the stand-in model's analogue of the
+    reference's Prophet grid (funnel_forecast.py:309-435):
+
+    - ``trend``: 'linear' (OLS slope) | 'flat' (mean level)
+    - ``seasonality``: 'dow' (weekday residual offsets) | 'none'
+    - ``window_days``: train on only the trailing N days — the
+      changepoint analogue (recent-regime fit)
+
+    Deterministic throughout: closed-form OLS + means, no RNG
+    (base_forecast.py:152-160 seeded-determinism requirement).
     """
     pdf = pdf.sort_values("ds").reset_index(drop=True)
+    if params.get("window_days"):
+        cutoff = pdf["ds"].max() - pd.Timedelta(days=int(params["window_days"]))
+        windowed = pdf[pdf["ds"] > cutoff]
+        if len(windowed) >= 2:
+            pdf = windowed.reset_index(drop=True)
     t0 = pdf["ds"].min()
     x = (pdf["ds"] - t0).dt.days.to_numpy(dtype="float64")
     y = pdf["y"].to_numpy(dtype="float64")
     n = len(y)
-    if n >= 2 and float(np.ptp(x)) > 0:
+    if params.get("trend", "linear") == "linear" and n >= 2 and float(np.ptp(x)) > 0:
         slope, intercept = np.polyfit(x, y, 1)
     else:
         slope, intercept = 0.0, float(y.mean()) if n else 0.0
     trend = intercept + slope * x
-    resid = y - trend
-    dows = pdf["ds"].dt.dayofweek.to_numpy()
-    dow_offset = {d: float(resid[dows == d].mean()) if (dows == d).any() else 0.0 for d in range(7)}
-    fitted = trend + np.array([dow_offset[d] for d in dows])
-    sigma = float(np.std(y - fitted)) if n > 1 else 0.0
+    if params.get("seasonality", "dow") == "dow":
+        resid = y - trend
+        dows = pdf["ds"].dt.dayofweek.to_numpy()
+        dow_offset = {
+            d: float(resid[dows == d].mean()) if (dows == d).any() else 0.0
+            for d in range(7)
+        }
+    else:
+        dow_offset = {d: 0.0 for d in range(7)}
 
+    def predict(dates: pd.DatetimeIndex | pd.Series) -> np.ndarray:
+        dates = pd.DatetimeIndex(dates)
+        fx = (dates - t0).days.to_numpy(dtype="float64")
+        fdow = dates.dayofweek.to_numpy()
+        return intercept + slope * fx + np.array([dow_offset[d] for d in fdow])
+
+    fitted = predict(pd.DatetimeIndex(pdf["ds"]))
+    sigma = float(np.std(y - fitted)) if n > 1 else 0.0
+    return predict, sigma, pdf, fitted
+
+
+#: Rolling-origin CV defaults (reference cv_settings: Prophet
+#: cross_validation initial/period/horizon, funnel_forecast.py:356).
+_DEFAULT_CV = {"initial_days": 60, "period_days": 14, "horizon_days": 14}
+
+
+def rolling_origin_cv_bias(pdf: pd.DataFrame, params: dict, cv: dict) -> float:
+    """Mean percent bias over the 3 most recent rolling-origin folds.
+
+    The reference's CV metric verbatim in shape
+    (funnel_forecast.py:344-363 _get_crossvalidation_metric): for
+    each cutoff, train on ``ds <= cutoff``, predict the next
+    ``horizon_days``, bias = sum(yhat)/sum(y) - 1; keep the mean of
+    the last 3 cutoffs (``tail(3)``), closer to zero = better.
+    """
+    pdf = pdf.sort_values("ds").reset_index(drop=True)
+    first, last = pdf["ds"].min(), pdf["ds"].max()
+    horizon = pd.Timedelta(days=int(cv["horizon_days"]))
+    period = pd.Timedelta(days=int(cv["period_days"]))
+    cutoff = first + pd.Timedelta(days=int(cv["initial_days"]))
+    biases: list[float] = []
+    while cutoff + horizon <= last:
+        train = pdf[pdf["ds"] <= cutoff]
+        test = pdf[(pdf["ds"] > cutoff) & (pdf["ds"] <= cutoff + horizon)]
+        if len(train) >= 2 and len(test) > 0 and float(test["y"].sum()) != 0.0:
+            predict, _, _, _ = _fit_curve(train[["ds", "y"]], params)
+            yhat = predict(pd.DatetimeIndex(test["ds"]))
+            biases.append(float(yhat.sum()) / float(test["y"].sum()) - 1.0)
+        cutoff = cutoff + period
+    if not biases:
+        return float("inf")
+    return float(np.mean(biases[-3:]))
+
+
+def grid_search_params(
+    pdf: pd.DataFrame, param_grid: dict[str, list], cv: dict
+) -> dict:
+    """Expand the grid (itertools.product over listified values,
+    funnel_forecast.py:385-393) and pick the argmin-|bias| candidate
+    (funnel_forecast.py:406-409). Ties break on grid order, matching
+    ``np.argmin`` semantics in the reference."""
+    grid = {k: (v if isinstance(v, list) else [v]) for k, v in param_grid.items()}
+    candidates = [
+        dict(zip(grid.keys(), combo)) for combo in itertools.product(*grid.values())
+    ]
+    biases = [abs(rolling_origin_cv_bias(pdf, p, cv)) for p in candidates]
+    return candidates[int(np.argmin(biases))]
+
+
+def _fit_linear_dow(
+    pdf: pd.DataFrame,
+    horizon_days: int,
+    z: float,
+    params: dict | None = None,
+) -> pd.DataFrame:
+    """Fit one curve (default: linear trend + DOW offsets) and emit
+    fitted history + ``horizon_days`` of forecast with ±z normal
+    bands from the residual std."""
+    predict, sigma, pdf, fitted = _fit_curve(pdf, params or _DEFAULT_PARAMS)
     last = pdf["ds"].max()
     future = pd.date_range(last + pd.Timedelta(days=1), periods=horizon_days, freq="D")
-    fx = (future - t0).days.to_numpy(dtype="float64")
-    fdow = future.dayofweek.to_numpy()
-    fhat = intercept + slope * fx + np.array([dow_offset[d] for d in fdow])
+    fhat = predict(future)
 
     hist = pd.DataFrame(
         {"ds": pdf["ds"], "yhat": fitted, "is_forecast": False}
@@ -80,6 +171,8 @@ def fit_predict_segments(
     horizon_days: int = 78 * 7,
     z: float = 1.96,
     model: str = "linear",
+    param_grid: dict[str, list] | None = None,
+    cv_settings: dict | None = None,
 ) -> DataFrame:
     """Fit one model per segment and emit fitted history + forecast.
 
@@ -89,6 +182,15 @@ def fit_predict_segments(
     frame is one model's training set; Spark schedules segments
     across the cluster. Default horizon mirrors the reference's
     78-week default (base_forecast.py:152-160).
+
+    With ``param_grid``, each segment auto-tunes its own model first:
+    rolling-origin cross-validation over the grid's cartesian product
+    picks the min-|percent-bias| candidate (funnel_forecast.py:309-435
+    _auto_tuning + _get_crossvalidation_metric), entirely inside the
+    segment's pandas group — tuning N segments × K candidates stays
+    one Spark task per segment, so the cluster parallelizes across
+    segments while each grid search remains local. A ``params``
+    column records each segment's chosen candidate.
     """
     if model == "prophet" and not HAVE_PROPHET:  # pragma: no cover
         raise NotImplementedError(
@@ -102,6 +204,9 @@ def fit_predict_segments(
         f"{seg_schema}, ds date, yhat double, yhat_lower double, "
         "yhat_upper double, is_forecast boolean"
     )
+    if param_grid is not None:
+        out_schema += ", params string"
+    cv = {**_DEFAULT_CV, **(cv_settings or {})}
     norm = df.select(
         *segment_cols,
         F.col(date_col).cast("date").alias("ds"),
@@ -111,11 +216,19 @@ def fit_predict_segments(
     def fit(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
         pdf["ds"] = pd.to_datetime(pdf["ds"])
-        res = _fit_linear_dow(pdf[["ds", "y"]], horizon_days, z)
+        cols = [*segment_cols, "ds", "yhat", "yhat_lower", "yhat_upper", "is_forecast"]
+        if param_grid is not None:
+            params = grid_search_params(pdf[["ds", "y"]], param_grid, cv)
+            cols.append("params")
+        else:
+            params = None
+        res = _fit_linear_dow(pdf[["ds", "y"]], horizon_days, z, params)
         for c, k in zip(segment_cols, keys):
             res[c] = k
+        if param_grid is not None:
+            res["params"] = repr(sorted(params.items()))
         res["ds"] = res["ds"].dt.date
-        return res[[*segment_cols, "ds", "yhat", "yhat_lower", "yhat_upper", "is_forecast"]]
+        return res[cols]
 
     return norm.groupBy(*segment_cols).applyInPandas(fit, schema=out_schema)
 

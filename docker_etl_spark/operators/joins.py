@@ -73,6 +73,61 @@ def range_join_active_at(
     return F.broadcast(spine).join(entities, cond, how)
 
 
+def range_join_active_at_bucketed(
+    spine: DataFrame,
+    entities: DataFrame,
+    spine_col: str,
+    start_col: str,
+    end_col: str,
+    clamp_end: str | dt.date,
+    how: str = "left",
+    end_open: bool = False,
+) -> DataFrame:
+    """J6 as a pure equi join: month-bucket the validity window.
+
+    The scale path for when BOTH sides are large (SURVEY.md §7 risk
+    register): each entity explodes into one row per month its
+    [start, end] interval covers (NULL/unbounded ends clamp to
+    ``clamp_end``, normally the spine's last date); the spine keys on
+    its own month. The join is then month-bucket equality plus the
+    residual range predicate — a shuffle hash/sort-merge join that
+    partitions on the bucket, never a nested loop. Cost model: row
+    explosion = avg months spanned per entity, traded against
+    all-pairs-per-partition; right for wide spines × big entity
+    tables. For a small spine, ``range_join_active_at``'s broadcast
+    nested loop is cheaper — pick per shape.
+
+    Results are identical to ``range_join_active_at`` for intervals
+    ending on/before ``clamp_end``.
+    """
+    d = spine[spine_col]
+    bucket_seq = F.sequence(
+        F.date_trunc("month", F.col(start_col)).cast("date"),
+        F.date_trunc(
+            "month",
+            F.least(
+                F.coalesce(F.col(end_col), F.lit(str(clamp_end)).cast("date")),
+                F.lit(str(clamp_end)).cast("date"),
+            ),
+        ).cast("date"),
+        F.expr("interval 1 month"),
+    )
+    # Entities starting after clamp_end can never match a spine date
+    # <= clamp_end; dropping them keeps the bucket sequence ascending
+    # (sequence() errors on start > stop).
+    bounded = entities.filter(
+        F.col(start_col) <= F.lit(str(clamp_end)).cast("date")
+    )
+    exploded = bounded.withColumn("__bucket", F.explode(bucket_seq))
+    upper = d < exploded[end_col] if end_open else d <= exploded[end_col]
+    cond = (
+        (F.date_trunc("month", d).cast("date") == exploded["__bucket"])
+        & (exploded[start_col] <= d)
+        & (upper | exploded[end_col].isNull())
+    )
+    return spine.join(exploded, cond, how).drop("__bucket")
+
+
 def semi_join(df: DataFrame, other: DataFrame, on: Sequence[str] | Column) -> DataFrame:
     """EXISTS semi-join (J8). Reference: site_reports/view.sql:26-27."""
     return df.join(other, on, "left_semi")

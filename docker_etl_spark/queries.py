@@ -2472,6 +2472,88 @@ def c02_project_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# f03 — user-story DSL parse (F1; etl/bugzilla.py:407-433): key:value
+# lines → map<string,array<string>> as one JVM fold. The story text
+# is synthesized identically in both engines from orders columns
+# (repeated key, colon-bearing value, no-colon line, blank line,
+# empty key) so the differential check exercises every parser rule.
+# ---------------------------------------------------------------------------
+
+_F03_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         'platform:' || o_orderstatus || chr(10) ||
+         'no colon line' || chr(10) ||
+         'impact:' || o_orderpriority || chr(10) ||
+         chr(10) ||
+         'impact:rest:with:colons' || chr(10) ||
+         ':' || o_orderstatus AS story
+  FROM orders
+  WHERE o_orderkey % 10 = 0
+),
+parts AS (
+  SELECT o_orderkey, string_split(story, chr(10)) AS ls FROM src
+),
+lines AS (
+  SELECT o_orderkey,
+         unnest(ls) AS line,
+         generate_subscripts(ls, 1) AS idx
+  FROM parts
+),
+kv AS (
+  SELECT o_orderkey, idx,
+         substr(line, 1, strpos(line, ':') - 1) AS story_key,
+         substr(line, strpos(line, ':') + 1) AS story_value
+  FROM lines
+  WHERE strpos(line, ':') > 0
+)
+SELECT o_orderkey, story_key,
+       string_agg(story_value, '|' ORDER BY idx) AS story_values
+FROM kv
+GROUP BY o_orderkey, story_key
+ORDER BY o_orderkey, story_key
+"""
+
+
+@register("f03_user_story_parse", oracle=_F03_ORACLE)
+def f03_user_story_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the synthesized story DSL and explode the resulting map
+    to (key, joined-values) rows for order-insensitive hashing.
+
+    Scale: the parser is a single whole-stage-codegen expression per
+    row — no shuffle beyond the final orderBy, no Python."""
+    from docker_etl_spark.functions.scalars import parse_user_story
+
+    orders = load_table(spark, sf_dir, "orders")
+    story = F.concat_ws(
+        "\n",
+        F.concat(F.lit("platform:"), F.col("o_orderstatus")),
+        F.lit("no colon line"),
+        F.concat(F.lit("impact:"), F.col("o_orderpriority")),
+        F.lit(""),
+        F.lit("impact:rest:with:colons"),
+        F.concat(F.lit(":"), F.col("o_orderstatus")),
+    )
+    parsed = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", story.alias("story"))
+        .select("o_orderkey", parse_user_story("story").alias("m"))
+    )
+    return (
+        parsed.select(
+            "o_orderkey",
+            F.explode("m").alias("story_key", "vals"),
+        )
+        .select(
+            "o_orderkey",
+            "story_key",
+            F.array_join("vals", "|").alias("story_values"),
+        )
+        .orderBy("o_orderkey", "story_key")
+    )
+
+
 @register(
     "an01_search_anomaly_rules",
     oracle="""

@@ -216,16 +216,58 @@ def schema_new_fields(declared: StructType, actual: StructType) -> list:
     return out
 
 
+def _conform_value(col, declared_t, actual_t):
+    """Rebuild ``col`` (typed ``actual_t``) into the shape of
+    ``declared_t``: new struct fields appear as typed NULLs at any
+    nesting depth (incl. inside array-of-struct elements); NULL
+    parents stay NULL; scalar leaves pass through unchanged (additive
+    evolution never rewrites existing values)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    if declared_t == actual_t:
+        return col
+    if isinstance(declared_t, StructType) and isinstance(actual_t, StructType):
+        actual_by = {f.name: f for f in actual_t.fields}
+        parts = []
+        for f in declared_t.fields:
+            cur = actual_by.get(f.name)
+            if cur is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(
+                    _conform_value(col[f.name], f.dataType, cur.dataType).alias(f.name)
+                )
+        return F.when(col.isNull(), F.lit(None).cast(declared_t)).otherwise(
+            F.struct(*parts)
+        )
+    if isinstance(declared_t, ArrayType) and isinstance(actual_t, ArrayType):
+        return F.transform(
+            col,
+            lambda x: _conform_value(x, declared_t.elementType, actual_t.elementType),
+        )
+    return col
+
+
 def conform_to_schema(df: DataFrame, declared: StructType) -> DataFrame:
     """Evolve a frame to the declared schema: add missing declared
-    columns as typed NULLs and order columns as declared — the
-    engine-side ``add_table_fields`` / live-migration step
-    (bqhelpers.py:517-555; etl/update_schema.py:474-676). Top-level
-    additive only (nested additions arrive via mergeSchema reads)."""
+    columns as typed NULLs — at any nesting depth, including struct
+    fields inside arrays of structs — and order columns as declared.
+    The engine-side ``add_table_fields`` / live-migration step
+    (bqhelpers.py:517-555; etl/update_schema.py:474-676, which
+    migrates live nested schemas the same way). Undeclared columns
+    drop (the declared schema is the table's contract); existing
+    scalar leaves pass through uncast."""
     from pyspark.sql import functions as F
 
-    existing = set(df.columns)
-    for name, field in schema_new_fields(declared, df.schema):
-        if "." not in name and name not in existing:
-            df = df.withColumn(name, F.lit(None).cast(field.dataType))
-    return df.select(*[f.name for f in declared.fields])
+    actual_by = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in declared.fields:
+        cur = actual_by.get(f.name)
+        if cur is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(
+                _conform_value(F.col(f.name), f.dataType, cur.dataType).alias(f.name)
+            )
+    return df.select(*cols)

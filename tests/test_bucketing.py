@@ -100,3 +100,64 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly that day's rows
     expected = ev.filter(F.col("day") == "2024-01-03").count()
     assert back.count() == expected > 0
+
+
+def test_bucketed_range_join_is_equi_join(spark, sf_dir):
+    """The month-bucketed J6 variant must (a) match the broadcast
+    nested-loop variant row-for-row and (b) plan as an equi hash join
+    on the bucket key — the both-sides-large scale path (SURVEY.md §7
+    risk register)."""
+    from pyspark.sql import functions as F
+
+    from docker_etl_spark.operators.joins import (
+        date_spine,
+        range_join_active_at,
+        range_join_active_at_bucketed,
+    )
+
+    spine = date_spine(spark, "1995-01-01", "2001-12-01", step_months=1)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("start_date"))
+        .withColumn("end_date", F.date_add("start_date", 89))
+    )
+    bnl = range_join_active_at(spine, o, "spine_date", "start_date", "end_date")
+    bkt = range_join_active_at_bucketed(
+        spine, o, "spine_date", "start_date", "end_date", clamp_end="2001-12-01"
+    )
+
+    def counts(df):
+        return {
+            (r.spine_date, r.n)
+            for r in df.groupBy("spine_date").agg(F.count("o_orderkey").alias("n")).collect()
+        }
+
+    assert counts(bnl) == counts(bkt)
+    plan = bkt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:1200]
+
+
+def test_bucketed_range_join_null_end_clamps(spark):
+    """NULL (unbounded) validity ends clamp to the spine's last date
+    and still match every spine month from their start."""
+    from pyspark.sql import functions as F
+
+    from docker_etl_spark.operators.joins import (
+        date_spine,
+        range_join_active_at_bucketed,
+    )
+
+    spine = date_spine(spark, "2024-01-01", "2024-06-01", step_months=1)
+    ents = spark.createDataFrame(
+        [(1, "2024-02-15", None), (2, "2024-03-01", "2024-04-02"), (3, "2024-07-01", None)],
+        "id int, s string, e string",
+    ).select("id", F.col("s").cast("date").alias("s"), F.col("e").cast("date").alias("e"))
+    out = range_join_active_at_bucketed(
+        spine, ents, "spine_date", "s", "e", clamp_end="2024-06-01", how="inner"
+    )
+    got = {(r.id, str(r.spine_date)) for r in out.collect()}
+    assert got == {
+        (1, "2024-03-01"), (1, "2024-04-01"), (1, "2024-05-01"), (1, "2024-06-01"),
+        (2, "2024-03-01"), (2, "2024-04-01"),
+    }

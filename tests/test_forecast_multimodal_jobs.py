@@ -54,6 +54,83 @@ def test_forecast_determinism(spark):
     assert a == b
 
 
+def _regime_change_series(days_flat=120, days_steep=60, slope2=3.0):
+    """Flat level for ``days_flat`` days, then a steep linear ramp:
+    the full-history linear fit underestimates the recent regime; a
+    trailing-window fit nails it."""
+    import pandas as pd
+
+    ds = pd.date_range("2024-01-01", periods=days_flat + days_steep, freq="D")
+    y = [100.0] * days_flat + [100.0 + slope2 * i for i in range(1, days_steep + 1)]
+    return pd.DataFrame({"ds": ds, "y": y})
+
+
+def test_rolling_origin_cv_prefers_recent_window():
+    """The grid search must pick the trailing-window candidate on a
+    regime-change series — the tuned model beats the fixed default on
+    a true held-out tail (reference _auto_tuning contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from docker_etl_spark.operators.forecast import (
+        _DEFAULT_PARAMS,
+        _fit_curve,
+        grid_search_params,
+    )
+
+    full = _regime_change_series()
+    holdout_start = full["ds"].max() - pd.Timedelta(days=13)
+    train = full[full["ds"] < holdout_start].reset_index(drop=True)
+    test = full[full["ds"] >= holdout_start].reset_index(drop=True)
+
+    grid = {"trend": ["linear"], "seasonality": ["none"], "window_days": [None, 45]}
+    cv = {"initial_days": 90, "period_days": 14, "horizon_days": 14}
+    chosen = grid_search_params(train, grid, cv)
+    assert chosen["window_days"] == 45, chosen
+
+    def holdout_mae(params):
+        predict, _, _, _ = _fit_curve(train, params)
+        yhat = predict(pd.DatetimeIndex(test["ds"]))
+        return float(np.mean(np.abs(yhat - test["y"].to_numpy())))
+
+    tuned = holdout_mae(chosen)
+    fixed = holdout_mae({**_DEFAULT_PARAMS, "seasonality": "none"})
+    assert tuned < fixed / 2, (tuned, fixed)
+
+
+def test_fit_predict_segments_with_grid(spark):
+    """End-to-end tuned path: per-segment grid search inside
+    applyInPandas; the chosen params column records each segment's
+    winner, and segments tune independently."""
+    import pandas as pd
+
+    regime = _regime_change_series()
+    rows = [("shift", d.date(), v) for d, v in zip(regime["ds"], regime["y"])]
+    # clean linear segment: full-history fit is already optimal
+    for i in range(180):
+        rows.append(("steady", dt.date(2024, 1, 1) + dt.timedelta(days=i), 50.0 + 2.0 * i))
+    df = spark.createDataFrame(rows, "segment string, ds date, y double")
+    out = fit_predict_segments(
+        df,
+        ["segment"],
+        horizon_days=7,
+        param_grid={"trend": ["linear"], "seasonality": ["none"], "window_days": [None, 45]},
+        cv_settings={"initial_days": 90, "period_days": 14, "horizon_days": 14},
+    ).cache()
+    params = {
+        r.segment: r.params for r in out.select("segment", "params").distinct().collect()
+    }
+    assert "('window_days', 45)" in params["shift"], params
+    # tuned forecast for the regime-change segment tracks the steep ramp
+    fc = out.filter((F.col("segment") == "shift") & F.col("is_forecast")).collect()
+    last_day = max(r.ds for r in fc)
+    last = [r for r in fc if r.ds == last_day][0]
+    days_into_ramp = (last_day - dt.date(2024, 1, 1)).days - 119
+    expected = 100.0 + 3.0 * days_into_ramp
+    assert abs(last.yhat - expected) < 10.0, (last.yhat, expected)
+    out.unpersist()
+
+
 def test_combine_and_melt(spark):
     df = _linear_series(spark, days=10)
     fc = fit_predict_segments(df, ["segment"], horizon_days=3)

@@ -198,3 +198,77 @@ def test_schema_new_fields_and_conform(spark):
     assert out.first()["score"] is None
     # idempotent on an already-conformed frame
     assert conform_to_schema(out, out.schema).columns == out.columns
+
+
+def test_parse_user_story_reference_semantics(spark):
+    """Twin of the reference's parse_user_story contract
+    (etl/bugzilla.py:407-433): first-colon split, repeated keys
+    accumulate in line order, no-colon/blank lines skipped, empty
+    key kept, None/empty input -> empty map."""
+    from docker_etl_spark.functions.scalars import parse_user_story
+
+    df = spark.createDataFrame(
+        [
+            (1, "platform:win\nimpact:high\nnote:a:b:c\n\nskip me\nimpact:low\n:anon"),
+            (2, ""),
+            (3, None),
+            (4, "windows:\r\nmac:ok"),
+        ],
+        "id int, story string",
+    )
+    rows = {r.id: r.m for r in df.select("id", parse_user_story("story").alias("m")).collect()}
+    assert rows[1] == {
+        "platform": ["win"],
+        "impact": ["high", "low"],
+        "note": ["a:b:c"],
+        "": ["anon"],
+    }
+    assert rows[2] == {}
+    assert rows[3] == {}
+    assert rows[4] == {"windows": [""], "mac": ["ok"]}  # \r\n split, empty value
+
+
+def test_conform_nested_additive_evolution(spark, tmp_path):
+    """Live nested migration (etl/update_schema.py:474-676): adding
+    a.b.c-style fields — including inside array-of-struct elements —
+    yields typed NULLs where parents exist, preserves NULL parents,
+    keeps existing values, and drops undeclared columns."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from docker_etl_spark.sources.io import conform_to_schema
+
+    old = StructType.fromDDL(
+        "id BIGINT, meta STRUCT<a: BIGINT, src: STRUCT<path: STRING>>, "
+        "runs ARRAY<STRUCT<n: BIGINT>>, legacy STRING"
+    )
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [
+            (1, Row(a=7, src=Row(path="x")), [Row(n=1), Row(n=2)], "drop-me"),
+            (2, None, None, "drop-me-too"),
+        ],
+        old,
+    ).write.parquet(p)
+
+    declared = StructType.fromDDL(
+        "id BIGINT, meta STRUCT<a: BIGINT, b: STRING, "
+        "src: STRUCT<path: STRING, format: STRING>>, "
+        "runs ARRAY<STRUCT<n: BIGINT, tag: STRING>>, extra DOUBLE"
+    )
+    out = conform_to_schema(spark.read.parquet(p), declared)
+    assert out.columns == ["id", "meta", "runs", "extra"]
+    assert out.schema["meta"].dataType == declared["meta"].dataType
+    assert out.schema["runs"].dataType == declared["runs"].dataType
+    rows = {r.id: r for r in out.collect()}
+    r1 = rows[1]
+    assert r1.meta.a == 7 and r1.meta.b is None
+    assert r1.meta.src.path == "x" and r1.meta.src.format is None
+    assert [(e.n, e.tag) for e in r1.runs] == [(1, None), (2, None)]
+    assert r1.extra is None
+    r2 = rows[2]
+    assert r2.meta is None and r2.runs is None  # NULL parents stay NULL
+
+    # round-trip: writing and re-conforming is a no-op
+    again = conform_to_schema(out, declared)
+    assert again.schema == out.schema
