@@ -107,17 +107,41 @@ def _matrix_literal(rows: list[list[float]]) -> Column:
     return F.expr(f"array({body})")
 
 
-def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def quantize_planes(planes: list[list[float]], scale: int = 1000) -> list[list[int]]:
+    """floor(p·scale) integer quantization of a plane matrix — the
+    cross-engine-exact LSH geometry (sign of an int64 dot product is
+    bit-for-bit reproducible in any engine, unlike a float fold)."""
+    return [[int(math.floor(x * scale)) for x in row] for row in planes]
+
+
+def _matrix_literal_int(rows: list[list[int]]) -> Column:
+    body = ",".join(
+        "array(" + ",".join(f"{x}L" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def signlsh_bucket(
+    vec: Column, planes: list[list[float]], exact_int: bool = False
+) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane (sign of projection).
 
     Vectors with high cosine similarity land in the same bucket with
     probability 1 - θ/π per bit. Returns bigint bucket key.
+
+    ``exact_int``: quantize the planes (floor·1000) and take int64
+    dot products against an already-quantized int vector — identical
+    bucketing in any engine (differential-oracle mode).
     """
-    planes_lit = _matrix_literal(planes)
+    if exact_int:
+        planes_lit = _matrix_literal_int(quantize_planes(planes))
+    else:
+        planes_lit = _matrix_literal(planes)
+    d = dot_int if exact_int else dot
     pow2 = F.lit([1 << i for i in range(len(planes))])
     signs = F.transform(
         planes_lit,
-        lambda p: F.when(dot(vec, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+        lambda p: F.when(d(vec, p) >= 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         ),
     )
@@ -129,7 +153,12 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def signlsh_table_buckets(
-    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+    vec: Column,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+    exact_int: bool = False,
 ) -> Column:
     """All ``n_tables`` sign-LSH bucket keys of a vector as ONE
     expression: array<struct<tbl:int, bkt:bigint>>.
@@ -147,7 +176,7 @@ def signlsh_table_buckets(
             F.struct(
                 F.lit(t).alias("tbl"),
                 signlsh_bucket(
-                    vec, random_hyperplanes(dim, n_planes, seed + t)
+                    vec, random_hyperplanes(dim, n_planes, seed + t), exact_int
                 ).alias("bkt"),
             )
             for t in range(n_tables)
@@ -166,6 +195,7 @@ def cosine_topk_lsh(
     corpus_id: str = "corpus_id",
     vec_col: str = "vec",
     seed: int = 42,
+    exact_int: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH.
 
@@ -177,13 +207,20 @@ def cosine_topk_lsh(
     Scale notes: this replaces the brute-force cross join with a
     shuffle on (table, bucket) — the corpus-side work is O(|corpus| ·
     n_tables) hashing plus candidate-local dot products.
+
+    ``exact_int``: inputs are int-quantized vectors; bucketing uses
+    int-quantized planes and the cosine is int/sqrt(int·int) — one
+    deterministic IEEE op, so results hash-match any other engine.
     """
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
-        keys = signlsh_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        keys = signlsh_table_buckets(
+            F.col(vec_col), dim, n_planes, n_tables, seed, exact_int
+        )
         return _spread(df).select(
             F.col(idc), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(idc, vec_col, "tb.tbl", "tb.bkt")
 
+    d = dot_int if exact_int else dot
     qb = bucketed(queries, query_id).withColumnRenamed(vec_col, "__qv")
     cb = bucketed(corpus, corpus_id).withColumnRenamed(vec_col, "__cv")
     cand = (
@@ -192,9 +229,11 @@ def cosine_topk_lsh(
         .select(query_id, corpus_id, "__qv", "__cv")
         .dropDuplicates([query_id, corpus_id])
     )
-    qn = dot(F.col("__qv"), F.col("__qv"))
-    cn = dot(F.col("__cv"), F.col("__cv"))
-    cos = dot(F.col("__qv"), F.col("__cv")) / F.sqrt(qn * cn)
+    qn = d(F.col("__qv"), F.col("__qv"))
+    cn = d(F.col("__cv"), F.col("__cv"))
+    cos = d(F.col("__qv"), F.col("__cv")).cast("double") / F.sqrt(
+        (qn * cn).cast("double")
+    )
     scored = cand.select(query_id, corpus_id, cos.alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
@@ -299,11 +338,16 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "vec",
     seed: int = 42,
+    exact_int: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    threshold) via the same sign-LSH bucketing, corpus against itself."""
+    threshold) via the same sign-LSH bucketing, corpus against itself.
+    ``exact_int`` as in ``cosine_topk_lsh`` (int-quantized inputs →
+    engine-portable results)."""
     def bucketed(df: DataFrame) -> DataFrame:
-        keys = signlsh_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        keys = signlsh_table_buckets(
+            F.col(vec_col), dim, n_planes, n_tables, seed, exact_int
+        )
         return _spread(df).select(
             F.col(id_col), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
@@ -326,8 +370,11 @@ def embedding_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = dot(F.col("__va"), F.col("__vb")) / F.sqrt(
-        dot(F.col("__va"), F.col("__va")) * dot(F.col("__vb"), F.col("__vb"))
+    d = dot_int if exact_int else dot
+    cos = d(F.col("__va"), F.col("__vb")).cast("double") / F.sqrt(
+        (d(F.col("__va"), F.col("__va")) * d(F.col("__vb"), F.col("__vb"))).cast(
+            "double"
+        )
     )
     return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold

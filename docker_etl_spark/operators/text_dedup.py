@@ -308,9 +308,20 @@ def simhash64(tokens: Column) -> Column:
 _LANE_MASK = 0x0001000100010001
 _LANE_BASE = [1, 1 << 16, 1 << 32, 1 << 48]
 
+# Per-token 64-bit hash expressions (SQL text, token var ``t``).
+# ``md5`` mode is the engine-portable twin: the first 15 hex chars of
+# the md5 digest as a 60-bit big-endian integer — any engine with
+# md5() reproduces it exactly (bits 60-63 are always 0, which costs
+# four signature bits but changes no pair's hamming distance since
+# every signature shares the zeros).
+_TOKEN_HASH_SQL = {
+    "xxhash64": "xxhash64(t)",
+    "md5": "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)",
+}
+
 _SIMHASH_PACKED_SQL = """
 aggregate(
-  transform(slice({toks}, 1, 32767), t -> xxhash64(t)),
+  transform(slice({toks}, 1, 32767), t -> {hash}),
   array_repeat(0L, 17),
   (acc, h) -> zip_with(acc, sequence(0, 16),
       (a, k) -> a + if(k = 16, 1L, shiftrightunsigned(h, k) & {mask}L)),
@@ -326,7 +337,7 @@ aggregate(
 """
 
 
-def simhash64_packed(tokens_sql: str) -> Column:
+def simhash64_packed(tokens_sql: str, hash_fn: str = "xxhash64") -> Column:
     """SWAR SimHash: same signature as ``simhash64`` at ~4x less
     per-token work. Bit votes for the 64 positions accumulate into
     sixteen longs of four 16-bit lanes each (lane j of long k counts
@@ -353,6 +364,7 @@ def simhash64_packed(tokens_sql: str) -> Column:
     return F.expr(
         _SIMHASH_PACKED_SQL.format(
             toks=tokens_sql,
+            hash=_TOKEN_HASH_SQL[hash_fn],
             mask=_LANE_MASK,
             b16=_LANE_BASE[1],
             b32=_LANE_BASE[2],
@@ -372,6 +384,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     block_bits: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via banded blocking on signature chunks.
 
@@ -407,7 +420,7 @@ def simhash_near_duplicates(
     quoted = "`" + text_col.replace("`", "``") + "`"
     sigs = _spread(docs).select(
         F.col(id_col),
-        simhash64_packed(f"split(lower({quoted}), ' ')").alias("sig"),
+        simhash64_packed(f"split(lower({quoted}), ' ')", hash_fn).alias("sig"),
     )
     # A 64-bit-wide chunk needs the all-ones mask; (1 << 64) - 1
     # overflows a JVM long literal, so use -1 (two's complement).

@@ -1149,61 +1149,234 @@ def x08_document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the md5/int-quantized twins above and unit tests).
 
 
-@register("x09_minhash_fast")
+# x09's oracle is the hash-independent ground truth: ALL pairs with
+# exact shingle Jaccard >= threshold, brute-forced in SQL. Matching
+# it asserts two things about the xxhash64 fast path at once: the
+# exact-Jaccard verify join is correct, AND the 64-perm/8-band LSH
+# banding has complete recall on this corpus (verified empirically at
+# sf0.001/0.01/0.1: the planted near-dups sit far above the S-curve
+# knee, so every true pair shares at least one band). A banding
+# regression that drops a true pair turns this row red.
+_X09_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM tok WHERE len(w) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+"""
+
+
+@register("x09_minhash_fast", oracle=_X09_ORACLE)
 def x09_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with xxhash64 signatures — the production/scale
-    configuration (64 perms, 8 bands)."""
+    configuration (64 perms, 8 bands, exact-Jaccard verify)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
     )
 
 
-@register("x10_simhash_near_dups")
+# x10's oracle reproduces the md5-mode SimHash signature bit-for-bit
+# in SQL (60-bit big-endian int of the first 15 md5 hex chars per
+# token; strict-majority votes over bits 0..59), then brute-forces
+# hamming<=3 pairs — sound against the engine's blocked join because
+# pigeonhole chunking is recall-COMPLETE (the blocked pair set
+# provably equals the brute-force pair set). The SWAR vote kernel is
+# identical in both hash modes; only the per-token hash expression
+# differs, so this greens the very kernel the xxhash64 path runs.
+_X10_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+),
+words AS (
+  SELECT doc_id, len(ts) AS n, unnest(ts) AS w FROM tok
+),
+th AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM words
+),
+votes AS (
+  SELECT doc_id, n, b.k, SUM((h >> b.k) & 1) AS v
+  FROM th, (SELECT unnest(range(0, 60)) AS k) b
+  GROUP BY doc_id, n, b.k
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * v > n THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("x10_simhash_near_dups", oracle=_X10_ORACLE)
 def x10_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole chunk blocking
-    (max_hamming=3 -> four derived 16-bit chunks, recall-complete)."""
+    (max_hamming=3 -> four derived chunks, recall-complete), md5
+    portable hash mode — the SWAR vote kernel under oracle check.
+    The xxhash64 fast path (same kernel, cheaper per-token hash) is
+    pinned bit-identical to the reference fold by
+    tests/test_text_similarity_ops.py."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3)
+    return simhash_near_duplicates(d, max_hamming=3, hash_fn="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
-@register("x11_ann_cosine_lsh")
+def _signlsh_bucket_case_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """DuckDB SQL fragment computing the SAME sign-LSH bucket as the
+    engine's exact-int mode for a quantized vector column ``v`` and a
+    table column ``tbl``: the quantized plane matrices (identical
+    Python-generated literals on both sides) make bucketing a pure
+    int64 computation, bit-equal in any engine."""
+    from docker_etl_spark.operators.similarity import (
+        quantize_planes,
+        random_hyperplanes,
+    )
+
+    whens = []
+    for t in range(n_tables):
+        planes = quantize_planes(random_hyperplanes(dim, n_planes, seed + t))
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ([{','.join(map(str, row))}])[i])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, row in enumerate(planes)
+        )
+        whens.append(f"WHEN {t} THEN ({bits})")
+    return "CASE tbl " + " ".join(whens) + " END"
+
+
+# Quantized vectors (floor(x·1000) int64) + quantized planes make the
+# whole LSH pipeline — bucketing, candidate join, cosine — exactly
+# reproducible in SQL: every operation is int64 until the single
+# final IEEE division. Same exactness discipline as x06/x13.
+_X11_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+tabs AS (SELECT unnest(range(0, 4)) AS tbl),
+bk AS (
+  SELECT vec_id, v, tbl, {_signlsh_bucket_case_sql(64, 8, 4, 42)} AS bkt
+  FROM e, tabs
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(qe.v, x -> x * x))
+                       * list_sum(list_transform(ce.v, x -> x * x)) AS DOUBLE)) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.corpus_id
+)
+SELECT query_id, corpus_id, cosine FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) <= 3
+"""
+
+_QUANTIZE_SQL = "transform({src}, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+
+
+@register("x11_ann_cosine_lsh", oracle=_X11_ORACLE)
 def x11_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k via multi-table sign-LSH (float path)."""
+    """Approximate cosine top-k via multi-table sign-LSH, exact-int
+    quantized mode (cross-engine-reproducible buckets + cosines).
+    The float path is the operator default, pinned against brute
+    force in tests/test_text_similarity_ops.py."""
     em = load_table(spark, sf_dir, "embeddings")
-    vec = F.transform("embedding", lambda x: x.cast("double"))
+    vec = F.expr(_QUANTIZE_SQL.format(src="embedding"))
     q = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), vec.alias("vec")
     )
     c = em.select(F.col("vec_id").alias("corpus_id"), vec.alias("vec"))
-    return cosine_topk_lsh(q, c, dim=64, k=3, n_planes=8, n_tables=4)
+    return cosine_topk_lsh(
+        q, c, dim=64, k=3, n_planes=8, n_tables=4, exact_int=True
+    )
 
 
-@register("x12_embedding_near_dups")
+_X12_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, dv FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, 65), i -> CASE WHEN i = 1 THEN dv[i] + 0.01 ELSE dv[i] END)
+  FROM base WHERE vec_id < 20
+),
+e AS (
+  SELECT vec_id, list_transform(dv, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v
+  FROM aug
+),
+tabs AS (SELECT unnest(range(0, 6)) AS tbl),
+bk AS (
+  SELECT vec_id, v, tbl, {_signlsh_bucket_case_sql(64, 10, 6, 42)} AS bkt
+  FROM e, tabs
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(ea.v, x -> x * x))
+                       * list_sum(list_transform(eb.v, x -> x * x)) AS DOUBLE)) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+"""
+
+
+@register("x12_embedding_near_dups", oracle=_X12_ORACLE)
 def x12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over the whole corpus
-    (sign-LSH self-join).
+    (sign-LSH self-join), exact-int quantized mode.
 
     The fixture's random vectors have no genuine near-dups (max
     pairwise cosine ≈ 0.51), so the corpus is augmented with
     deterministic perturbed copies of vec_id < 20 (one component
     nudged, id + 1_000_000): each planted pair has cosine ≈ 1, and
     the LSH must recover all 20 — a built-in recall check instead of
-    a vacuous empty result."""
+    a vacuous empty result. The oracle replays the same planting,
+    quantization, bucketing, and verify in SQL."""
     em = load_table(spark, sf_dir, "embeddings")
-    vec = F.transform("embedding", lambda x: x.cast("double"))
-    c = em.select("vec_id", vec.alias("vec"))
-    planted = (
-        em.filter(F.col("vec_id") < 20)
-        .select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"),
-            F.transform(
-                vec, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
-            ).alias("vec"),
-        )
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", dvec.alias("dv"))
+    planted = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            dvec, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("dv"),
+    )
+    aug = base.unionByName(planted).select(
+        "vec_id", F.expr(_QUANTIZE_SQL.format(src="dv")).alias("vec")
     )
     return embedding_near_duplicates(
-        c.unionByName(planted), dim=64, threshold=0.9, n_planes=10, n_tables=6
+        aug, dim=64, threshold=0.9, n_planes=10, n_tables=6, exact_int=True
     )
 
 
