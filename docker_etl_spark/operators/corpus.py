@@ -1,0 +1,405 @@
+"""Training-corpus pipeline operators: quality filtering, packing,
+contamination checks, PII redaction, passage-level dedup.
+
+These are the corpus-preparation stages a large-scale LLM training
+pipeline runs between raw crawl and tokenizer — the natural
+extension of the reference's text/ETL surface (SURVEY.md §2.8 string
+families; jobs/webcompat-kb text normalization) to the 100 TB
+training-data setting. Everything here is pure JVM Column
+expressions (HOF folds, regexp, hash-groupBy) — no Python stage, so
+plans stay inside WholeStageCodegen and scale by partitioning:
+
+- per-document features (repetition, quality flags, PII) are
+  embarrassingly parallel map expressions;
+- corpus-wide stages (packing, contamination, passage dedup) shuffle
+  once on a bounded key (group / n-gram / chunk-hash), never all-pairs.
+
+Cross-engine exactness: every emitted double is a single IEEE
+division of two exact integers, so DuckDB oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared token helpers
+# ---------------------------------------------------------------------------
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def doc_tokens(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased (the corpus-ops tokenizer)."""
+    return F.split(F.lower(_col(text)), " ")
+
+
+def ngram_array(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty if < n
+    tokens). Built with one transform-over-index — O(len) per row."""
+    if n == 1:
+        return toks
+    # sequence(1, 0) counts DOWN in Spark — short docs need an
+    # explicit empty branch, not a clamped upper bound.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style duplicate-text fractions)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier
+    element: 1 - |distinct|/|all|. Null for empty arrays. One IEEE
+    division of two exact ints — engine-portable."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"),
+    )
+
+
+def max_frequency(arr: Column) -> Column:
+    """Count of the most frequent element — computed as the longest
+    equal-run in the sorted array via a single fold (no shuffle, no
+    map-building; ASCII token sort order is engine-identical)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        newrun = (
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc["best"], newrun).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge, lambda acc: acc["best"])
+
+
+def top_fraction(arr: Column) -> Column:
+    """Fraction of elements taken by the single most frequent one."""
+    n = F.size(arr)
+    return F.when(n > 0, max_frequency(arr).cast("double") / n.cast("double"))
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition metrics of one document.
+
+    Returns named Columns: ``n_tokens``, ``dup_2gram_frac``,
+    ``dup_3gram_frac`` (fraction of n-grams that repeat an earlier
+    one), ``top_token_frac``, ``top_2gram_frac`` (mass of the most
+    frequent token / bigram). High values flag boilerplate and
+    machine-generated spam; the published filters threshold these
+    (e.g. drop if dup_2gram_frac > 0.2)."""
+    toks = doc_tokens(text)
+    g2 = ngram_array(toks, 2)
+    g3 = ngram_array(toks, 3)
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "dup_2gram_frac": duplicate_fraction(g2),
+        "dup_3gram_frac": duplicate_fraction(g3),
+        "top_token_frac": top_fraction(toks),
+        "top_2gram_frac": top_fraction(g2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-ish quality gate
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+
+
+def gopher_quality(
+    text: Column | str,
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Document-level quality gate in the style of the published
+    Gopher rules: word-count band, mean-word-length band, fraction of
+    purely-alphabetic words, and minimum stopword evidence. Returns
+    the measured features, one boolean per rule, and ``keep`` (the
+    conjunction). Pure expressions — runs as a map over the scan."""
+    toks = doc_tokens(text)
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t).cast("long"),
+    )
+    mean_len = F.when(
+        n_words > 0, total_len.cast("double") / n_words.cast("double")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast(
+        "long"
+    )
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    ).cast("long")
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_stop = n_stop >= min_stopwords
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "n_stopwords": n_stop,
+        "ok_word_count": ok_words,
+        "ok_mean_word_len": ok_mean,
+        "ok_alpha_frac": ok_alpha,
+        "ok_stopwords": ok_stop,
+        "keep": ok_words & ok_mean & ok_alpha & ok_stop,
+    }
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing (context-window bin packing)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Greedy first-fit-in-order packing of documents into
+    fixed-token-budget context windows (LLM pretraining sequence
+    packing). Within each group, documents are taken in ``id_col``
+    order; a document that would overflow the current pack opens the
+    next one; an oversized document (> budget) occupies a pack alone.
+
+    Output: (group, id, tok, pack_id) with pack ids dense from 0 per
+    group. Deterministic — the same greedy fold is reproducible in
+    any engine (the oracle replays it as a recursive CTE).
+
+    Scale: one shuffle on ``group_col``; the per-group fold is a
+    collect_list + aggregate expression, so group size must be
+    bounded. At 100 TB, pack per (group, shard) — e.g. shard =
+    pmod(xxhash64(id), k) — which keeps every group in memory and
+    adds no cross-shard coupling (packing is per-shard greedy by
+    construction)."""
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col(token_col)))
+    )
+    init = F.struct(
+        F.expr("cast(array() as array<bigint>)").alias("packs"),
+        F.lit(0).cast("bigint").alias("cur"),
+        F.lit(0).cast("bigint").alias("used"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        overflow = (acc["used"] + x[token_col] > F.lit(budget)) & (
+            acc["used"] > 0
+        )
+        newcur = F.when(overflow, acc["cur"] + 1).otherwise(acc["cur"])
+        newused = F.when(overflow, x[token_col].cast("bigint")).otherwise(
+            acc["used"] + x[token_col]
+        )
+        return F.struct(
+            F.concat(acc["packs"], F.array(newcur)).alias("packs"),
+            newcur.alias("cur"),
+            newused.alias("used"),
+        )
+
+    packed = (
+        df.groupBy(group_col)
+        .agg(items.alias("items"))
+        .select(
+            group_col,
+            F.explode(
+                F.arrays_zip(
+                    F.col("items"),
+                    F.aggregate(
+                        F.col("items"), init, merge, lambda acc: acc["packs"]
+                    ).alias("pack_id"),
+                )
+            ).alias("z"),
+        )
+    )
+    return packed.select(
+        F.col(group_col),
+        F.col(f"z.items.{id_col}").alias(id_col),
+        F.col(f"z.items.{token_col}").alias(token_col),
+        F.col("z.pack_id").alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of a
+    document's distinct word n-grams that also occur anywhere in the
+    benchmark set (the published eval-decontamination test, usually
+    run with 13-grams at web scale).
+
+    The benchmark n-gram set is distinct-ed and broadcast — the
+    corpus side is one explode + broadcast hash join + groupBy on
+    ``id_col``, so 100 TB of documents stream through without a
+    corpus-side wide shuffle on n-grams."""
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngram_array(doc_tokens(text_col), n))
+        ).alias("sh"),
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(ngram_array(doc_tokens(text_col), n))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(ngram_array(doc_tokens(text_col), n)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+        ).alias("contamination_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax shared by Java regex and RE2 so the
+# DuckDB oracle matches byte-for-byte (no lookaround, no backrefs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2}[- ]\d{3}[- ]\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_features(text: Column | str) -> dict[str, Column]:
+    """Counts of email / phone / IPv4 literals plus the redacted text
+    (matches replaced with <EMAIL>/<PHONE>/<IP> in that order).
+    Redaction order matters only for overlapping classes — emails are
+    consumed first so their dotted domains can't re-match as hosts."""
+    t = _col(text)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL)).cast("long")
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE)).cast("long")
+    n_ips = F.regexp_count(t, F.lit(PII_IPV4)).cast("long")
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    return {
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+        "n_ips": n_ips,
+        "clean_text": clean,
+    }
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level duplication: split each document into
+    non-overlapping ``chunk_tokens``-token passages, md5 each, and
+    report per document how many of its passages occur more than once
+    in the whole corpus (RefinedWeb-style sub-document dedup — exact
+    duplicates and shared boilerplate light up even when full-doc
+    hashes differ).
+
+    Scale: explode + hash-groupBy on the chunk digest — the classic
+    count-then-join-back, shuffling only (digest, count) pairs."""
+    toks = doc_tokens(text_col)
+    k = chunk_tokens
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * k + 1, k), " ")
+        ),
+    )
+    per_chunk = docs.select(
+        F.col(id_col), F.explode(chunks).alias("chunk_md5")
+    )
+    counts = per_chunk.groupBy("chunk_md5").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    return (
+        per_chunk.join(counts, "chunk_md5")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_occurrences") > 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            (
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -3079,3 +3079,350 @@ def i01_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x14-x19 — training-corpus pipeline stages (operators/corpus.py):
+# Gopher-style repetition + quality gates, greedy sequence packing,
+# eval-set contamination, PII redaction, passage-level dedup. All
+# pure JVM expressions; every double is one IEEE division of exact
+# ints, so the DuckDB oracles hash-match (module docstring rules).
+# ---------------------------------------------------------------------------
+
+_X14_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+         list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+  FROM tok
+),
+tf AS (
+  SELECT doc_id, max(c) AS max_tok FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS t FROM g) GROUP BY doc_id, t
+  ) GROUP BY doc_id
+),
+g2f AS (
+  SELECT doc_id, max(c) AS max_g2 FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS t FROM g) GROUP BY doc_id, t
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(w) AS n_tokens,
+       CASE WHEN len(g2) > 0
+            THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+       END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+       END AS dup_3gram_frac,
+       CASE WHEN len(w) > 0
+            THEN CAST(tf.max_tok AS DOUBLE) / len(w)
+       END AS top_token_frac,
+       CASE WHEN len(g2) > 0
+            THEN CAST(g2f.max_g2 AS DOUBLE) / len(g2)
+       END AS top_2gram_frac
+FROM g LEFT JOIN tf USING (doc_id) LEFT JOIN g2f USING (doc_id)
+"""
+
+
+@register("x14_repetition_features", oracle=_X14_ORACLE)
+def x14_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (duplicate
+    2/3-gram fractions, top-token / top-bigram mass). The Spark side
+    computes top frequency as a longest-run fold over the sorted
+    n-gram array (no shuffle); the oracle counts via unnest+GROUP BY
+    — method-independent equality."""
+    from docker_etl_spark.operators.corpus import repetition_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+_X15_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+             / len(w) AS mean_word_len,
+         CAST(len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$')))
+              AS DOUBLE) / len(w) AS alpha_frac,
+         len(list_filter(
+             w, t -> list_contains(
+                 ['the','a','of','to','and','in','is','for'], t)))
+             AS n_stopwords
+  FROM tok
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+       (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+       (alpha_frac >= 0.8) AS ok_alpha_frac,
+       (n_stopwords >= 2) AS ok_stopwords,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+        AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS keep
+FROM f
+"""
+
+
+@register("x15_quality_filter", oracle=_X15_ORACLE)
+def x15_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate: word-count band, mean word
+    length band, alphabetic-word fraction, stopword evidence — the
+    measured features, one boolean per rule, and the keep verdict."""
+    from docker_etl_spark.operators.corpus import gopher_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = gopher_quality(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+_X16_BUDGET = 256
+
+_X16_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+ordered AS (
+  SELECT lang, doc_id, tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM tok
+),
+packed AS (
+  SELECT lang, doc_id, tok, rn,
+         CAST(0 AS BIGINT) AS pack_id, tok AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.tok, o.rn,
+         CASE WHEN p.used + o.tok > {_X16_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.used + o.tok > {_X16_BUDGET}
+              THEN o.tok ELSE p.used + o.tok END
+  FROM packed p JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1
+)
+SELECT lang, doc_id, tok, pack_id FROM packed
+"""
+
+
+@register("x16_pack_sequences", oracle=_X16_ORACLE)
+def x16_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing of documents into
+    256-token context windows, per language (LLM pretraining batch
+    prep). Spark runs the greedy fold as one collect_list+aggregate
+    expression per group; the oracle replays it as a recursive CTE —
+    identical deterministic pack assignment."""
+    from docker_etl_spark.operators.corpus import doc_tokens, pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(doc_tokens("text")).cast("long").alias("tok"),
+    )
+    return pack_sequences(
+        d, budget=_X16_BUDGET, id_col="doc_id", token_col="tok",
+        group_col="lang",
+    )
+
+
+_X17_ORACLE = """
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM bench
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)
+),
+bsh AS (
+  SELECT DISTINCT unnest(s) AS sh FROM (
+    SELECT list_distinct(list_transform(
+               range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM (SELECT string_split(lower(text), ' ') AS w FROM bench)
+  )
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM (SELECT doc_id, unnest(s) AS sh FROM csh) t
+  JOIN bsh USING (sh) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.s) AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN len(c.s) > 0
+            THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / len(c.s)
+       END AS contamination_frac
+FROM csh c LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("x17_contamination", oracle=_X17_ORACLE)
+def x17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check: per-document fraction of
+    distinct word 3-grams that occur anywhere in a benchmark set
+    (docs with doc_id % 41 == 0). The corpus is augmented with exact
+    copies of the benchmark docs (id + 1_000_000) so the check must
+    flag them at frac = 1.0 — a built-in recall assertion. The
+    benchmark n-gram set is broadcast; corpus side never wide-shuffles."""
+    from docker_etl_spark.operators.corpus import contamination_check
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    corpus = (
+        d.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return contamination_check(corpus, bench, n=3)
+
+
+_X18_PLANT_SQL_DUCK = """
+  text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call +1 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+          ELSE '' END
+"""
+
+_X18_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_X18_PLANT_SQL_DUCK} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+           AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+           t, '\\+\\d{{1,2}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(
+           t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+           AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g'),
+           '\\+\\d{{1,2}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g'),
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+         '<IP>', 'g') AS clean_text
+FROM planted
+"""
+
+
+@register("x18_pii_redact", oracle=_X18_ORACLE)
+def x18_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers, IPv4) over
+    deterministically planted PII (the fixture corpus has none, so
+    matches are synthesized from doc_id — same planting in the
+    oracle). Patterns use only Java-regex/RE2-shared syntax."""
+    from docker_etl_spark.operators.corpus import pii_features
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    feats = pii_features(F.col("t"))
+    return planted.select(
+        "doc_id",
+        feats["n_emails"].alias("n_emails"),
+        feats["n_phones"].alias("n_phones"),
+        feats["n_ips"].alias("n_ips"),
+        feats["clean_text"].alias("clean_text"),
+    )
+
+
+_X19_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+             i -> md5(array_to_string(
+                      list_slice(w, i * 10 + 1, i * 10 + 10), ' '))))
+             AS chunk_md5
+  FROM tok
+),
+cnt AS (
+  SELECT chunk_md5, count(*) AS n FROM ch GROUP BY chunk_md5
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS dup_chunk_frac
+FROM ch JOIN cnt USING (chunk_md5)
+GROUP BY doc_id
+"""
+
+
+@register("x19_passage_dedup", oracle=_X19_ORACLE)
+def x19_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: non-overlapping 10-token chunks,
+    md5 digests, count-then-join-back on the digest — per-document
+    duplicated-passage fraction (sub-document boilerplate/copy
+    detection that whole-doc hashing misses)."""
+    from docker_etl_spark.operators.corpus import passage_dup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return passage_dup_stats(d, chunk_tokens=10)
