@@ -1,6 +1,7 @@
 """Structured Streaming layer (SURVEY.md §2.11 T1-T8)."""
 
 from docker_etl_spark.streaming.core import (  # noqa: F401
+    corpus_filter_stream,
     drain_available,
     file_stream,
     foreach_batch_with_dead_letter,

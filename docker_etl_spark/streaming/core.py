@@ -243,3 +243,39 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def corpus_filter_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus preparation: the batch corpus kernels
+    (operators/corpus.py) applied to documents as they land — the
+    crawl-shard ingestion front of a training-data pipeline.
+
+    Quality gating (Gopher rules) and PII redaction are stateless
+    Column expressions, so they stream for free inside the
+    micro-batch map; exact dedup keys on the md5 of the *redacted*
+    text (two docs differing only in redacted PII are duplicates)
+    through watermark-bounded state (T3 semantics — state evicts, no
+    unbounded-state OOM).
+
+    Output adds ``content_md5`` and replaces ``text_col`` with its
+    redacted form. Works identically on a batch DataFrame (dedup
+    falls back to plain dropDuplicates), which is how the twin test
+    pins streaming == batch results.
+    """
+    from docker_etl_spark.operators.corpus import gopher_quality, pii_features
+
+    keep = gopher_quality(F.col(text_col))["keep"]
+    clean = pii_features(F.col(text_col))["clean_text"]
+    prepared = (
+        stream.filter(keep)
+        .withColumn(text_col, clean)
+        .withColumn("content_md5", F.md5(F.col(text_col)))
+    )
+    return streaming_dedupe(
+        prepared, ["content_md5"], ts_col=ts_col, watermark=watermark
+    )

@@ -117,3 +117,48 @@ def test_dead_letter_capture(spark, tmp_path):
     dead = spark.read.parquet(dlq).collect()
     assert {r.event_type for r in ok} == {"ok"} and len(ok) == 4
     assert {r.event_type for r in dead} == {"poison"} and len(dead) == 4
+
+
+def test_corpus_filter_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus ingest (quality gate + PII redact + content
+    dedup) drains to the same result set as the batch twin on the
+    same files: low-quality docs dropped, PII redacted, cross-batch
+    exact duplicates suppressed."""
+    from docker_etl_spark.streaming import corpus_filter_stream
+
+    schema = "doc_id bigint, ts timestamp, text string"
+    good = "the a " + " ".join(["word"] * 30)
+    pii = good + " mail bob@site.org end"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(batch, base):
+        return [
+            (base + 1, t0 + dt.timedelta(minutes=batch), good),  # dup text
+            (base + 2, t0 + dt.timedelta(minutes=batch), pii),   # dup text
+            (base + 3, t0 + dt.timedelta(minutes=batch), "too short"),
+        ]
+
+    path = str(tmp_path / "corpus_src")
+    for b, base in ((0, 0), (1, 100)):
+        spark.createDataFrame(rows(b, base), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = file_stream(spark, path, schema, max_files_per_trigger=1)
+    drain_available(
+        corpus_filter_stream(stream, ts_col="ts"),
+        checkpoint=str(tmp_path / "ckpt_corpus"),
+        query_name="corpus",
+    )
+    got = spark.sql("SELECT * FROM corpus").collect()
+
+    # one survivor per distinct content: 'good' and redacted-pii text
+    texts = sorted(r.text for r in got)
+    assert len(got) == 2, f"expected 2 deduped docs, got {len(got)}"
+    assert texts[0] == good
+    assert texts[1] == good + " mail <EMAIL> end"
+
+    # batch twin over the same files gives the same content set
+    batch = spark.read.schema(schema).parquet(path)
+    batch_out = corpus_filter_stream(batch, ts_col=None)
+    assert sorted(r.text for r in batch_out.collect()) == texts
