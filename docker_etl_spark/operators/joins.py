@@ -180,3 +180,73 @@ def stratified_sampling_join(
     p = ranked(pool, pool_id_cols)
     c = ranked(demand, demand_id_cols)
     return p.join(c, [stratum_col, "__rn"], "inner").drop("__rn")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time (as-of) left join: for each left row, attach the
+    single right row with the greatest ``right_ts`` <= ``left_ts``
+    (< when ``strict``) within the ``on`` key — the standard
+    snapshot/attribution lookup that SQL engines expose as ASOF JOIN.
+
+    Spark-first plan: instead of a non-equi range join (which Catalyst
+    would run as a nested loop), both sides are tagged and UNIONed,
+    then one window pass per key carries the most recent right
+    payload forward onto each left row — a single shuffle on ``on``
+    plus a sort, the same cost as any windowed aggregate, at any
+    scale. No driver-side loops, no broadcast requirement on either
+    side.
+
+    Within a key, right rows must be unique per ``right_ts`` instant
+    (dedupe first) — otherwise which same-instant payload wins is
+    plan-order-dependent. Ties between left and right at the same
+    instant: inclusive mode matches them (right sorts before left),
+    strict mode does not (right sorts after left).
+
+    Output: all left columns plus ``right_cols`` (null when no as-of
+    match exists). ``left``/``right`` may share column names — right
+    payload is carried in a struct and re-emitted, so only the ``on``
+    keys must align."""
+    on = list(on)
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__p")
+    # right rows sort before left rows at an equal instant (side 0)
+    # in inclusive mode, after them (side 2) in strict mode.
+    r_side = 2 if strict else 0
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ats"),
+        F.lit(r_side).alias("__side"),
+        payload,
+    )
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    l_ = left.select(
+        *on,
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            right.select(payload).schema["__p"].dataType.simpleString()
+        ).alias("__p"),
+        lrow,
+    )
+    r = r.withColumn("__l", F.lit(None).cast(l_.schema["__l"].dataType.simpleString()))
+    unioned = r.unionByName(l_)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__p", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+    return out

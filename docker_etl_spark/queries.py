@@ -3426,3 +3426,87 @@ def x19_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return passage_dup_stats(d, chunk_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# j16 — as-of (point-in-time) join: purchase attribution for clicks.
+# The oracle is DuckDB's native ASOF JOIN — the engine's union+window
+# plan must reproduce it exactly. Timestamps are second-truncated on
+# both sides (ns-vs-us gotcha) and purchases deduped to one row per
+# (user, second) so the as-of pick is deterministic; the gap is
+# calendar timestampdiff (no epoch/timezone arithmetic).
+# ---------------------------------------------------------------------------
+
+_J16_ORACLE = """
+WITH p0 AS (
+  SELECT user_id, date_trunc('second', ts) AS tsec, event_id, value,
+         row_number() OVER (
+             PARTITION BY user_id, date_trunc('second', ts)
+             ORDER BY event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+p AS (
+  SELECT user_id, tsec,
+         event_id AS purchase_event_id, value AS purchase_value
+  FROM p0 WHERE rn = 1
+),
+c AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS tsec
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, p.purchase_event_id, p.purchase_value,
+       CAST(date_diff('second', p.tsec, c.tsec) AS BIGINT) AS gap_seconds
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.tsec >= p.tsec
+"""
+
+
+@register("j16_asof_attribution", oracle=_J16_ORACLE)
+def j16_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup): each click attributed to
+    the same user's most recent purchase at or before it. Engine
+    plan: tag + union + one window pass per user (single shuffle) —
+    never a non-equi nested loop; oracle: DuckDB native ASOF JOIN."""
+    from docker_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    tsec = F.date_trunc("second", F.col("ts"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            tsec.alias("tsec"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "tsec").orderBy(
+                    "purchase_event_id"
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", tsec.alias("ctsec")
+    )
+    joined = asof_join(
+        c,
+        p,
+        on=["user_id"],
+        left_ts="ctsec",
+        right_ts="tsec",
+        right_cols=["purchase_event_id", "purchase_value", "tsec"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_event_id",
+        "purchase_value",
+        F.expr("timestampdiff(SECOND, tsec, ctsec)")
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )

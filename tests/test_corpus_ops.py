@@ -200,3 +200,65 @@ def test_passage_dup_shared_prefix(spark):
     assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
     assert out[2].dup_chunk_frac == pytest.approx(0.5)
     assert out[3].n_dup_chunks == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/joins.py — tested here to avoid a new module)
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", lts=10, tag="L1"), Row(k="a", lts=20, tag="L2"),
+         Row(k="a", lts=5, tag="L0"), Row(k="b", lts=10, tag="L3")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=10, payload="P10"), Row(k="a", rts=15, payload="P15"),
+         Row(k="c", rts=1, payload="PX")]
+    )
+    return left, right
+
+
+def test_asof_join_inclusive(spark):
+    from docker_etl_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r.tag: r.payload
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["payload"]
+        ).collect()
+    }
+    # L0 (t=5): no purchase yet; L1 (t=10): same-instant match P10;
+    # L2 (t=20): latest is P15; L3 key b: no right rows at all.
+    assert out == {"L0": None, "L1": "P10", "L2": "P15", "L3": None}
+
+
+def test_asof_join_strict(spark):
+    from docker_etl_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r.tag: r.payload
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["payload"], strict=True
+        ).collect()
+    }
+    # strict: L1 (t=10) must NOT see the same-instant P10.
+    assert out == {"L0": None, "L1": None, "L2": "P15", "L3": None}
+
+
+def test_asof_join_shared_column_names(spark):
+    from docker_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k="a", ts=10, value=1.0)])
+    right = spark.createDataFrame([Row(k="a", ts=8, value=99.0)])
+    r = asof_join(
+        left,
+        right.withColumnRenamed("value", "rvalue"),
+        ["k"],
+        "ts",
+        "ts",
+        ["rvalue"],
+    ).collect()[0]
+    assert (r.value, r.rvalue) == (1.0, 99.0)
