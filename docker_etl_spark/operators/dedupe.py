@@ -72,3 +72,78 @@ def dedupe_natural_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     survivor is acceptable).
     """
     return df.dropDuplicates(list(keys))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every
+    node labeled with the smallest node id reachable from it — the
+    step that turns pairwise similarity output (x04/x05/x10/x12
+    pairs) into droppable duplicate *clusters* (keep one doc per
+    component, drop the rest).
+
+    Spark-first iterative min-label propagation: each round joins the
+    current labels across the edge list and takes the per-node min of
+    (own label, neighbors' labels); converged when no label changed.
+    Rounds needed = component diameter — near-dup clusters are tiny
+    and dense, so 2-4 rounds in practice; each round is two
+    shuffles on bounded (node, label) pairs, the standard
+    large-graph CC recipe (no driver-side graph state — only the
+    changed-label COUNT is collected per round).
+
+    Returns (node, component) with component = min reachable id.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        )
+        .union(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        # Materialize once: the pair list is usually the output of an
+        # expensive similarity pipeline (minhash/LSH); without this the
+        # iterative joins below would recompute it every round.
+        .localCheckpoint(eager=True)
+    )
+    # Labels start as each node's own id.
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        # Min neighbor label per node, via one edge join.
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "v").withColumnRenamed(
+                    "component", "v_comp"
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_comp").alias("n_comp"))
+            .withColumnRenamed("u", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("n_comp"), F.col("component"))
+                 < F.col("component")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels

@@ -3510,3 +3510,127 @@ def j16_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x20 — near-dup clustering: pairs → connected components → keep/drop.
+# The oracle reuses x09's hash-independent exact-Jaccard pair set as a
+# CTE and computes each node's min reachable id by recursive
+# transitive closure; the engine must produce identical clusters from
+# its iterative min-label propagation over the same (minhash) pairs.
+# ---------------------------------------------------------------------------
+
+_X20_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _X09_ORACLE
+    + """
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT e.u AS node, r.r FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id, (node = cluster_id) AS is_kept
+FROM comp
+"""
+)
+
+
+@register("x20_dedup_clusters", oracle=_X20_ORACLE)
+def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: near-dup pairs (x09's production
+    minhash+LSH config) clustered into connected components by
+    iterative min-label propagation; one keeper (the min doc_id) per
+    cluster. Docs with no near-dup don't appear (nothing to drop)."""
+    from docker_etl_spark.operators.dedupe import connected_components
+    from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g03 — hypertable-style rollup cascade (re-aggregation algebra).
+# Raw events are aggregated ONCE at 5-minute grain; hourly and daily
+# grains re-aggregate the next-finer pre-aggregate (sum-of-sums,
+# sum-of-counts, min-of-mins, max-of-maxes; avg derived at the edge).
+# At 100 TB this is the continuous-aggregate pattern: one pass over
+# raw data, every coarser resolution from the materialized fine
+# grain. The oracle computes the daily grain directly from raw rows —
+# green means the algebra is exactly lossless (decimal sums are
+# order- and nesting-independent).
+# ---------------------------------------------------------------------------
+
+_G03_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("g03_rollup_cascade", oracle=_G03_ORACLE)
+def g03_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5min → hour → day rollup cascade over pre-aggregates; the
+    oracle aggregates raw→day directly, pinning the re-aggregation
+    algebra as lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    fine = ev.groupBy(
+        F.window("ts", "300 seconds").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(
+        F.col("w.start").alias("bucket"), "event_type", "n", "sum_dec",
+        "min_value", "max_value",
+    )
+    hourly = fine.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        _dbl(F.col("sum_dec")).alias("total_value"),
+        "min_value",
+        "max_value",
+        (_dbl(F.col("sum_dec")) / F.col("n").cast("double")).alias(
+            "avg_value"
+        ),
+    )

@@ -262,3 +262,40 @@ def test_asof_join_shared_column_names(spark):
         ["rvalue"],
     ).collect()[0]
     assert (r.value, r.rvalue) == (1.0, 99.0)
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/dedupe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (diameter 3 — needs >1 propagation round), a
+    2-node pair, and an unlisted singleton (absent from output)."""
+    from docker_etl_spark.operators.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=4, id_b=3),
+            Row(id_a=3, id_b=2),
+            Row(id_a=2, id_b=1),  # chain 1-2-3-4
+            Row(id_a=10, id_b=11),
+        ]
+    )
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merging_clusters(spark):
+    """Two clusters bridged by one edge collapse to one component."""
+    from docker_etl_spark.operators.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=5, id_b=6), Row(id_a=2, id_b=6)]
+    )
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}
