@@ -65,12 +65,19 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
     assert "partial_sum" in txt or "Partial" in txt
 
 
-def test_range_join_broadcasts_spine(spark, sf_dir):
-    """J6: the date-spine non-equi join must be broadcast nested loop
-    (spine side broadcast), not a cartesian shuffle."""
+def test_range_join_is_bucketed_equi(spark, sf_dir):
+    """J6: the date-spine range join runs as a month-bucketed EQUI
+    hash join (bucket key + residual range predicate) — never a
+    nested loop or cartesian, so the plan survives an orders side
+    1000x bigger than the spine."""
     txt = formatted(QUERIES["j06_orders_active_per_month"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in txt
+    assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+    assert (
+        "BroadcastHashJoin" in txt
+        or "ShuffledHashJoin" in txt
+        or "SortMergeJoin" in txt
+    )
 
 
 # The ONLY queries allowed an Arrow-batched Python stage: model fit
