@@ -274,12 +274,15 @@ def contamination_check(
     run with 13-grams at web scale).
 
     The benchmark n-gram set is distinct-ed and broadcast — the
-    corpus side is one explode + broadcast hash join + groupBy on
-    ``id_col``, so 100 TB of documents stream through without a
-    corpus-side wide shuffle on n-grams."""
+    corpus side is ONE pass: a single explode (outer, so empty docs
+    keep a row), a broadcast left join marking benchmark hits, and
+    one groupBy on ``id_col`` computing total and contaminated
+    shingle counts together. 100 TB of documents stream through with
+    no corpus-side wide shuffle on n-grams and the n-gram expression
+    evaluated exactly once per document."""
     d_sh = docs.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(ngram_array(doc_tokens(text_col), n))
         ).alias("sh"),
     )
@@ -290,29 +293,27 @@ def contamination_check(
             ).alias("sh")
         )
         .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
     )
-    hits = (
-        d_sh.join(F.broadcast(b_sh), "sh")
+    return (
+        d_sh.join(F.broadcast(b_sh), "sh", "left")
         .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_contaminated"))
-    )
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(ngram_array(doc_tokens(text_col), n)))
-        .cast("long")
-        .alias("n_shingles"),
-    )
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
-            "n_contaminated"
-        ),
-        F.when(
-            F.col("n_shingles") > 0,
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
-            / F.col("n_shingles").cast("double"),
-        ).alias("contamination_frac"),
+        .agg(
+            F.count("sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"),
+            ).alias("contamination_frac"),
+        )
     )
 
 
@@ -403,3 +404,51 @@ def passage_dup_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-weighted mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    key_cols: tuple[str, ...] = ("doc_id",),
+    default_rate: float = 0.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-weighted subsampling — the step that turns
+    raw corpora into a training mixture ("web at 30%, wiki at 100%,
+    ...", the standard pretraining data-recipe knob).
+
+    Each row draws a reproducible uniform from the md5 of its key
+    (first 8 hex chars, compared lexicographically against the rate's
+    precomputed 8-hex threshold — pure string compare, so any engine
+    that agrees on md5 agrees on the sample, row by row). Keeps a row
+    iff u < rate[domain]. Map-only: no shuffle, no RNG state, stable
+    under retries/partitioning — at 100 TB the sample is a filter
+    pushed into the scan pipeline, and re-running any subset of
+    partitions reselects exactly the same rows (the property
+    ``F.rand`` does NOT have under task retry).
+
+    Rates outside [0, 1] are clamped; domains absent from ``rates``
+    use ``default_rate`` (0.0 = drop unknown domains, the fail-closed
+    default for a curated mixture).
+    """
+
+    def threshold_hex(rate: float) -> str:
+        r = min(max(rate, 0.0), 1.0)
+        return format(int(r * 0xFFFFFFFF), "08x")
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    u = F.substring(F.md5(key), 1, 8)
+    thresh = F.lit(threshold_hex(default_rate))
+    for dom, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(domain_col) == dom, F.lit(threshold_hex(rate))
+        ).otherwise(thresh)
+    return df.filter(u < thresh)

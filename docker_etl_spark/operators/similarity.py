@@ -379,3 +379,153 @@ def embedding_near_duplicates(
     return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (storage/compute compression for the ANN paths)
+# ---------------------------------------------------------------------------
+
+
+def quantize_vectors_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i * 127 /
+    max|x|), giving values in [-127, 127] with one scale per vector
+    (``{out_col}_scale`` = max|x| / 127, the dequantization factor).
+
+    floor of a single correctly-rounded IEEE division is
+    bit-reproducible across engines (no round-half cases), so the
+    quantized vectors — unlike float dot products — hash-match a
+    DuckDB oracle exactly. 4x smaller than float32 at rest; integer
+    dot products thereafter are exact and overflow-safe
+    (127^2 * dim << 2^63).
+
+    All-zero vectors quantize to all-zero (scale NULL).
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        maxabs > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * 127 / maxabs).cast("bigint"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+    scale = F.when(maxabs > 0, maxabs / 127).otherwise(F.lit(None))
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over quantized vectors — IVF centroid training
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int = 2,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Train IVF coarse centroids with Lloyd's algorithm, entirely in
+    integer arithmetic so every assignment is exact and
+    cross-engine-reproducible (the training twin of ``ivf_topk``,
+    which probes cells someone else trained).
+
+    Deterministic spec: vectors quantize to floor(x * quant_scale);
+    initial centroids are the quantized vectors of the k smallest ids;
+    each round assigns every vector to the centroid minimizing the
+    integer squared L2 distance (ties -> lower centroid index) and
+    recomputes centroid dims as floor(sum / count) — a whole-second
+    integer grid, so there is no float drift anywhere.
+
+    Scale: per round = one broadcast of k centroid rows into a
+    map-side argmin (k * dim multiplies per vector, no join shuffle)
+    + one groupBy(cluster) shuffle bounded by k * dim. Iterations are
+    driver-bounded (the standard fixed-rounds mini-batch recipe);
+    centroids live in the plan as literals, never in driver loops
+    over .collect()'ed corpus rows.
+
+    Returns (cluster_id, n_members, member_id_sum, centroid_sum) —
+    cluster cardinality, an exact membership checksum, and the sum of
+    the centroid's dims (training-result fingerprint).
+    """
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
+    )
+    base = df.select(F.col(id_col).alias("__id"), vq.alias("__vq"))
+    base = base.localCheckpoint(eager=True)
+
+    # Init: k smallest ids' vectors, pulled as plan literals (k rows).
+    init_rows = (
+        base.orderBy("__id").limit(k).select("__id", "__vq").collect()
+    )
+    centroids = [list(r.__vq) for r in sorted(init_rows, key=lambda r: r.__id)]
+
+    def centroid_literal(c: list[int]) -> Column:
+        return F.expr(
+            "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+        )
+
+    assigned = None
+    for _ in range(iterations):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("__vq"),
+                    centroid_literal(c),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        best = F.lit(0)
+        best_d = dists[0]
+        for j in range(1, k):
+            cond = dists[j] < best_d
+            best = F.when(cond, F.lit(j)).otherwise(best)
+            best_d = F.when(cond, dists[j]).otherwise(best_d)
+        assigned = base.withColumn("__cluster", best)
+        new_rows = (
+            assigned.groupBy("__cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.floor(
+                        F.sum(F.element_at("__vq", d + 1)).cast("double")
+                        / F.count("*")
+                    )
+                    .cast("bigint")
+                    .alias(f"d{d}")
+                    for d in range(len(centroids[0]))
+                ],
+            )
+            .collect()
+        )
+        by_cluster = {r.__cluster: r for r in new_rows}
+        centroids = [
+            [by_cluster[j][f"d{d}"] for d in range(len(centroids[0]))]
+            if j in by_cluster
+            else centroids[j]  # empty cluster keeps its centroid
+            for j in range(k)
+        ]
+    return (
+        assigned.groupBy(F.col("__cluster").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("__id").cast("long").alias("member_id_sum"),
+        )
+        .withColumn(
+            "centroid_sum",
+            F.lit(0).cast("bigint")
+            + sum(
+                (F.when(F.col("cluster_id") == j, int(sum(c))).otherwise(0)
+                 for j, c in enumerate(centroids)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )

@@ -120,3 +120,48 @@ def document_fingerprint(
 def fingerprint_key(text: Column | str, k: int = 5, shingle_n: int = 3) -> Column:
     """Single-value digest of the fingerprint — a clusterable key."""
     return F.md5(F.array_join(document_fingerprint(text, k, shingle_n), ""))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document, tf-idf style: rank a
+    document's terms by term frequency descending, breaking ties by
+    document frequency ascending (rarer wins — the idf direction),
+    then term ascending. Integer-only ordering, so the ranking is
+    bit-reproducible across engines; a float tf·log(N/df) score ranks
+    identically within a document when tf dominates and serves the
+    same keyword-extraction purpose.
+
+    Two shuffles at any scale: one groupBy (term df over the corpus —
+    bounded by vocabulary, not corpus size) and one window partitioned
+    by document (top-k per doc). The df side is a vocabulary-sized
+    dimension; Spark broadcasts it into the per-doc join when small
+    and hash-joins on the term key when not — never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        tokens(text_col), lambda t: F.length(t) >= min_token_len
+    )
+    term_rows = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doc_freq = term_rows.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        term_rows.join(doc_freq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )

@@ -73,3 +73,70 @@ def moving_average(
         .rowsBetween(-(window_rows - 1), 0)
     )
     return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Batch gap-based sessionization: consecutive events of a key
+    belong to one session while the gap between neighbors stays
+    <= ``gap_seconds``; a larger gap opens a new session. The batch
+    twin of ``streaming/core.sessionize_with_state`` (same semantics,
+    one window pass instead of per-batch state).
+
+    Classic two-window recipe — lag to flag session starts, running
+    sum of flags to number sessions — so the whole thing is ONE
+    shuffle on the key columns; both windows and the final groupBy
+    share that partitioning (Catalyst reuses the exchange).
+
+    Timestamps are truncated to whole seconds before gap arithmetic
+    (integer-exact; immune to sub-second precision differences across
+    engines/storage), and ordering is (second, *order_tiebreak) so
+    same-second events sessionize deterministically.
+
+    Returns one row per session: key cols, session_start/session_end
+    (second-truncated timestamps), duration_seconds, n_events.
+    """
+    tsec = F.date_trunc("second", F.col(ts_col))
+    order = [tsec.asc(), *[F.col(c).asc() for c in order_tiebreak]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(tsec).over(w)
+    numbered = (
+        df.withColumn("__tsec", tsec)
+        .withColumn("__prev_ts", prev)
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev_ts").isNull()
+                | (
+                    F.expr("timestampdiff(SECOND, __prev_ts, __tsec)")
+                    > gap_seconds
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        numbered.groupBy(*key_cols, "session_idx")
+        .agg(
+            F.min("__tsec").alias("session_start"),
+            F.max("__tsec").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .withColumn(
+            "duration_seconds",
+            F.expr(
+                "timestampdiff(SECOND, session_start, session_end)"
+            ).cast("bigint"),
+        )
+    )

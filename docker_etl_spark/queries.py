@@ -47,6 +47,16 @@ from docker_etl_spark.operators.joins import (
 from docker_etl_spark.operators.windows import lag_features, share_of_total
 from docker_etl_spark.sources.io import load_table
 
+def load_docs_spread(spark, sf_dir):
+    """documents.parquet arrives as ONE file = one input partition;
+    repartition to defaultParallelism before compute-heavy per-row
+    text kernels so all cores work (operators/_util.spread_for_compute
+    rationale; measured 11x on x14 at sf0.1)."""
+    from docker_etl_spark.operators._util import spread_for_compute
+
+    return spread_for_compute(load_table(spark, sf_dir, "documents"))
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -3145,7 +3155,7 @@ def x14_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     — method-independent equality."""
     from docker_etl_spark.operators.corpus import repetition_features
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_docs_spread(spark, sf_dir)
     feats = repetition_features(F.col("text"))
     return d.select(
         "doc_id", *[c.alias(name) for name, c in feats.items()]
@@ -3188,7 +3198,7 @@ def x15_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured features, one boolean per rule, and the keep verdict."""
     from docker_etl_spark.operators.corpus import gopher_quality
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_docs_spread(spark, sf_dir)
     feats = gopher_quality(F.col("text"))
     return d.select(
         "doc_id", *[c.alias(name) for name, c in feats.items()]
@@ -3233,7 +3243,7 @@ def x16_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical deterministic pack assignment."""
     from docker_etl_spark.operators.corpus import doc_tokens, pack_sequences
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_docs_spread(spark, sf_dir).select(
         "lang",
         "doc_id",
         F.size(doc_tokens("text")).cast("long").alias("tok"),
@@ -3293,7 +3303,7 @@ def x17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark n-gram set is broadcast; corpus side never wide-shuffles."""
     from docker_etl_spark.operators.corpus import contamination_check
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_docs_spread(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
     corpus = (
         d.filter(F.col("doc_id") % 41 != 0)
@@ -3355,7 +3365,7 @@ def x18_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). Patterns use only Java-regex/RE2-shared syntax."""
     from docker_etl_spark.operators.corpus import pii_features
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_docs_spread(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
@@ -3430,7 +3440,7 @@ def x19_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection that whole-doc hashing misses)."""
     from docker_etl_spark.operators.corpus import passage_dup_stats
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_docs_spread(spark, sf_dir)
     return passage_dup_stats(d, chunk_tokens=10)
 
 
