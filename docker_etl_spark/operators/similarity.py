@@ -462,7 +462,9 @@ def kmeans_fit_quantized(
     init_rows = (
         base.orderBy("__id").limit(k).select("__id", "__vq").collect()
     )
-    centroids = [list(r.__vq) for r in sorted(init_rows, key=lambda r: r.__id)]
+    centroids = [
+        list(r["__vq"]) for r in sorted(init_rows, key=lambda r: r["__id"])
+    ]
 
     def centroid_literal(c: list[int]) -> Column:
         return F.expr(
@@ -506,7 +508,7 @@ def kmeans_fit_quantized(
             )
             .collect()
         )
-        by_cluster = {r.__cluster: r for r in new_rows}
+        by_cluster = {r["__cluster"]: r for r in new_rows}
         centroids = [
             [by_cluster[j][f"d{d}"] for d in range(len(centroids[0]))]
             if j in by_cluster

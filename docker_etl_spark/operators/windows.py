@@ -101,7 +101,12 @@ def sessionize(
     Returns one row per session: key cols, session_start/session_end
     (second-truncated timestamps), duration_seconds, n_events.
     """
-    tsec = F.date_trunc("second", F.col(ts_col))
+    # date_trunc silently promotes TIMESTAMP_NTZ to session-local
+    # TIMESTAMP; cast back so naive event times stay naive (a
+    # collect() under a non-UTC session tz would otherwise shift
+    # every session boundary).
+    ts_type = df.schema[ts_col].dataType
+    tsec = F.date_trunc("second", F.col(ts_col)).cast(ts_type)
     order = [tsec.asc(), *[F.col(c).asc() for c in order_tiebreak]]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev = F.lag(tsec).over(w)

@@ -3650,3 +3650,328 @@ def g03_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# w08 — batch gap sessionization (the batch twin of
+# streaming/core.sessionize_with_state; one shuffle on user_id).
+# ---------------------------------------------------------------------------
+
+_W08_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000) AS tsec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tsec,
+         CASE WHEN lag(tsec) OVER w IS NULL
+                   OR date_diff('second', lag(tsec) OVER w, tsec) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+),
+numbered AS (
+  SELECT user_id, tsec,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(tsec) AS session_start,
+       MAX(tsec) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(date_diff('second', MIN(tsec), MAX(tsec)) AS BIGINT)
+           AS duration_seconds
+FROM numbered GROUP BY 1, 2
+"""
+
+
+@register("w08_sessionization", oracle=_W08_ORACLE)
+def w08_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute
+    inactivity closes a session). Timestamps truncate to whole
+    seconds before gap arithmetic so the session boundaries are
+    integer-exact in any engine."""
+    from docker_etl_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        gap_seconds=1800,
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_seconds",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x21 — domain-weighted mixture sampling (training data recipe).
+# The md5-hex-threshold draw is a pure string compare, so the oracle
+# reselects the identical rows — membership is pinned by the id_sum
+# checksum, not just counts.
+# ---------------------------------------------------------------------------
+
+_X21_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+_X21_DEFAULT = 0.1
+
+
+def _hex_threshold(rate: float) -> str:
+    r = min(max(rate, 0.0), 1.0)
+    return format(int(r * 0xFFFFFFFF), "08x")
+
+
+_X21_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'mix'), 1, 8) <
+      CASE source
+        WHEN 'src0' THEN '{_hex_threshold(1.0)}'
+        WHEN 'src1' THEN '{_hex_threshold(0.5)}'
+        WHEN 'src2' THEN '{_hex_threshold(0.25)}'
+        WHEN 'src3' THEN '{_hex_threshold(0.125)}'
+        ELSE '{_hex_threshold(_X21_DEFAULT)}'
+      END
+GROUP BY source
+"""
+
+
+@register("x21_mixture_sample", oracle=_X21_ORACLE)
+def x21_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-weighted mixture sample over the corpus:
+    per-source keep rates (100%/50%/25%/12.5%, 10% elsewhere), drawn
+    from md5(doc_id) so the sample is reproducible row-by-row under
+    retries and repartitioning. Output = per-source sampled count +
+    exact membership checksum."""
+    from docker_etl_spark.operators.corpus import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s = mixture_sample(
+        d,
+        domain_col="source",
+        rates=_X21_RATES,
+        key_cols=("doc_id",),
+        default_rate=_X21_DEFAULT,
+        seed="mix",
+    )
+    return s.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x22 — int8-quantized similarity search: 4x-compressed vectors,
+# exact integer dot products. Quantization uses floor of one IEEE
+# division, so quantized vectors (and hence the ranking) are
+# bit-identical in the oracle.
+# ---------------------------------------------------------------------------
+
+_X22_ORACLE = """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / m) AS BIGINT)
+         ) AS q
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+    FROM embeddings
+  )
+  WHERE m > 0
+),
+queries AS (SELECT vec_id AS query_id, q AS qq FROM q8 WHERE vec_id < 3),
+scored AS (
+  SELECT p.query_id, c.vec_id AS corpus_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> p.qq[i] * c.q[i]))
+              AS BIGINT) AS qdot
+  FROM queries p, q8 c
+  WHERE c.vec_id != p.query_id
+)
+SELECT query_id, corpus_id, qdot,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, corpus_id ASC) AS BIGINT)
+           AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register("x22_quantized_ann", oracle=_X22_ORACLE)
+def x22_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors per query under int8 quantization
+    (operators/similarity.quantize_vectors_int8): the compressed-
+    vector search path — 4x less memory traffic than float32, integer
+    dot products, identical plan shape to x06's broadcast baseline."""
+    from docker_etl_spark.operators.similarity import (
+        dot_int,
+        quantize_vectors_int8,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q8 = quantize_vectors_int8(em, "embedding", out_col="q").filter(
+        F.col("q_scale").isNotNull()
+    )
+    corpus = q8.select(F.col("vec_id").alias("corpus_id"), "q")
+    queries = q8.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "corpus_id",
+        dot_int(F.col("qq"), F.col("q")).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "corpus_id", "qdot", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x23 — IVF centroid training: 2 Lloyd iterations in exact integer
+# arithmetic (operators/similarity.kmeans_fit_quantized). The oracle
+# replays the same deterministic spec — quantize, k-smallest-id init,
+# argmin assignment (ties -> lower centroid), floor(sum/count)
+# centroid update — as chained CTEs.
+# ---------------------------------------------------------------------------
+
+_X23_K = 4
+
+_X23_ORACLE = """
+WITH vq AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+             AS v
+  FROM embeddings
+),
+init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
+  FROM vq ORDER BY id LIMIT 4
+),
+a1 AS (
+  SELECT id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY id
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) ASC, cid ASC
+         ) AS rn
+  FROM vq, init
+),
+assign1 AS (SELECT id, v, cid FROM a1 WHERE rn = 1),
+cent1 AS (
+  SELECT cid, list(val ORDER BY dim) AS cv FROM (
+    SELECT a.cid, r.i AS dim,
+           CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS val
+    FROM assign1 a CROSS JOIN range(1, 65) r(i)
+    GROUP BY a.cid, r.i
+  ) GROUP BY cid
+),
+a2 AS (
+  SELECT id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY id
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) ASC, cid ASC
+         ) AS rn
+  FROM vq, cent1
+),
+assign2 AS (SELECT id, v, cid FROM a2 WHERE rn = 1),
+cent2 AS (
+  SELECT cid, list(val ORDER BY dim) AS cv FROM (
+    SELECT a.cid, r.i AS dim,
+           CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS val
+    FROM assign2 a CROSS JOIN range(1, 65) r(i)
+    GROUP BY a.cid, r.i
+  ) GROUP BY cid
+)
+SELECT a.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(a.id) AS BIGINT) AS member_id_sum,
+       CAST(MIN(list_sum(c.cv)) AS BIGINT) AS centroid_sum
+FROM assign2 a JOIN cent2 c ON a.cid = c.cid
+GROUP BY a.cid
+"""
+
+
+@register("x23_kmeans_ivf_train", oracle=_X23_ORACLE)
+def x23_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 4 IVF coarse centroids over the embeddings with two
+    integer-exact Lloyd rounds; emits per-cluster cardinality, an
+    exact membership checksum, and the centroid fingerprint."""
+    from docker_etl_spark.operators.similarity import kmeans_fit_quantized
+
+    em = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_fit_quantized(
+        em, vec_col="embedding", id_col="vec_id", k=_X23_K, iterations=2
+    )
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "member_id_sum",
+        "centroid_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x24 — per-document characteristic terms, tf-idf style. Integer-only
+# ranking (tf desc, df asc, term asc) so the top-k set is
+# bit-reproducible across engines.
+# ---------------------------------------------------------------------------
+
+_X24_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            t -> length(t) >= 3)) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id, term, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
+  FROM tf JOIN df USING (term)
+) WHERE rank <= 3
+"""
+
+
+@register("x24_tfidf_top_terms", oracle=_X24_ORACLE)
+def x24_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (tf-idf ranking:
+    frequency in the doc, rarity in the corpus as tiebreak). The df
+    side is a vocabulary-sized aggregate joined back on the term key."""
+    from docker_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    d = load_docs_spread(spark, sf_dir)
+    out = tfidf_top_terms(d, text_col="text", id_col="doc_id", k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.col("rank").cast("bigint").alias("rank")
+    )

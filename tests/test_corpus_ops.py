@@ -299,3 +299,139 @@ def test_connected_components_merging_clusters(spark):
         r.node: r.component for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from docker_etl_spark.operators.corpus import mixture_sample
+
+    rows = [Row(doc_id=i, source="a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = mixture_sample(
+        df, "source", {"a": 1.0, "b": 0.25}, key_cols=("doc_id",)
+    )
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1000  # rate 1.0 keeps everything
+    assert 150 < counts.get("b", 0) < 350  # ~250 expected
+    # deterministic: second run selects the identical rows
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in mixture_sample(
+        df, "source", {"a": 1.0, "b": 0.25}, key_cols=("doc_id",)).collect())
+    assert ids1 == ids2
+    # unknown domain drops by default
+    df2 = spark.createDataFrame([Row(doc_id=1, source="zzz")])
+    assert mixture_sample(df2, "source", {"a": 1.0}).count() == 0
+    # ...and default_rate=1.0 keeps it
+    assert mixture_sample(
+        df2, "source", {"a": 0.5}, default_rate=1.0).count() == 1
+
+
+def test_mixture_sample_partition_invariant(spark):
+    """The sample is a pure per-row function of the key — identical
+    membership at any partitioning (the retry/resume guarantee)."""
+    from docker_etl_spark.operators.corpus import mixture_sample
+
+    rows = [Row(doc_id=i, source="w") for i in range(500)]
+    a = spark.createDataFrame(rows).repartition(1)
+    b = spark.createDataFrame(rows).repartition(13)
+    ids_a = sorted(r.doc_id for r in mixture_sample(a, "source", {"w": 0.3}).collect())
+    ids_b = sorted(r.doc_id for r in mixture_sample(b, "source", {"w": 0.3}).collect())
+    assert ids_a == ids_b
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_split(spark):
+    import datetime as dt
+    from docker_etl_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, event_id=1, ts=t0),
+        Row(user_id=1, event_id=2, ts=t0 + dt.timedelta(seconds=100)),
+        # gap of exactly 1800s -> same session (> threshold splits)
+        Row(user_id=1, event_id=3, ts=t0 + dt.timedelta(seconds=1900)),
+        # gap 1801s -> NEW session
+        Row(user_id=1, event_id=4, ts=t0 + dt.timedelta(seconds=3701)),
+        Row(user_id=2, event_id=5, ts=t0),
+    ]
+    out = sessionize(
+        spark.createDataFrame(rows), ["user_id"], "ts", 1800,
+        order_tiebreak=["event_id"],
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.session_idx)
+    assert [r.n_events for r in u1] == [3, 1]
+    assert u1[0].duration_seconds == 1900
+    assert len(by_user[2]) == 1 and by_user[2][0].n_events == 1
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization + kmeans (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_vectors_int8_bounds(spark):
+    from docker_etl_spark.operators.similarity import quantize_vectors_int8
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -0.5, 0.25]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0]),
+        ]
+    )
+    got = {r.vec_id: r for r in quantize_vectors_int8(df).collect()}
+    assert got[1].q == [127, -64, 31]  # floor semantics
+    assert abs(got[1].q_scale - 1.0 / 127) < 1e-12
+    assert got[2].q == [0, 0, 0] and got[2].q_scale is None
+    assert all(-127 <= x <= 127 for x in got[1].q)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from docker_etl_spark.operators.similarity import kmeans_fit_quantized
+
+    rows = [
+        Row(vec_id=i, embedding=[10.0 + 0.01 * i, 10.0]) for i in range(5)
+    ] + [
+        Row(vec_id=100 + i, embedding=[-10.0 - 0.01 * i, -10.0])
+        for i in range(5)
+    ]
+    out = kmeans_fit_quantized(
+        spark.createDataFrame(rows), "embedding", "vec_id", k=2, iterations=2
+    ).collect()
+    sizes = sorted(r.n_members for r in out)
+    assert sizes == [5, 5]
+    # membership checksum separates the two blobs exactly
+    sums = sorted(r.member_id_sum for r in out)
+    assert sums == [sum(range(5)), sum(range(100, 105))]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms (operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_term_beats_common_on_tie(spark):
+    from docker_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple zebra zebra common"),
+            Row(doc_id=2, text="common apple banana banana banana"),
+        ]
+    )
+    out = tfidf_top_terms(df, k=2)
+    top1 = {r.rank: r.term for r in out.filter(F.col("doc_id") == 1).collect()}
+    # tf ties at 2 for apple & zebra; zebra is rarer (df 1 vs 2) -> wins
+    assert top1[1] == "zebra"
+    assert top1[2] == "apple"
