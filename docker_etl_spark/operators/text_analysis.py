@@ -165,3 +165,79 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "rank")
     )
+
+
+def bm25_term_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.25,
+    b: float = 0.75,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-(document, query-term) BM25 relevance scores.
+
+    The retrieval primitive of a training-data curation stack (query a
+    100 TB corpus for topical slices). One row per document x matched
+    query term with the classic BM25 saturation term:
+
+        score = odds_idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+        odds_idf = (N - df + 0.5) / (df + 0.5)
+
+    ``odds_idf`` is the Robertson idf *before* the log — ln() is the
+    one BM25 op whose last-ulp value differs across math libraries, and
+    it is monotone, so ranking by the rational form is
+    ranking-equivalent and bit-reproducible (same reason
+    tfidf_top_terms ranks on integers). k1 defaults to 1.25 (an exact
+    binary fraction, unlike the textbook 1.2) so every constant in the
+    chain is exactly representable; with explicit parenthesization both
+    engines evaluate the identical correctly-rounded IEEE op sequence.
+
+    Scale: the explode is pre-filtered to the query-term set, so the
+    shuffled (doc, term) stream is |matches|, not |tokens|; corpus
+    stats (N, total dl) are a 1-row broadcast; df per query term is a
+    |terms|-row broadcast. No window, no all-pairs anything.
+    """
+    toks = F.filter(
+        tokens(text_col), lambda t: F.length(t) >= min_token_len
+    )
+    docs = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    term_set = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.explode(
+                F.filter(F.col("__toks"), lambda t: F.array_contains(term_set, t))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    joined = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    odds_idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    score = odds_idf * (
+        (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl)))
+    )
+    return joined.select(
+        F.col(id_col), "term", "tf", "df", "dl", score.alias("score")
+    )

@@ -145,3 +145,52 @@ def sessionize(
             ).cast("bigint"),
         )
     )
+
+
+def decayed_window_sum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    lookback: int = 7,
+    out_col: str = "decayed_sum",
+) -> DataFrame:
+    """Half-life-decayed rolling sum: for each row, sum of the trailing
+    ``lookback + 1`` values weighted by ``0.5 ** rows_back`` (the newest
+    row gets weight 1, the row ``k`` back gets ``2**-k``).
+
+    The exponential-decay feature a training pipeline derives from an
+    activity series (recency-weighted engagement, decayed error rates)
+    — same family as the reference's windowed trend features
+    (jobs/search-alert/search_alert/main.py:195-231) but with
+    geometric instead of flat weights.
+
+    Determinism: weights are exact binary fractions (``2**-k``,
+    ``k <= lookback``) and integer-valued inputs make every term an
+    exact multiple of ``2**-lookback``, so the sum is exact and
+    order-independent — bit-identical across engines for any
+    accumulation order (queries.py module rules).
+
+    Scale: one shuffle on ``partition_by`` + one sort; the weighted
+    fold runs over a bounded ``collect_list`` frame (``lookback + 1``
+    rows) entirely in JVM higher-order functions — no UDF, no
+    second shuffle, state bounded per row.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-lookback, 0)
+    )
+    arr = "__decay_frame"
+    terms = F.transform(
+        F.col(arr),
+        lambda v, i: v.cast("double")
+        * F.pow(F.lit(0.5), (F.size(F.col(arr)) - 1 - i).cast("double")),
+    )
+    return (
+        df.withColumn(arr, F.collect_list(F.col(value_col)).over(w))
+        .withColumn(
+            out_col, F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        )
+        .drop(arr)
+    )

@@ -3975,3 +3975,187 @@ def x24_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "term", "tf", "df", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# w09 — half-life-decayed rolling engagement (decayed_window_sum).
+# Integer daily counts weighted by exact binary fractions (2**-k), so
+# every term is an exact multiple of 2**-7 and the sum is
+# order-independent — bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_W09_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+rn AS (
+    SELECT day, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM daily
+)
+SELECT a.event_type, a.day, a.n,
+       SUM(b.n * POWER(0.5, CAST(a.rn - b.rn AS DOUBLE))) AS decayed_sum
+FROM rn a JOIN rn b
+  ON b.event_type = a.event_type AND b.rn BETWEEN a.rn - 7 AND a.rn
+GROUP BY 1, 2, 3
+"""
+
+
+@register("w09_decayed_engagement", oracle=_W09_ORACLE)
+def w09_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted daily event counts per type: trailing-8-row
+    sum with half-life-per-row decay (operators.windows.decayed_window_sum).
+
+    The oracle reproduces the row-offset weighting with a bounded
+    range self-join — the window-frame fold and the join formulation
+    are the same sum because every term is exact in binary."""
+    from docker_etl_spark.operators.windows import decayed_window_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = decayed_window_sum(
+        daily, ["event_type"], ["day"], "n", lookback=7
+    )
+    return out.select("event_type", "day", "n", "decayed_sum")
+
+
+# ---------------------------------------------------------------------------
+# x25 — BM25 relevance scores for a fixed query-term set over the
+# document corpus. Rational odds-idf (no ln) keeps the score chain
+# inside correctly-rounded IEEE ops — see bm25_term_scores docstring.
+# ---------------------------------------------------------------------------
+
+_X25_TERMS = ("hash", "join", "window", "vector")
+
+_X25_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN ('hash', 'join', 'window', 'vector')
+    GROUP BY 1, 2, 3
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.dl,
+       ((CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        / (CAST(df.df AS DOUBLE) + 0.5))
+       * ((CAST(tf.tf AS DOUBLE) * 2.25)
+          / (CAST(tf.tf AS DOUBLE)
+             + 1.25 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                 / (CAST(stats.sum_dl AS DOUBLE)
+                    / CAST(stats.n_docs AS DOUBLE)))))) AS score
+FROM tf JOIN df USING (term) CROSS JOIN stats
+"""
+
+
+@register("x25_bm25_scores", oracle=_X25_ORACLE)
+def x25_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(document, query-term) BM25 scores — the retrieval
+    primitive for querying a corpus for topical slices. Candidate
+    stream is pre-filtered to the query-term set before the explode;
+    corpus stats and per-term df are tiny broadcasts."""
+    from docker_etl_spark.operators.text_analysis import bm25_term_scores
+
+    d = load_docs_spread(spark, sf_dir)
+    return bm25_term_scores(
+        d, _X25_TERMS, text_col="text", id_col="doc_id", k1=1.25, b=0.75
+    )
+
+
+# ---------------------------------------------------------------------------
+# d07 — SCD2 validity intervals from the order change stream
+# (operators.scd.scd2_build): warehouse-maintenance primitive behind
+# the reference's daily snapshot-history pattern.
+# ---------------------------------------------------------------------------
+
+_D07_ORACLE = """
+WITH w AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           LAG(o_orderstatus) OVER win AS prev,
+           ROW_NUMBER() OVER win AS rn
+    FROM orders
+    WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+opens AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+    FROM w
+    WHERE rn = 1 OR (prev IS DISTINCT FROM o_orderstatus)
+)
+SELECT o_custkey, o_orderstatus,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER win AS valid_to,
+       (LEAD(o_orderdate) OVER win IS NULL) AS is_current
+FROM opens
+WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("d07_scd2_intervals", oracle=_D07_ORACLE)
+def d07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each customer's order-status stream into SCD2 validity
+    intervals (change detection by lag, interval close by lead —
+    one shuffle on the entity key, no self-join)."""
+    from docker_etl_spark.operators.scd import scd2_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_build(
+        orders,
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        attr_cols=["o_orderstatus"],
+        valid_from_col="o_orderdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr01 — one-pass per-column profile of the customer table
+# (operators.profiling.profile_columns). String/integer columns only
+# in the oracle-compared set: CAST(x AS STRING) of doubles is
+# engine-specific formatting, everything here round-trips exactly.
+# ---------------------------------------------------------------------------
+
+
+def _pr01_col_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_value,
+           CAST(MAX({col}) AS VARCHAR) AS max_value
+    FROM customer"""
+
+
+_PR01_COLS = ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+_PR01_ORACLE = "\nUNION ALL\n".join(_pr01_col_sql(c) for c in _PR01_COLS)
+
+
+@register("pr01_column_profile", oracle=_PR01_ORACLE)
+def pr01_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality probe: null rate / distinct cardinality / min-max
+    per column in ONE aggregate over ONE scan (stack-unpivoted), vs
+    the oracle's per-column UNION ALL rescans."""
+    from docker_etl_spark.operators.profiling import profile_columns
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_columns(cust, list(_PR01_COLS), exact=True)
