@@ -34,6 +34,19 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch JIT/IO setup.
     QUERIES["j01_star_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Python worker pool the same way: the first Arrow stage
+    # pays one fork+import per core (~6-8 s on 32 cores), a one-time
+    # environment cost a long-lived cluster never re-pays. A no-op
+    # mapInPandas across defaultParallelism partitions forks the full
+    # pool up front so Pandas-stage queries measure their plans.
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par * 4, numPartitions=par)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # Best-of-N per query: a contended sandbox inflates single-shot
     # wall times fleet-wide (a 3x "regression" on untouched queries);

@@ -3087,7 +3087,10 @@ def i01_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docker_etl_spark.operators._util import spread_for_compute
     from docker_etl_spark.operators.inference import batched_inference
 
-    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    # Prune to the model-input column before the Arrow stage: every
+    # column kept here crosses the JVM->Python->JVM Arrow boundary
+    # twice, and the downstream agg only needs the score.
+    d = spread_for_compute(load_table(spark, sf_dir, "documents").select("text"))
     scored = batched_inference(d, "text", score_col="break_prob")
     return (
         scored.groupBy(
