@@ -137,6 +137,16 @@ def lsh_candidate_pairs(
             .drop("__bsz")
         )
 
+    # Materialize (id, band, key) once — lazily, on first action.
+    # Without the barrier the self-join below computes the whole
+    # upstream (scan -> shingle -> num_perm-way signature) TWICE,
+    # once per join side (broadcast asymmetry defeats exchange
+    # reuse). The checkpointed rows are the compact candidate keys —
+    # already the shuffle payload of the bucket join — so the barrier
+    # adds no data volume at any scale, and saves a full signature
+    # pass.
+    exploded = exploded.localCheckpoint(eager=False)
+
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -183,9 +193,19 @@ def minhash_near_duplicates(
     sits at ``threshold`` (b=3, r=4 → knee ≈ 0.76 for the default).
     """
     rows_per_band = num_perm // bands
-    sh = _spread(docs).select(
+    # Pre-filter on the CHEAP equivalent predicate (word_shingles is
+    # non-empty iff the text has >= n tokens): a filter on the
+    # shingle array itself gets pushed below the spread repartition,
+    # evaluating the full shingle expression serially on the raw
+    # input partitioning; the split-size test pushes to the scan
+    # harmlessly and keeps shingling above the exchange.
+    has_shingles = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    # One lazy materialization of the shingle arrays serves all three
+    # consumers (signature branch + both sides of the verify join);
+    # without it each consumer re-scans and re-shingles the corpus.
+    sh = _spread(docs.filter(has_shingles)).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    ).localCheckpoint(eager=False)
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm, hash_fn))
     cand = lsh_candidate_pairs(sig, id_col, "sig", bands, rows_per_band)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -222,12 +242,18 @@ def ngram_jaccard_pairs(
     after the join). LSH (minhash_near_duplicates) remains the path
     when no natural blocking exists.
     """
-    sh = _spread(docs).select(
+    # Cheap pushdown-safe pre-filter (see minhash_near_duplicates);
+    # then one lazy materialization barrier so the a/b self-join
+    # reads the shingle arrays once instead of re-shingling per side
+    # (the arrays flow through the join either way — the barrier adds
+    # no data volume, just removes a duplicate text pass).
+    has_shingles = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    sh = _spread(docs.filter(has_shingles)).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         *( [F.col(length_col)] if length_col else [] ),
         word_shingles(text_col, shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    ).localCheckpoint(eager=False)
     bucket_w = length_tolerance + 1
     a = sh.withColumn("__bkt", F.floor(F.col(length_col) / bucket_w)) if length_col else sh
     if length_col:
@@ -441,6 +467,11 @@ def simhash_near_duplicates(
     exploded = sigs.select(id_col, "sig", F.explode(chunk_keys).alias("ck")).select(
         id_col, "sig", "ck.chunk", "ck.ckey"
     )
+    # Lazy barrier: compute the SWAR signature pass once; the
+    # self-join otherwise evaluates it per side (see
+    # lsh_candidate_pairs). Rows are (id, sig, chunk, ckey) — the
+    # join's own shuffle payload.
+    exploded = exploded.localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
