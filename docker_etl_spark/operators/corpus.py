@@ -452,3 +452,94 @@ def mixture_sample(
             F.col(domain_col) == dom, F.lit(threshold_hex(rate))
         ).otherwise(thresh)
     return df.filter(u < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be reproducible and leak-free.
+
+    Same draw as ``mixture_sample``: u = first 8 hex chars of
+    md5(key || seed), compared lexicographically against cumulative
+    fraction thresholds, so the assignment is a pure map-side
+    expression — stable under retries, repartitioning, and
+    re-ingestion (a document keeps its split for life, which is what
+    prevents eval contamination when the corpus is rebuilt). The last
+    split absorbs the remainder (including the single u == 'ffffffff'
+    edge value), so fractions that sum to 1 partition exactly.
+
+    No reference analogue (the reference has no model-training jobs);
+    engine-native corpus op alongside mixture_sample
+    (client_regeneration/main.py:61-117 is the closest reference
+    pattern — deterministic hash-ordered cohort selection).
+    """
+    fracs = list(fractions)
+    if len(fracs) < 2:
+        raise ValueError("hash_split needs at least two splits")
+
+    def threshold_hex(cum: float) -> str:
+        c = min(max(cum, 0.0), 1.0)
+        return format(int(c * 0xFFFFFFFF), "08x")
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    u = F.substring(F.md5(key), 1, 8)
+    assigned: Column | None = None
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += frac
+        cond = u < F.lit(threshold_hex(cum))
+        assigned = (
+            F.when(cond, F.lit(name))
+            if assigned is None
+            else assigned.when(cond, F.lit(name))
+        )
+    assert assigned is not None
+    return df.withColumn(split_col, assigned.otherwise(F.lit(fracs[-1][0])))
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "cap",
+) -> DataFrame:
+    """Cap any single domain's contribution at ``cap`` rows — the
+    anti-head-domain guard (no single site dominating the mixture).
+
+    Survivors are the deterministic hash-ordered prefix per domain:
+    rank by md5(key || seed) with the natural key as tie-break, keep
+    rank <= cap. One shuffle on the domain key; domains under the cap
+    pass through complete. The hash order makes the kept subset a
+    uniform sample of the domain, not a storage-order artifact, and
+    identical across reruns/engines.
+
+    Skew note: the window ranks every row of a hot domain before
+    filtering. At 100 TB, pre-thin hot domains with a cheap
+    mixture_sample pass (rate ~ cap / est_count) first so the window
+    sees bounded partitions; exact cap still applies here.
+    """
+    from pyspark.sql import Window
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.substring(F.md5(key), 1, 16), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= cap)
+        .drop("__rank")
+    )

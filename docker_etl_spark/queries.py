@@ -4162,3 +4162,87 @@ def pr01_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return profile_columns(cust, list(_PR01_COLS), exact=True)
+
+
+# ---------------------------------------------------------------------------
+# x26/x27 — corpus split + domain capping (operators/corpus.py).
+# Both draw from md5 hex-string compares (the mixture_sample idiom),
+# so any engine that agrees on md5 agrees on every row's fate.
+# ---------------------------------------------------------------------------
+
+
+def _split_threshold_hex(cum: float) -> str:
+    return format(int(min(max(cum, 0.0), 1.0) * 0xFFFFFFFF), "08x")
+
+
+_X26_ORACLE = f"""
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT lang, doc_id,
+         CASE
+           WHEN u < '{_split_threshold_hex(0.9)}' THEN 'train'
+           WHEN u < '{_split_threshold_hex(0.95)}' THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT lang, doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split'), 1, 8) AS u
+    FROM documents
+  )
+)
+GROUP BY split, lang
+"""
+
+
+@register("x26_hash_split", oracle=_X26_ORACLE)
+def x26_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: md5-drawn, map-only,
+    stable under reruns and repartitioning (a doc keeps its split for
+    life — the leak-free property). Output: per-(split, lang) counts
+    + exact membership checksum."""
+    from docker_etl_spark.operators.corpus import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = hash_split(d, key_cols=("doc_id",), seed="split")
+    return s.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+_X27_CAP = 60
+
+_X27_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'cap'), 1, 16),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_X27_CAP}
+GROUP BY source
+"""
+
+
+@register("x27_domain_cap", oracle=_X27_ORACLE)
+def x27_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-head-domain guard: cap every source at {cap} docs, keeping
+    the hash-ordered prefix (a uniform, rerun-stable subsample of the
+    domain — not a storage-order artifact). Output: per-source kept
+    count + exact membership checksum."""
+    from docker_etl_spark.operators.corpus import domain_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(d, "source", _X27_CAP, key_cols=("doc_id",), seed="cap")
+    return capped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

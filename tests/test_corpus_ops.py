@@ -435,3 +435,47 @@ def test_tfidf_rare_term_beats_common_on_tie(spark):
     # tf ties at 2 for apple & zebra; zebra is rarer (df 1 vs 2) -> wins
     assert top1[1] == "zebra"
     assert top1[2] == "apple"
+
+
+def test_hash_split_partitions_exactly_and_deterministically(spark):
+    from docker_etl_spark.operators.corpus import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, key_cols=("doc_id",))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # Every row lands in exactly one split; fractions approximately hold.
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600
+    assert counts["val"] < 250 and counts["test"] < 250
+    # Deterministic: same assignment on recompute and under repartition.
+    again = hash_split(df.repartition(7), key_cols=("doc_id",))
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in again.collect())
+    assert a == b
+
+
+def test_hash_split_rejects_single_split(spark):
+    from docker_etl_spark.operators.corpus import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, fractions=(("all", 1.0),))
+
+
+def test_domain_cap_caps_only_over_cap_domains(spark):
+    from docker_etl_spark.operators.corpus import domain_cap
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, "source", 10)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 5}
+    # Survivors are a deterministic subset, stable across reruns.
+    k1 = sorted(r["doc_id"] for r in out.filter("source = 'big'").collect())
+    k2 = sorted(r["doc_id"] for r in
+                domain_cap(df.repartition(5), "source", 10)
+                .filter("source = 'big'").collect())
+    assert k1 == k2 and len(k1) == 10
