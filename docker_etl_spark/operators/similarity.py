@@ -531,3 +531,73 @@ def kmeans_fit_quantized(
             ).cast("bigint"),
         )
     )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Farthest-from-centroid members per label — the embedding-space
+    curation op that surfaces mislabeled / noisy / off-distribution
+    rows in a labeled corpus (label noise is the classic
+    training-data defect; distance-to-class-centroid is its standard
+    detector).
+
+    Integer-exact like the rest of this module: vectors quantize to
+    floor(x * quant_scale); each label's centroid dim is
+    floor(sum / count) (ONE IEEE division of exact ints per dim);
+    distances are integer squared L2, so the ranking — ties broken by
+    id — is bit-reproducible on any engine.
+
+    Plan shape at scale: posexplode to (label, dim) — corpus_rows ×
+    dim rows but only ever aggregated, never joined wide; the
+    centroid table is labels × dim (tiny, broadcast back); one window
+    per label for top-k. Two shuffles + the window.
+
+    Returns (label, vec_id, dist_sq, rank), rank 1 = farthest.
+    """
+    from pyspark.sql import Window
+
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl"), vq.alias("__vq")
+    )
+    dims = (
+        base.select("__id", "__lbl", F.posexplode("__vq").alias("__d", "__v"))
+    )
+    cent = (
+        dims.groupBy("__lbl", "__d")
+        .agg(
+            F.floor(
+                F.sum("__v").cast("double") / F.count("*").cast("double")
+            )
+            .cast("bigint")
+            .alias("__c")
+        )
+    )
+    dist = (
+        dims.join(F.broadcast(cent), ["__lbl", "__d"])
+        .withColumn("__dd", (F.col("__v") - F.col("__c")) * (F.col("__v") - F.col("__c")))
+        .groupBy("__lbl", "__id")
+        .agg(F.sum("__dd").cast("bigint").alias("dist_sq"))
+    )
+    w = Window.partitionBy("__lbl").orderBy(
+        F.desc("dist_sq"), F.asc("__id")
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__lbl").alias(label_col),
+            F.col("__id").alias(id_col),
+            F.col("dist_sq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -241,3 +241,72 @@ def bm25_term_scores(
     return joined.select(
         F.col(id_col), "term", "tf", "df", "dl", score.alias("score")
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document
+    — the self-supervised stand-in for the KenLM-perplexity quality
+    filter every published pretraining pipeline runs (CCNet-style):
+    documents whose word transitions are improbable UNDER THE CORPUS
+    ITSELF score low (spam, boilerplate, shredded text), no external
+    model needed.
+
+    p(w2|w1) = c(w1 w2) / c(w1 ·), both counts from this corpus. To
+    stay cross-engine exact there is no log anywhere: each bigram
+    instance contributes floor(scale * n12 / n1) — an integer (the
+    product is exact in a double up to 2^53, then ONE IEEE division
+    and a floor) — summed exactly per document; the mean takes one
+    final division. Ranking by mean scaled probability orders
+    documents the same direction as negative perplexity for the
+    filtering use.
+
+    Scale: the bigram/prefix count tables are vocabulary-bounded, not
+    corpus-bounded; the instance->count joins shuffle on the bigram /
+    prefix keys (Spark broadcasts them when small). Three shuffles
+    total at any corpus size.
+
+    Returns (id, n_bigrams, score_sum, lm_score, min_score):
+    ``lm_score`` = mean scaled transition probability, ``min_score``
+    = the most surprising transition (exact int) — the two knobs the
+    published filters threshold.
+    """
+    toks = tokens(text_col)
+    # sequence(1, 0) counts DOWN in Spark — docs with < 2 tokens need
+    # an explicit empty branch, not a clamped bound.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = F.when(F.size(toks) >= 2, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
+    inst = (
+        df.select(F.col(id_col), F.explode(bg).alias("b"))
+        .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+    )
+    c12 = inst.groupBy("b").agg(F.count("*").cast("long").alias("n12"))
+    c1 = inst.groupBy("w1").agg(F.count("*").cast("long").alias("n1"))
+    sc = (
+        F.floor(
+            F.lit(float(scale)) * F.col("n12").cast("double")
+            / F.col("n1").cast("double")
+        )
+        .cast("long")
+        .alias("sc")
+    )
+    scored = inst.join(c12, "b").join(c1, "w1").select(F.col(id_col), sc)
+    n = F.count("*").cast("long")
+    ssum = F.sum("sc").cast("long")
+    return scored.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        ssum.alias("score_sum"),
+        (ssum.cast("double") / n.cast("double")).alias("lm_score"),
+        F.min("sc").cast("long").alias("min_score"),
+    )

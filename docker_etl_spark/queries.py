@@ -4246,3 +4246,101 @@ def x27_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_kept"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x28 — corpus-trained bigram-LM fluency score (the KenLM-perplexity
+# quality-filter stand-in, log-free so every value is exact ints +
+# one IEEE division; operators/text_analysis.bigram_lm_scores).
+# x29 — per-label embedding centroid outliers (label-noise detection;
+# operators/similarity.label_centroid_outliers).
+# ---------------------------------------------------------------------------
+
+_X28_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, u.w1 AS w1, u.b AS b
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                  i -> {'w1': w[i], 'b': w[i] || ' ' || w[i+1]})) AS u
+    FROM tok
+  )
+),
+c12 AS (SELECT b, COUNT(*) AS n12 FROM bg GROUP BY b),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+s AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR(1000000000.0 * c12.n12 / c1.n1) AS BIGINT) AS sc
+  FROM bg JOIN c12 USING (b) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(sc) AS BIGINT) AS score_sum,
+       CAST(SUM(sc) AS DOUBLE) / COUNT(*) AS lm_score,
+       CAST(MIN(sc) AS BIGINT) AS min_score
+FROM s
+GROUP BY doc_id
+"""
+
+
+@register("x28_bigram_lm_score", oracle=_X28_ORACLE)
+def x28_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised fluency scoring: train a bigram LM on the
+    corpus itself, score every document's mean (and worst) transition
+    probability — the perplexity-style quality filter, with no
+    external model and no logs (exact cross-engine arithmetic)."""
+    from docker_etl_spark.operators.text_analysis import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, text_col="text", id_col="doc_id")
+
+
+_X29_K = 5
+
+_X29_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(val ORDER BY dim) AS cv FROM (
+    SELECT q.label, r.i AS dim,
+           CAST(FLOOR(CAST(SUM(q.vq[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+    FROM q CROSS JOIN range(1, 65) r(i)
+    GROUP BY q.label, r.i
+  ) GROUP BY label
+),
+dist AS (
+  SELECT q.label, q.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.vq[i] - cent.cv[i]) * (q.vq[i] - cent.cv[i]))) AS BIGINT)
+             AS dist_sq
+  FROM q JOIN cent USING (label)
+)
+SELECT label, vec_id, dist_sq, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT label, vec_id, dist_sq,
+         ROW_NUMBER() OVER (
+           PARTITION BY label ORDER BY dist_sq DESC, vec_id ASC
+         ) AS rank
+  FROM dist
+)
+WHERE rank <= {_X29_K}
+"""
+
+
+@register("x29_label_outliers", oracle=_X29_ORACLE)
+def x29_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detector: the {k} embedding rows farthest from
+    their label's integer centroid (quantized, exact squared-L2
+    ranking with id tie-break — bit-reproducible)."""
+    from docker_etl_spark.operators.similarity import label_centroid_outliers
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(
+        em, vec_col="embedding", id_col="vec_id", label_col="label", k=_X29_K
+    )

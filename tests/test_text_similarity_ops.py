@@ -159,3 +159,40 @@ def test_x12_recovers_planted_near_duplicates(spark, sf_dir):
     planted = {(r.id_a, r.id_b) for r in rows if r.id_b >= 1_000_000}
     assert planted == {(i, i + 1_000_000) for i in range(20)}
     assert all(r.cosine > 0.999 for r in rows if r.id_b >= 1_000_000)
+
+
+def test_bigram_lm_scores_rank_shredded_text_low(spark):
+    from docker_etl_spark.operators.text_analysis import bigram_lm_scores
+
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [(i, fluent) for i in range(8)] + [
+        (100, "mat the on cat sat zq xv bn qp wk jh")  # shredded transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # Every fluent copy shares transitions -> high mean score; the
+    # shredded doc's transitions are mostly singletons -> lowest.
+    assert out[100]["lm_score"] < min(out[i]["lm_score"] for i in range(8))
+    # One-token / empty docs emit no row at all.
+    df2 = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id long, text string")
+    assert bigram_lm_scores(df2).count() == 0
+
+
+def test_label_centroid_outliers_finds_planted_mislabel(spark):
+    from docker_etl_spark.operators.similarity import label_centroid_outliers
+
+    # Two tight clusters; vector 99 carries label 0 but sits at the
+    # label-1 cluster's location -> must rank as label 0's top outlier.
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [0.1] * 8))
+        rows.append((50 + i, 1, [0.9] * 8))
+    rows.append((99, 0, [0.9] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = label_centroid_outliers(df, k=2)
+    top0 = [r for r in out.collect() if r["label"] == 0 and r["rank"] == 1]
+    assert len(top0) == 1 and top0[0]["vec_id"] == 99
+    # Determinism under repartitioning.
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, label_centroid_outliers(df.repartition(7), k=2).collect()))
+    assert a == b
