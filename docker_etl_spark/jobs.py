@@ -20,6 +20,7 @@ import sys
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from docker_etl_spark.session import get_spark
 from docker_etl_spark.sources.io import load_table, write_table
@@ -134,6 +135,48 @@ class SearchAlertJob(EtlJob):
         if ctx.out:
             write_table(alerts, ctx.out, mode="append", write=ctx.write)
         return alerts
+
+
+class CorpusPrepJob(EtlJob):
+    """End-to-end training-corpus curation: quality gate (Gopher
+    rules) → exact content dedup (min doc_id per md5 survives) →
+    per-domain quota cap → deterministic train/val/test split;
+    writes the curated corpus partitioned by split (so downstream
+    training readers prune to their split at the scan), returns the
+    per-(split, source) census for display."""
+
+    name = "corpus_prep"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from pyspark.sql import Window
+
+        from docker_etl_spark.operators.corpus import (
+            domain_cap,
+            gopher_quality,
+            hash_split,
+        )
+
+        docs = load_table(ctx.spark, ctx.sf_dir, "documents")
+        kept = docs.filter(gopher_quality("text", min_words=5, min_stopwords=1)["keep"])
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        deduped = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+        capped = domain_cap(deduped, "source", cap=100_000)
+        curated = hash_split(capped)
+        if ctx.out:
+            write_table(
+                curated,
+                ctx.out,
+                mode="overwrite",
+                partition_by=["split"],
+                write=ctx.write,
+            )
+        return curated.groupBy("split", "source").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
 
 
 JOB_TEMPLATE = '''"""{name} job (generated scaffold — docker-etl-spark new)."""

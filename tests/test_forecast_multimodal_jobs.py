@@ -218,3 +218,15 @@ def test_batched_inference_matches_column_twin(spark, sf_dir):
     joined = scored.join(twin.select("doc_id", "p2"), "doc_id")
     bad = joined.filter(F.abs(F.col("p") - F.col("p2")) > 1e-9).count()
     assert bad == 0
+
+
+def test_corpus_prep_job_curates_and_partitions_by_split(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    census = ALL_JOBS["corpus_prep"]().run(JobContext(spark, sf_dir, out, write=True))
+    rows = census.collect()
+    assert rows and {r["split"] for r in rows} <= {"train", "val", "test"}
+    curated = spark.read.parquet(out)
+    # Partitioned by split; no duplicate text survives; census matches.
+    assert "split" in curated.columns
+    assert curated.groupBy("text").count().filter("count > 1").count() == 0
+    assert curated.count() == sum(r["n_docs"] for r in rows)
