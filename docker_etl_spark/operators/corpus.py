@@ -543,3 +543,47 @@ def domain_cap(
         .filter(F.col("__rank") <= cap)
         .drop("__rank")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the step
+    between curation and tokenization in training / retrieval
+    pipelines (fixed context budget per sample, overlap so no
+    boundary context is lost).
+
+    Deterministic spec: starts are 1, 1+stride, ... (stride =
+    window - overlap); a start past the first is emitted only while
+    it contributes tokens beyond the previous chunk's overlap
+    (s + overlap <= n_tokens), so trailing chunks are never fully
+    contained in their predecessor; chunk_id = (start-1)/stride.
+    Map-side only (token array -> filtered start sequence ->
+    explode): chunking 100 TB is exactly one pass over the scan,
+    parallel by partition, no shuffle.
+
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_text).
+    """
+    if overlap >= window:
+        raise ValueError(f"overlap={overlap} must be < window={window}")
+    stride = window - overlap
+    toks = doc_tokens(text_col)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | ((s + overlap) <= F.size(toks)),
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_tok"), window)
+    return base.select(
+        F.col(id_col),
+        ((F.col("start_tok") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -4344,3 +4344,50 @@ def x29_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_outliers(
         em, vec_col="embedding", id_col="vec_id", label_col="label", k=_X29_K
     )
+
+
+# ---------------------------------------------------------------------------
+# x30 — overlapping token-window chunking (operators/corpus.chunk_windows):
+# the curation->tokenization bridge. Map-side only; the oracle
+# reproduces the start arithmetic with range()+filter and 1-based
+# inclusive list_slice.
+# ---------------------------------------------------------------------------
+
+_X30_WINDOW, _X30_OVERLAP = 40, 10
+_X30_STRIDE = _X30_WINDOW - _X30_OVERLAP
+
+_X30_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+st AS (
+  SELECT doc_id, w, unnest(
+           list_filter(range(1, greatest(len(w), 1) + 1, {_X30_STRIDE}),
+                       s -> s = 1 OR s + {_X30_OVERLAP} <= len(w))
+         ) AS start_tok
+  FROM tok
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // {_X30_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(w, start_tok, start_tok + {_X30_WINDOW} - 1)) AS BIGINT)
+           AS n_tokens,
+       array_to_string(list_slice(w, start_tok, start_tok + {_X30_WINDOW} - 1), ' ')
+           AS chunk_text
+FROM st
+"""
+
+
+@register("x30_chunk_windows", oracle=_X30_ORACLE)
+def x30_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of every document (window
+    40, overlap 10): one map-side pass, no shuffle; trailing chunks
+    that would sit entirely inside their predecessor's overlap are
+    not emitted."""
+    from docker_etl_spark.operators.corpus import chunk_windows
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_windows(
+        d, text_col="text", id_col="doc_id",
+        window=_X30_WINDOW, overlap=_X30_OVERLAP,
+    )

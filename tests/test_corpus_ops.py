@@ -479,3 +479,43 @@ def test_domain_cap_caps_only_over_cap_domains(spark):
                 domain_cap(df.repartition(5), "source", 10)
                 .filter("source = 'big'").collect())
     assert k1 == k2 and len(k1) == 10
+
+
+def test_chunk_windows_coverage_and_no_redundant_tail(spark):
+    from docker_etl_spark.operators.corpus import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(8))),    # len == window
+            (2, " ".join(f"t{i}" for i in range(12))),   # tail inside overlap
+            (3, " ".join(f"t{i}" for i in range(13))),   # tail contributes
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=8, overlap=4)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    # Short docs -> exactly one full-coverage chunk.
+    assert [c["n_tokens"] for c in chunks[1]] == [8] and len(chunks[1]) == 1
+    assert len(chunks[4]) == 1 and chunks[4][0]["chunk_text"] == "solo"
+    # len=12, stride=4: starts 1,5 only (9 would add nothing new).
+    assert sorted(c["start_tok"] for c in chunks[2]) == [1, 5]
+    # len=13: start 9 now contributes token 13.
+    assert sorted(c["start_tok"] for c in chunks[3]) == [1, 5, 9]
+    # Every token of doc 3 is covered by the union of its chunks.
+    covered = set()
+    for c in chunks[3]:
+        covered |= set(range(c["start_tok"], c["start_tok"] + c["n_tokens"]))
+    assert covered == set(range(1, 14))
+    # chunk_id is the dense stride index.
+    assert all(c["chunk_id"] == (c["start_tok"] - 1) // 4 for c in chunks[3])
+
+
+def test_chunk_windows_rejects_bad_overlap(spark):
+    from docker_etl_spark.operators.corpus import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(df, window=8, overlap=8)
