@@ -310,3 +310,43 @@ def bigram_lm_scores(
         (ssum.cast("double") / n.cast("double")).alias("lm_score"),
         F.min("sc").cast("long").alias("min_score"),
     )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Corpus vocabulary + per-document out-of-vocabulary rate — the
+    tokenizer-prep probe (how much of each document a top-N word
+    vocabulary covers; high OOV flags junk, code, or the wrong
+    language for the vocab).
+
+    Vocabulary = top ``vocab_size`` tokens by corpus count,
+    deterministic at the cut (count desc, token asc — engines agree
+    at the boundary). The count table is vocabulary-bounded; the
+    top-N is a TakeOrdered over it (never a global sort of
+    instances); membership joins back broadcast. OOV rate is exact
+    ints + one IEEE division.
+
+    Returns (id, n_tokens, n_oov, oov_rate).
+    """
+    inst = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    vc = inst.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    vocab = (
+        vc.orderBy(F.desc("c"), F.asc("t"))
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    joined = inst.join(F.broadcast(vocab), "t", "left")
+    n = F.count("*").cast("long")
+    oov = (
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+    )
+    return joined.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        oov.alias("n_oov"),
+        (oov.cast("double") / n.cast("double")).alias("oov_rate"),
+    )

@@ -4391,3 +4391,37 @@ def x30_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id",
         window=_X30_WINDOW, overlap=_X30_OVERLAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# x31 — corpus vocabulary + per-doc OOV rate
+# (operators/text_analysis.vocab_oov_stats). Deterministic vocab cut
+# (count desc, token asc) so both engines agree at the boundary.
+# ---------------------------------------------------------------------------
+
+_X31_VOCAB = 500
+
+_X31_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+vc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM vc ORDER BY c DESC, t ASC LIMIT {_X31_VOCAB})
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS oov_rate
+FROM tok LEFT JOIN vocab v USING (t)
+GROUP BY tok.doc_id
+"""
+
+
+@register("x31_vocab_oov", oracle=_X31_ORACLE)
+def x31_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 corpus vocabulary coverage per document: token count,
+    OOV count, OOV rate (exact ints + one division)."""
+    from docker_etl_spark.operators.text_analysis import vocab_oov_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_oov_stats(d, text_col="text", id_col="doc_id", vocab_size=_X31_VOCAB)

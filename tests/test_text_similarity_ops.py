@@ -196,3 +196,17 @@ def test_label_centroid_outliers_finds_planted_mislabel(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, label_centroid_outliers(df.repartition(7), k=2).collect()))
     assert a == b
+
+
+def test_vocab_oov_stats_flags_junk_doc(spark):
+    from docker_etl_spark.operators.text_analysis import vocab_oov_stats
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [(99, "zzq xvk wqj")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in vocab_oov_stats(df, vocab_size=5).collect()}
+    # Junk doc: every token outside the top-5 vocabulary.
+    assert out[99]["oov_rate"] == 1.0 and out[99]["n_oov"] == 3
+    # Common docs: tokens 'the cat sat on mat' = 5 distinct; top-5
+    # vocab covers all but possibly boundary ties -> low OOV.
+    assert out[0]["oov_rate"] <= 0.2
