@@ -265,16 +265,21 @@ def bigram_lm_scores(
     documents the same direction as negative perplexity for the
     filtering use.
 
-    Scale: the bigram/prefix count tables are vocabulary-bounded, not
-    corpus-bounded; the instance->count joins shuffle on the bigram /
-    prefix keys (Spark broadcasts them when small). Three shuffles
-    total at any corpus size.
+    Scale: bigram instances collapse to per-(doc, bigram) counts
+    FIRST (one shuffle, map-side partial agg), and that compact
+    frame — materialized once behind a lazy barrier — feeds the two
+    vocabulary-bounded count tables and the score join, so the
+    explode pass over the corpus runs exactly once. A duplicate
+    transition inside a document contributes m·sc, identical to
+    scoring each instance.
 
     Returns (id, n_bigrams, score_sum, lm_score, min_score):
     ``lm_score`` = mean scaled transition probability, ``min_score``
     = the most surprising transition (exact int) — the two knobs the
     published filters threshold.
     """
+    from docker_etl_spark.operators._util import spread_for_compute
+
     toks = tokens(text_col)
     # sequence(1, 0) counts DOWN in Spark — docs with < 2 tokens need
     # an explicit empty branch, not a clamped bound.
@@ -288,22 +293,28 @@ def bigram_lm_scores(
         F.expr("cast(array() as array<string>)")
     )
     inst = (
-        df.select(F.col(id_col), F.explode(bg).alias("b"))
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(bg).alias("b"))
         .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
     )
-    c12 = inst.groupBy("b").agg(F.count("*").cast("long").alias("n12"))
-    c1 = inst.groupBy("w1").agg(F.count("*").cast("long").alias("n1"))
-    sc = (
-        F.floor(
-            F.lit(float(scale)) * F.col("n12").cast("double")
-            / F.col("n1").cast("double")
-        )
-        .cast("long")
-        .alias("sc")
+    dbg = (
+        inst.groupBy(id_col, "b", "w1")
+        .agg(F.count("*").cast("long").alias("m"))
+        .localCheckpoint(eager=False)
     )
-    scored = inst.join(c12, "b").join(c1, "w1").select(F.col(id_col), sc)
-    n = F.count("*").cast("long")
-    ssum = F.sum("sc").cast("long")
+    c12 = dbg.groupBy("b").agg(F.sum("m").cast("long").alias("n12"))
+    c1 = dbg.groupBy("w1").agg(F.sum("m").cast("long").alias("n1"))
+    sc = F.floor(
+        F.lit(float(scale)) * F.col("n12").cast("double")
+        / F.col("n1").cast("double")
+    ).cast("long")
+    scored = (
+        dbg.join(c12, "b")
+        .join(c1, "w1")
+        .select(F.col(id_col), F.col("m"), sc.alias("sc"))
+    )
+    n = F.sum("m").cast("long")
+    ssum = F.sum(F.col("m") * F.col("sc")).cast("long")
     return scored.groupBy(id_col).agg(
         n.alias("n_bigrams"),
         ssum.alias("score_sum"),
