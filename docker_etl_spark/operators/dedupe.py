@@ -147,3 +147,42 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def incremental_content_dedup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "content_md5",
+) -> DataFrame:
+    """Dedup an incoming batch against the corpus already ingested —
+    the continuous-corpus-build form of exact dedup (reference
+    patterns U4 set-diff sync + T3 natural-key dedup, applied to
+    content digests): a crawler re-delivers most of what it saw last
+    week; only genuinely new content may append.
+
+    Two stages, both digest-keyed: (1) intra-batch — min id per
+    content digest survives; (2) cross-batch — left_anti against the
+    store's digest set. Returns survivors WITH the digest column so
+    the caller appends rows and digests in one write (the store needs
+    only (digest) — at 100 TB keep it as its own compact table, never
+    re-derive it from corpus text).
+
+    Shuffles: one window on digest + one anti-join on digest. The
+    anti-join build side is the digest store — broadcast when small,
+    hash-partitioned when not; never text-to-text comparison.
+    """
+    d = new_docs.withColumn(digest_col, F.md5(F.col(text_col)))
+    w = Window.partitionBy(digest_col).orderBy(id_col)
+    batch_unique = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    seen = store.select(
+        F.md5(F.col(text_col)).alias(digest_col)
+        if digest_col not in store.columns
+        else F.col(digest_col)
+    ).distinct()
+    return batch_unique.join(seen, digest_col, "left_anti")

@@ -4425,3 +4425,51 @@ def x31_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return vocab_oov_stats(d, text_col="text", id_col="doc_id", vocab_size=_X31_VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# x32 — incremental corpus dedup (operators/dedupe.incremental_content_dedup):
+# the continuous-build form — dedup a new crawl batch against the
+# digest store of everything already ingested. The fixture treats
+# src0/src1 as the existing store and the rest as the incoming batch.
+# ---------------------------------------------------------------------------
+
+_X32_ORACLE = """
+WITH store AS (
+  SELECT md5(text) AS content_md5 FROM documents WHERE source IN ('src0','src1')
+),
+batch AS (
+  SELECT *, md5(text) AS content_md5 FROM documents
+  WHERE source NOT IN ('src0','src1')
+),
+batch_unique AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+    FROM batch
+  ) WHERE rn = 1
+)
+SELECT b.source,
+       COUNT(*) AS n_new,
+       CAST(SUM(b.doc_id) AS BIGINT) AS id_sum
+FROM batch_unique b
+WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.content_md5 = b.content_md5)
+GROUP BY b.source
+"""
+
+
+@register("x32_incremental_dedup", oracle=_X32_ORACLE)
+def x32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus build: only content never seen before (by
+    digest) survives the incoming batch — intra-batch min-id dedup
+    plus anti-join against the store's digest set. Output: surviving
+    per-source counts + exact membership checksum."""
+    from docker_etl_spark.operators.dedupe import incremental_content_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    store = d.filter(F.col("source").isin("src0", "src1"))
+    batch = d.filter(~F.col("source").isin("src0", "src1"))
+    survivors = incremental_content_dedup(batch, store)
+    return survivors.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -519,3 +519,29 @@ def test_chunk_windows_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_windows(df, window=8, overlap=8)
+
+
+def test_incremental_content_dedup_drops_seen_and_batch_dups(spark):
+    from docker_etl_spark.operators.dedupe import incremental_content_dedup
+
+    store = spark.createDataFrame(
+        [(1, "old content"), (2, "shared content")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "shared content"),   # already in store -> dropped
+            (11, "fresh content"),    # new -> kept
+            (12, "fresh content"),    # intra-batch dup -> dropped (11 wins)
+            (13, "another fresh"),    # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_content_dedup(batch, store)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [11, 13]
+    # Survivors carry the digest for the store append.
+    assert "content_md5" in out.columns
+    # Store with a precomputed digest column short-circuits hashing.
+    pre = store.select("doc_id", "text").withColumn("content_md5", F.md5("text"))
+    kept2 = sorted(r["doc_id"] for r in incremental_content_dedup(batch, pre).collect())
+    assert kept2 == [11, 13]
