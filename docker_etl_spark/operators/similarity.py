@@ -62,7 +62,20 @@ def cosine_topk_bruteforce(
     a window on query_id — the shuffle is on the (tiny) query-id
     space after a map-side filterable projection. Zero-norm vectors
     are excluded (cosine undefined).
+
+    BASELINE ONLY: cost is |Q| x |corpus|. ``max_queries`` makes the
+    contract enforceable — a query set past it raises instead of
+    silently planning a corpus-side blow-up; route large query sets
+    to the bucketed paths (``sign_lsh_topk`` / ``ivf_topk``).
     """
+    max_queries = 10_000
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk_bruteforce got > {max_queries} query vectors; "
+            "the broadcast-cross-join baseline is O(|Q| * |corpus|) — "
+            "use sign_lsh_topk or ivf_topk for large query sets"
+        )
     d = dot_int if exact_int else dot
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qv"),

@@ -210,3 +210,17 @@ def test_vocab_oov_stats_flags_junk_doc(spark):
     # Common docs: tokens 'the cat sat on mat' = 5 distinct; top-5
     # vocab covers all but possibly boundary ties -> low OOV.
     assert out[0]["oov_rate"] <= 0.2
+
+
+def test_bruteforce_topk_rejects_oversized_query_set(spark):
+    import pytest
+
+    from docker_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    vec = "array(cast(1.0 as float)) as vec"
+    corpus = spark.range(3).selectExpr("id as corpus_id", vec)
+    ok = spark.range(5).selectExpr("id as query_id", vec)
+    assert cosine_topk_bruteforce(ok, corpus, k=2).count() > 0
+    too_big = spark.range(10_001).selectExpr("id as query_id", vec)
+    with pytest.raises(ValueError, match="query vectors"):
+        cosine_topk_bruteforce(too_big, corpus, k=2)
