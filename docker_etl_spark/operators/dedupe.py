@@ -186,3 +186,37 @@ def incremental_content_dedup(
         else F.col(digest_col)
     ).distinct()
     return batch_unique.join(seen, digest_col, "left_anti")
+
+
+def keep_best_per_cluster(
+    labels: DataFrame,
+    quality: DataFrame,
+    quality_col: str,
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: given
+    ``connected_components`` labels and a per-node quality score,
+    elect the highest-quality member of each near-dup cluster (tie ->
+    lowest id) — what production dedup actually keeps (the longest /
+    cleanest copy), instead of an arbitrary or min-id survivor.
+
+    ``quality`` must carry (node_col, quality_col). One join on the
+    node id + one window per component (components are tiny — the
+    window partitions are bounded by cluster size, not corpus size).
+
+    Returns (cluster_id, n_members, keep_id, keep_quality).
+    """
+    m = labels.join(quality.select(node_col, quality_col), node_col)
+    w = Window.partitionBy(component_col).orderBy(
+        F.desc(quality_col), F.asc(node_col)
+    )
+    ranked = m.withColumn("__rn", F.row_number().over(w))
+    is_best = F.col("__rn") == 1
+    return ranked.groupBy(F.col(component_col).alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max(F.when(is_best, F.col(node_col))).cast("long").alias("keep_id"),
+        F.max(F.when(is_best, F.col(quality_col)))
+        .cast("long")
+        .alias("keep_quality"),
+    )

@@ -4473,3 +4473,68 @@ def x32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_new"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x33 — quality-aware dedup survivors: x20's clusters, but the KEPT
+# doc is the highest-quality member (longest text, tie -> min id) —
+# what production dedup actually retains. Oracle extends the x20
+# recursive-CTE transitive closure with a windowed best-member pick.
+# ---------------------------------------------------------------------------
+
+_X33_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _X09_ORACLE
+    + """
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT e.u AS node, r.r FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+),
+m AS (
+  SELECT c.cluster_id, c.node, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, node ASC
+  ) AS rn
+  FROM m
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_quality
+FROM ranked
+GROUP BY cluster_id
+"""
+)
+
+
+@register("x33_dedup_keep_best", oracle=_X33_ORACLE)
+def x33_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with quality-aware survivors: each cluster
+    keeps its longest document (tie -> lowest id) instead of an
+    arbitrary or min-id copy."""
+    from docker_etl_spark.operators.dedupe import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+    from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    quality = d.select(F.col("doc_id").alias("node"), "n_chars")
+    return keep_best_per_cluster(labels, quality, quality_col="n_chars")

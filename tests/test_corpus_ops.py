@@ -545,3 +545,21 @@ def test_incremental_content_dedup_drops_seen_and_batch_dups(spark):
     pre = store.select("doc_id", "text").withColumn("content_md5", F.md5("text"))
     kept2 = sorted(r["doc_id"] for r in incremental_content_dedup(batch, pre).collect())
     assert kept2 == [11, 13]
+
+
+def test_keep_best_per_cluster_prefers_quality_then_id(spark):
+    from docker_etl_spark.operators.dedupe import keep_best_per_cluster
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (10, 9)], "node long, component long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (9, 10), (10, 10)], "node long, n_chars long"
+    )
+    out = {r["cluster_id"]: r for r in
+           keep_best_per_cluster(labels, quality, "n_chars").collect()}
+    # Cluster 1: nodes 2 and 3 tie on quality 90 -> lower id wins.
+    assert out[1]["keep_id"] == 2 and out[1]["keep_quality"] == 90
+    assert out[1]["n_members"] == 3
+    # Cluster 9: tie at 10 -> node 9.
+    assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 2
