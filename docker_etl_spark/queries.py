@@ -4538,3 +4538,102 @@ def x33_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs)
     quality = d.select(F.col("doc_id").alias("node"), "n_chars")
     return keep_best_per_cluster(labels, quality, quality_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# cp01 — the corpus_prep job's pipeline as an oracle-paired composite
+# (the curation analogue of gd01's dashboard lifecycle): Gopher gate
+# -> exact content dedup -> per-domain cap -> deterministic split ->
+# per-(split, source) census. The oracle re-derives every stage in
+# SQL: full-match regex for the alpha rule, windowed dedup/cap, md5
+# cumulative-threshold split. Every rule comparison is a single IEEE
+# division against a literal, so the keep-set matches row-for-row.
+# ---------------------------------------------------------------------------
+
+_CP01_CAP = 60
+
+_CP01_ORACLE = f"""
+WITH tok AS (
+  SELECT *, string_split(lower(text), ' ') AS w FROM documents
+),
+feat AS (
+  SELECT *, len(w) AS n_words,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+             AS mean_len,
+         CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+             / len(w) AS alpha_frac,
+         len(list_filter(
+             w, t -> t IN ('the','a','of','to','and','in','is','for')))
+             AS n_stop
+  FROM tok
+),
+kept AS (
+  SELECT doc_id, text, source FROM feat
+  WHERE n_words >= 5 AND n_words <= 100000
+    AND mean_len >= 2.0 AND mean_len <= 10.0
+    AND alpha_frac >= 0.8 AND n_stop >= 1
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'cap'), 1, 16),
+               doc_id
+    ) AS rn2
+    FROM dedup
+  ) WHERE rn2 <= {_CP01_CAP}
+),
+assigned AS (
+  SELECT *,
+         CASE
+           WHEN u < '{_split_threshold_hex(0.9)}' THEN 'train'
+           WHEN u < '{_split_threshold_hex(0.95)}' THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT *,
+           substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split'), 1, 8) AS u
+    FROM capped
+  )
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned
+GROUP BY split, source
+"""
+
+
+@register("cp01_corpus_prep_census", oracle=_CP01_ORACLE)
+def cp01_corpus_prep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus_prep lifecycle as one differential-checked plan:
+    quality gate -> exact dedup (min id per content digest) ->
+    per-domain cap -> 90/5/5 split -> per-(split, source) census."""
+    from pyspark.sql import Window
+
+    from docker_etl_spark.operators.corpus import (
+        domain_cap,
+        gopher_quality,
+        hash_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(gopher_quality("text", min_words=5, min_stopwords=1)["keep"])
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    capped = domain_cap(deduped, "source", cap=_CP01_CAP)
+    assigned = hash_split(capped)
+    return assigned.groupBy("split", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
