@@ -137,3 +137,18 @@ def test_spread_for_compute_skips_already_parallel_input(spark, sf_dir):
     narrow = spark.range(10).coalesce(1)
     plan = formatted(spread_for_compute(narrow))
     assert "Exchange" in plan
+
+
+def test_chunk_windows_is_shuffle_free(spark, sf_dir):
+    """x30's claim: chunking is one map-side pass — the plan must
+    contain no Exchange of any kind (chunking 100 TB = one scan)."""
+    plan = formatted(QUERIES["x30_chunk_windows"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_filter_is_map_side(spark, sf_dir):
+    """x21's sampling decision must evaluate before any exchange:
+    the only Exchange in the plan belongs to the census aggregation,
+    so exactly one (the agg shuffle) may appear."""
+    plan = formatted(QUERIES["x21_mixture_sample"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
