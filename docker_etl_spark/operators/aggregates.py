@@ -154,3 +154,41 @@ def jackknife_sum_ci(
             (total + F.lit(1.96) * sd).alias("high"),
         ).alias("ci"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics
+    rollup: users cohorted by first-activity week, counted in every
+    subsequent week they return.
+
+    Three bounded stages: per-user first week (one groupBy on the
+    user key), user-week activity pairs (distinct on the same key —
+    shares the partitioning), then a count per (cohort_week,
+    weeks_since) — the output is weeks x weeks, tiny at any input
+    scale. The cohort join is on the user key, hash-partitioned with
+    the aggregations. Counts only, so cross-engine exact.
+
+    Returns (cohort_week, weeks_since, n_active) with week 0 = the
+    cohort's own size.
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = (
+        events.select(F.col(user_col).alias("u"), week.alias("w"))
+        .distinct()
+    )
+    first = uw.groupBy("u").agg(F.min("w").alias("cohort_week"))
+    return (
+        uw.join(first, "u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

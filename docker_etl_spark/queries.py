@@ -4637,3 +4637,36 @@ def cp01_corpus_prep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# co01 — cohort retention matrix (operators/aggregates.retention_cohorts):
+# users cohorted by first-activity week, counted per weeks-since.
+# Monday-start week truncation agrees between Spark and DuckDB; the
+# output is counts only, so the hash match is exact.
+# ---------------------------------------------------------------------------
+
+_CO01_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+first AS (
+  SELECT u, MIN(w) AS cohort_week FROM uw GROUP BY u
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, uw.w) // 7 AS BIGINT) AS weeks_since,
+       COUNT(*) AS n_active
+FROM uw JOIN first f USING (u)
+GROUP BY 1, 2
+"""
+
+
+@register("co01_retention_cohorts", oracle=_CO01_ORACLE)
+def co01_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table: cohort size at
+    weeks_since=0, returning users per later week."""
+    from docker_etl_spark.operators.aggregates import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, user_col="user_id", ts_col="ts")

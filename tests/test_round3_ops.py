@@ -87,3 +87,28 @@ def test_bm25_no_match_docs_absent_and_saturation(spark):
     # saturation: score bounded by odds_idf * (k1 + 1)
     n_docs, df_t, k1 = 3, 1, 1.25
     assert 0 < r.score < ((n_docs - df_t + 0.5) / (df_t + 0.5)) * (k1 + 1)
+
+
+def test_retention_cohorts_small_fixture(spark):
+    from docker_etl_spark.operators.aggregates import retention_cohorts
+
+    rows = [
+        # user 1: active week of 2024-01-01 (Mon) and 2024-01-15 -> weeks 0, 2
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-16 09:00:00"),
+        # user 2: same cohort, never returns -> week 0 only
+        (2, "2024-01-03 11:00:00"),
+        # user 3: cohort of 2024-01-08, returns next week
+        (3, "2024-01-09 08:00:00"), (3, "2024-01-15 12:00:00"),
+        # duplicate events in one week collapse
+        (1, "2024-01-02 23:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = {(str(r["cohort_week"]), r["weeks_since"]): r["n_active"]
+           for r in retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2   # users 1 and 2
+    assert out[("2024-01-01", 2)] == 1   # user 1 returns in week 2
+    assert out[("2024-01-08", 0)] == 1
+    assert out[("2024-01-08", 1)] == 1
+    assert ("2024-01-01", 1) not in out  # nobody returned in week 1
