@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,4 +59,61 @@ def profile_columns(
         ),
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+def histogram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bucket_width: int,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution drift between two corpus slices/snapshots — the
+    data-quality probe a continuous pipeline runs before admitting a
+    new batch (did the length/score distribution shift?).
+
+    Values histogram into ``n_buckets`` fixed-width buckets (last
+    bucket open-ended); each bucket row carries both sides' counts
+    and the two-sample chi-square term
+
+        drift_term = (n_a*N_b - n_b*N_a)^2 / (N_a*N_b*(n_a+n_b))
+
+    — computed in double end-to-end (counts are exact in a double up
+    to 2^53; each arithmetic step is ONE IEEE op in a fixed order),
+    so the value is bit-identical across engines at any corpus size —
+    integer products would overflow 64-bit at ~1e10-row slices. The
+    chi-square statistic is the sum of the terms (left to the
+    consumer, where summation order is theirs).
+
+    One union + one groupBy on the bucket key; totals come from a
+    global window over the (n_buckets)-row aggregate, not the input.
+    """
+    def bucketed(df: DataFrame, side: int) -> DataFrame:
+        b = F.least(
+            F.floor(F.col(value_col) / bucket_width),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+        return df.select(b.alias("bucket"), F.lit(side).alias("__side"))
+
+    u = bucketed(df_a, 0).unionByName(bucketed(df_b, 1))
+    g = u.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    w = Window.partitionBy()
+    na = F.sum("n_a").over(w).cast("double")
+    nb = F.sum("n_b").over(w).cast("double")
+    num = (
+        F.col("n_a").cast("double") * nb - F.col("n_b").cast("double") * na
+    )
+    term = (num * num) / (
+        na * nb * (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return g.select(
+        "bucket", "n_a", "n_b", term.alias("drift_term")
     )

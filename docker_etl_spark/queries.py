@@ -4670,3 +4670,51 @@ def co01_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev, user_col="user_id", ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# dr01 — distribution drift between corpus slices
+# (operators/profiling.histogram_drift): per-bucket two-sample
+# chi-square terms in pure double arithmetic (every step one IEEE op
+# in a fixed order — bit-identical cross-engine at any scale).
+# ---------------------------------------------------------------------------
+
+_DR01_ORACLE = """
+WITH u AS (
+  SELECT LEAST(FLOOR(n_chars / 60), 9) AS bucket,
+         CASE WHEN source IN ('src0','src1') THEN 0 ELSE 1 END AS side
+  FROM documents
+),
+g AS (
+  SELECT bucket,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM u GROUP BY bucket
+),
+t AS (
+  SELECT bucket, n_a, n_b,
+         CAST(SUM(n_a) OVER () AS DOUBLE) AS na,
+         CAST(SUM(n_b) OVER () AS DOUBLE) AS nb
+  FROM g
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ((CAST(n_a AS DOUBLE) * nb - CAST(n_b AS DOUBLE) * na)
+        * (CAST(n_a AS DOUBLE) * nb - CAST(n_b AS DOUBLE) * na))
+       / (na * nb * CAST(n_a + n_b AS DOUBLE)) AS drift_term
+FROM t
+"""
+
+
+@register("dr01_histogram_drift", oracle=_DR01_ORACLE)
+def dr01_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution drift between the src0/src1 slice and the
+    rest of the corpus: 10 fixed-width buckets, per-bucket counts +
+    chi-square drift term."""
+    from docker_etl_spark.operators.profiling import histogram_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("source").isin("src0", "src1"))
+    b = d.filter(~F.col("source").isin("src0", "src1"))
+    return histogram_drift(a, b, value_col="n_chars", bucket_width=60, n_buckets=10)

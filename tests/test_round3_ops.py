@@ -112,3 +112,21 @@ def test_retention_cohorts_small_fixture(spark):
     assert out[("2024-01-08", 0)] == 1
     assert out[("2024-01-08", 1)] == 1
     assert ("2024-01-01", 1) not in out  # nobody returned in week 1
+
+
+def test_histogram_drift_detects_planted_shift(spark):
+    from docker_etl_spark.operators.profiling import histogram_drift
+
+    same_a = spark.range(200).selectExpr("50 + id % 10 AS v")
+    same_b = spark.range(200).selectExpr("50 + id % 10 AS v")
+    shifted = spark.range(200).selectExpr("250 + id % 10 AS v")
+
+    flat = histogram_drift(same_a, same_b, "v", bucket_width=30, n_buckets=10)
+    assert all(r["drift_term"] == 0.0 for r in flat.collect())
+
+    moved = histogram_drift(same_a, shifted, "v", bucket_width=30, n_buckets=10)
+    rows = {r["bucket"]: r for r in moved.collect()}
+    # All of a in bucket 1, all of b in bucket 8; both terms maximal.
+    assert rows[1]["n_a"] == 200 and rows[1]["n_b"] == 0
+    assert rows[8]["n_b"] == 200 and rows[8]["n_a"] == 0
+    assert rows[1]["drift_term"] > 0 and rows[8]["drift_term"] > 0
