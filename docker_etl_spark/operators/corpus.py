@@ -406,6 +406,94 @@ def passage_dup_stats(
     )
 
 
+def strip_boilerplate(
+    docs: DataFrame,
+    chunk_tokens: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL (not just detection): split each
+    document into non-overlapping ``chunk_tokens``-token chunks, find
+    chunks whose exact text occurs in >= ``min_docs`` distinct
+    documents corpus-wide, and rewrite each document from its
+    surviving chunks in original order. Complements
+    :func:`passage_dup_stats` (which only counts) — this is the
+    pipeline stage that actually cleans the corpus (C4's "discard any
+    line seen in >= 3 documents", generalized to token chunks since
+    web-crawl line structure is absent here).
+
+    Returns one row per input document (fully-boilerplate documents
+    survive with ``clean_text = ''``): (id, clean_text, n_chunks,
+    n_removed, removed_frac).
+
+    Scale: one explode, then the count-then-anti-join pattern —
+    distinct (digest, doc) pairs -> groupBy digest -> frequent set;
+    chunks anti-join that set on the digest. The frequent set is tiny
+    relative to the corpus (boilerplate is, by definition, a small
+    set of highly repeated strings), so at 100 TB hint it broadcast;
+    here the anti-join shuffles narrow (digest) keys only. Document
+    reassembly shuffles (id, pos, chunk) once; sort_array of
+    (pos, chunk) structs makes collect_list order-independent.
+    removed_frac is the single IEEE division at the edge — all other
+    outputs exact ints/strings, so DuckDB oracles hash-match.
+    """
+    toks = doc_tokens(text_col)
+    k = chunk_tokens
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+
+    chunked = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("chunk_md5", F.md5(F.col("chunk")))
+
+    frequent = (
+        chunked.select("chunk_md5", id_col)
+        .distinct()
+        .groupBy("chunk_md5")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_md5")
+    )
+
+    kept = chunked.join(frequent, "chunk_md5", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+    base = docs.select(F.col(id_col), n_chunks.cast("long").alias("n_chunks"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .withColumn(
+            "removed_frac",
+            F.col("n_removed").cast("double")
+            / F.col("n_chunks").cast("double"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-weighted mixture sampling
 # ---------------------------------------------------------------------------
@@ -542,6 +630,54 @@ def domain_cap(
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= cap)
         .drop("__rank")
+    )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    domain_col: str,
+    budget: int,
+    token_count: Column | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "budget",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-weighted mixture cap: per domain/source, keep documents
+    until the cumulative TOKEN count reaches ``budget`` — the unit a
+    training mixture is actually specified in (tokens per source),
+    where :func:`domain_cap` counts rows. A document is kept iff the
+    running total *through itself* fits the budget, so the emitted
+    set never exceeds ``budget`` tokens (the boundary doc that would
+    overflow is dropped, as are all after it in hash order).
+
+    Admission order is the deterministic md5(key||seed) order (the
+    same uniform-sample trick as domain_cap), so the kept subset is a
+    stable uniform sample of the domain, not a storage-order
+    artifact. One shuffle on the domain key; the window computes a
+    map-side-combinable running sum. Skew note mirrors domain_cap:
+    pre-thin hot domains with mixture_sample before the window at
+    100 TB so no partition ranks an unbounded domain.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        token_count
+        if token_count is not None
+        else F.size(doc_tokens(text_col)).cast("long")
+    )
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.substring(F.md5(key), 1, 16), *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("__cum", F.sum("__toks").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__toks", "__cum")
     )
 
 

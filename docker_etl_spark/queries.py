@@ -4541,6 +4541,112 @@ def x33_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x34 — C4-style boilerplate REMOVAL: chunks seen in >= 2 distinct
+# documents are stripped and each document is rewritten from its
+# surviving chunks in order (passage_dup_stats counts; this cleans).
+# ---------------------------------------------------------------------------
+
+_X34_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+ch AS (
+  SELECT doc_id, s['pos'] AS pos, s['chunk'] AS chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+               i -> {'pos': i,
+                     'chunk': array_to_string(
+                         list_slice(w, i * 5 + 1, i * 5 + 5), ' ')}))
+               AS s
+    FROM tok
+  )
+),
+freq AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, md5(chunk) AS h FROM ch)
+  GROUP BY h HAVING count(*) >= 2
+),
+kept AS (
+  SELECT * FROM ch WHERE md5(chunk) NOT IN (SELECT h FROM freq)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(chunk ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(lower(text), ' ')) / 5.0) AS BIGINT)
+             AS n_chunks
+  FROM documents
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       b.n_chunks,
+       CAST(b.n_chunks - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(b.n_chunks - coalesce(a.n_kept, 0) AS DOUBLE) / b.n_chunks
+           AS removed_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# x35 — token-budget mixture cap: per source, keep documents in
+# deterministic hash order until the cumulative token count reaches
+# the budget (the unit training mixtures are specified in — tokens
+# per source, not rows; domain_cap's weighted sibling).
+# ---------------------------------------------------------------------------
+
+_X35_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+         substring(md5(doc_id::VARCHAR || chr(31) || 'budget'), 1, 16) AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_toks FROM c WHERE cum <= 800
+"""
+
+
+@register("x35_token_budget_cap", oracle=_X35_ORACLE)
+def x35_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget admission: running token sum in
+    md5-hash order, keep documents whose cumulative total fits the
+    800-token budget. The kept set never exceeds the budget and is a
+    stable uniform sample of each source."""
+    from docker_etl_spark.operators.corpus import doc_tokens, token_budget_cap
+
+    d = load_docs_spread(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(doc_tokens("text")).cast("long").alias("n_toks"),
+    )
+    return token_budget_cap(
+        d, "source", 800, token_count=F.col("n_toks")
+    ).select("doc_id", "source", "n_toks")
+
+
+@register("x34_strip_boilerplate", oracle=_X34_ORACLE)
+def x34_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-chunk boilerplate removal (C4's "discard any
+    line seen in >= 3 documents", token-chunk form): 5-token chunks
+    occurring in >= 2 distinct documents are dropped and documents
+    rewritten from the survivors. Count-then-anti-join on the chunk
+    digest; fully-boilerplate documents survive with empty text."""
+    from docker_etl_spark.operators.corpus import strip_boilerplate
+
+    d = load_docs_spread(spark, sf_dir)
+    return strip_boilerplate(d, chunk_tokens=5, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # cp01 — the corpus_prep job's pipeline as an oracle-paired composite
 # (the curation analogue of gd01's dashboard lifecycle): Gopher gate
 # -> exact content dedup -> per-domain cap -> deterministic split ->

@@ -202,6 +202,74 @@ def test_passage_dup_shared_prefix(spark):
     assert out[3].n_dup_chunks == 0
 
 
+def test_strip_boilerplate_rewrites_docs(spark):
+    from docker_etl_spark.operators.corpus import strip_boilerplate
+
+    shared = " ".join(f"w{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " unique tail one two"),
+            Row(doc_id=2, text=shared + " other ending here now"),
+            Row(doc_id=3, text=shared),  # fully boilerplate
+            Row(doc_id=4, text="completely different words entirely x"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(docs, chunk_tokens=5, min_docs=2).collect()
+    }
+    assert len(out) == 4  # fully-removed docs still present
+    assert out[1].clean_text == "unique tail one two"
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[2].clean_text == "other ending here now"
+    assert out[3].clean_text == "" and out[3].removed_frac == 1.0
+    # unique doc passes through untouched (lowercased tokenizer)
+    assert out[4].clean_text == "completely different words entirely x"
+    assert out[4].n_removed == 0
+
+
+def test_strip_boilerplate_preserves_chunk_order(spark):
+    from docker_etl_spark.operators.corpus import strip_boilerplate
+
+    bp = "a b c d e"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="p q r s t " + bp + " u v w x y"),
+            Row(doc_id=2, text=bp + " z z z z z"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(docs, chunk_tokens=5, min_docs=2).collect()
+    }
+    # middle chunk removed, flanks rejoined in original order
+    assert out[1].clean_text == "p q r s t u v w x y"
+    assert out[2].clean_text == "z z z z z"
+
+
+def test_token_budget_cap_invariants(spark):
+    from docker_etl_spark.operators.corpus import token_budget_cap
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, domain=f"d{i % 2}", text=" ".join(["w"] * (10 + i)))
+            for i in range(12)
+        ]
+    )
+    out = token_budget_cap(docs, "domain", budget=40).collect()
+    assert out and set(docs.columns) == set(out[0].asDict())
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, 0)
+        by_dom[r.domain] += len(r.text.split(" "))
+    # never exceeds the budget, and the admitted set is non-trivial
+    assert all(v <= 40 for v in by_dom.values())
+    assert all(v >= 10 for v in by_dom.values())
+    # deterministic across invocations
+    again = token_budget_cap(docs, "domain", budget=40).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
 # ---------------------------------------------------------------------------
 # as-of join (operators/joins.py — tested here to avoid a new module)
 # ---------------------------------------------------------------------------
