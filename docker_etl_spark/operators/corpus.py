@@ -431,9 +431,12 @@ def strip_boilerplate(
     distinct (digest, doc) pairs -> groupBy digest -> frequent set;
     chunks anti-join that set on the digest. The frequent set is tiny
     relative to the corpus (boilerplate is, by definition, a small
-    set of highly repeated strings), so at 100 TB hint it broadcast;
-    here the anti-join shuffles narrow (digest) keys only. Document
-    reassembly shuffles (id, pos, chunk) once; sort_array of
+    set of highly repeated strings), so it is BROADCAST: the anti-join
+    never shuffles the exploded corpus — only the distinct/groupBy
+    that builds the digest set shuffles, and that is narrow (digest,
+    id) pairs. Document reassembly shuffles (id, pos, chunk) once
+    (map-side combined since rows for a doc are co-located after the
+    broadcast anti-join preserves scan partitioning); sort_array of
     (pos, chunk) structs makes collect_list order-independent.
     removed_frac is the single IEEE division at the edge — all other
     outputs exact ints/strings, so DuckDB oracles hash-match.
@@ -461,7 +464,7 @@ def strip_boilerplate(
         .select("chunk_md5")
     )
 
-    kept = chunked.join(frequent, "chunk_md5", "left_anti")
+    kept = chunked.join(F.broadcast(frequent), "chunk_md5", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(

@@ -116,6 +116,15 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in txt
 
 
+def test_boilerplate_antijoin_broadcasts(spark, sf_dir):
+    """x34: the frequent-chunk set is broadcast — the exploded corpus
+    must never shuffle for the anti-join (LeftAnti over a broadcast
+    exchange, no SortMergeJoin on the digest)."""
+    txt = formatted(QUERIES["x34_strip_boilerplate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
+    assert "SortMergeJoin LeftAnti" not in txt
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No registry query may plan a CartesianProduct — every join has
     equi keys, a broadcast, or a bounded non-equi broadcast-NL."""
