@@ -636,6 +636,83 @@ def domain_cap(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inter-slice duplication matrix: for every pair of sources,
+    how many distinct ``chunk_tokens``-token chunk digests they
+    share, and each side's containment fraction (shared / own
+    distinct chunks). This is the measure that prioritizes dedup
+    work between corpus slices — two crawls with 40% mutual
+    containment need cross-slice dedup before mixing; near-zero
+    pairs can be curated independently.
+
+    Returns one row per unordered pair (group_a < group_b):
+    (group_a, group_b, n_shared, n_a, n_b, frac_a, frac_b).
+
+    Scale: the per-(source, digest) distinct frame is the only thing
+    the self-join touches — barriered with a lazy localCheckpoint so
+    the scan->chunk->digest subtree computes once, not once per join
+    side (broadcast asymmetry defeats exchange reuse). The equi-join
+    shuffles narrow (source, digest) pairs on the digest; a digest
+    shared by all S sources yields at most S(S-1)/2 pair rows, so
+    per-key fan-out is bounded by the (small) source count, never by
+    corpus size. Output is S^2-bounded — driver-safe. Each frac is a
+    single IEEE division of two exact longs (oracle hash-exact).
+    """
+    toks = doc_tokens(text_col)
+    k = chunk_tokens
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    digests = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(toks, i * k + 1, k), " ")
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    totals = digests.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    a, b = digests.alias("a"), digests.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("grp").alias("group_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("grp").alias("group_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "group_a")
+        .join(F.broadcast(tb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.col("n_a").cast("double"))
+            .alias("frac_a"),
+            (F.col("n_shared").cast("double") / F.col("n_b").cast("double"))
+            .alias("frac_b"),
+        )
+    )
+
+
 def token_budget_cap(
     df: DataFrame,
     domain_col: str,

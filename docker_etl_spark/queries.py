@@ -4592,6 +4592,57 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# x36 — inter-source chunk-overlap matrix: which corpus slices
+# duplicate each other (the measure that prioritizes cross-slice
+# dedup before mixing). S^2-bounded output; self-join fan-out per
+# digest bounded by the source count.
+# ---------------------------------------------------------------------------
+
+_X36_ORACLE = """
+WITH tok AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+),
+ch AS (
+  SELECT DISTINCT source, h FROM (
+    SELECT source,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+               i -> md5(array_to_string(
+                        list_slice(w, i * 5 + 1, i * 5 + 5), ' '))))
+               AS h
+    FROM tok
+  )
+),
+tot AS (SELECT source, count(*) AS n FROM ch GROUP BY source),
+p AS (
+  SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_shared
+  FROM ch a JOIN ch b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(n_shared AS DOUBLE) / CAST(ta.n AS DOUBLE) AS frac_a,
+       CAST(n_shared AS DOUBLE) / CAST(tb.n AS DOUBLE) AS frac_b
+FROM p JOIN tot ta ON p.group_a = ta.source
+       JOIN tot tb ON p.group_b = tb.source
+"""
+
+
+@register("x36_source_overlap", oracle=_X36_ORACLE)
+def x36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source containment: distinct 5-token chunk digests
+    shared between every pair of sources, with each side's
+    containment fraction. Digest-keyed self equi-join over a
+    barriered (source, digest) distinct frame."""
+    from docker_etl_spark.operators.corpus import source_overlap
+
+    d = load_docs_spread(spark, sf_dir)
+    return source_overlap(d, chunk_tokens=5)
+
+
+# ---------------------------------------------------------------------------
 # x35 — token-budget mixture cap: per source, keep documents in
 # deterministic hash order until the cumulative token count reaches
 # the budget (the unit training mixtures are specified in — tokens

@@ -247,6 +247,29 @@ def test_strip_boilerplate_preserves_chunk_order(spark):
     assert out[2].clean_text == "z z z z z"
 
 
+def test_source_overlap_matrix(spark):
+    from docker_etl_spark.operators.corpus import source_overlap
+
+    shared = " ".join(f"w{i}" for i in range(5))
+    other = " ".join(f"v{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text=shared + " " + other),
+            Row(doc_id=2, source="b", text=shared + " z z z z z"),
+            Row(doc_id=3, source="c", text="q q q q q r r r r r"),
+        ]
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in source_overlap(docs, chunk_tokens=5).collect()
+    }
+    # a and b share exactly the boilerplate chunk; c overlaps nobody
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r.n_shared == 1 and r.n_a == 2 and r.n_b == 2
+    assert r.frac_a == 0.5 and r.frac_b == 0.5
+
+
 def test_token_budget_cap_invariants(spark):
     from docker_etl_spark.operators.corpus import token_budget_cap
 
