@@ -20,6 +20,9 @@ division of two exact integers, so DuckDB oracles hash-match.
 
 from __future__ import annotations
 
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -412,6 +415,7 @@ def strip_boilerplate(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
     """C4-style boilerplate REMOVAL (not just detection): split each
     document into non-overlapping ``chunk_tokens``-token chunks, find
@@ -429,12 +433,18 @@ def strip_boilerplate(
 
     Scale: one explode, then the count-then-anti-join pattern —
     distinct (digest, doc) pairs -> groupBy digest -> frequent set;
-    chunks anti-join that set on the digest. The frequent set is tiny
-    relative to the corpus (boilerplate is, by definition, a small
-    set of highly repeated strings), so it is BROADCAST: the anti-join
-    never shuffles the exploded corpus — only the distinct/groupBy
-    that builds the digest set shuffles, and that is narrow (digest,
-    id) pairs. Document reassembly shuffles (id, pos, chunk) once
+    chunks anti-join that set on the digest. With
+    ``broadcast_frequent=True`` (default) the frequent set is
+    BROADCAST so the anti-join never shuffles the exploded corpus —
+    the right plan when boilerplate is what the threshold targets (a
+    small set of highly repeated strings). But the set's SIZE scales
+    with corpus duplication, not boilerplate: at low ``min_docs`` on
+    a duplicate-heavy corpus every shared chunk qualifies, and the
+    broadcast can exceed the broadcast limit / executor memory. Pass
+    ``broadcast_frequent=False`` there (or after exact dedup has not
+    yet run) to take a shuffled digest-keyed anti-join instead —
+    same result, one extra exchange on the narrow digest column.
+    Document reassembly shuffles (id, pos, chunk) once
     (map-side combined since rows for a doc are co-located after the
     broadcast anti-join preserves scan partitioning); sort_array of
     (pos, chunk) structs makes collect_list order-independent.
@@ -464,7 +474,9 @@ def strip_boilerplate(
         .select("chunk_md5")
     )
 
-    kept = chunked.join(F.broadcast(frequent), "chunk_md5", "left_anti")
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    kept = chunked.join(frequent, "chunk_md5", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(
@@ -545,6 +557,31 @@ def mixture_sample(
     return df.filter(u < thresh)
 
 
+def split_threshold_hexes(
+    fractions: Sequence[tuple[str, float]],
+) -> list[str]:
+    """The 8-hex cumulative thresholds for :func:`hash_split` — ONE
+    derivation shared by the engine and any differential oracle.
+
+    Cumulative fractions come from ``math.fsum`` over the exact
+    prefix (never repeated float addition), so for ANY fraction list
+    the engine and an oracle built from these literals agree on every
+    row — a row's md5 draw can sit within 1/2^32 of a boundary, where
+    accumulation order would otherwise flip its split.
+    """
+    fracs = list(fractions)
+    return [
+        format(
+            int(
+                min(max(math.fsum(f for _, f in fracs[: i + 1]), 0.0), 1.0)
+                * 0xFFFFFFFF
+            ),
+            "08x",
+        )
+        for i in range(len(fracs) - 1)
+    ]
+
+
 def hash_split(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id",),
@@ -577,19 +614,14 @@ def hash_split(
     if len(fracs) < 2:
         raise ValueError("hash_split needs at least two splits")
 
-    def threshold_hex(cum: float) -> str:
-        c = min(max(cum, 0.0), 1.0)
-        return format(int(c * 0xFFFFFFFF), "08x")
-
     key = F.concat_ws(
         "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
     )
     u = F.substring(F.md5(key), 1, 8)
     assigned: Column | None = None
-    cum = 0.0
-    for name, frac in fracs[:-1]:
-        cum += frac
-        cond = u < F.lit(threshold_hex(cum))
+    hexes = split_threshold_hexes(fracs)
+    for (name, _frac), hx in zip(fracs[:-1], hexes):
+        cond = u < F.lit(hx)
         assigned = (
             F.when(cond, F.lit(name))
             if assigned is None

@@ -95,6 +95,14 @@ def connected_components(
     large-graph CC recipe (no driver-side graph state — only the
     changed-label COUNT is collected per round).
 
+    CONVERGENCE CONTRACT: if labels are still changing when
+    ``max_iterations`` is exhausted (a component of diameter >
+    max_iterations — e.g. a pathological boilerplate chain at corpus
+    scale), this RAISES rather than silently returning wrong labels.
+    Raise max_iterations (cost is per-round, only unconverged rounds
+    run) — min-label propagation needs diameter rounds; for
+    long-chain graphs switch to a large-star/small-star variant.
+
     Returns (node, component) with component = min reachable id.
     """
     edges = (
@@ -116,6 +124,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         # Min neighbor label per node, via one edge join.
         neighbor_min = (
@@ -145,7 +154,14 @@ def connected_components(
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — a component has diameter > max_iterations; "
+            "returning would mislabel clusters. Raise max_iterations."
+        )
     return labels
 
 
@@ -206,17 +222,25 @@ def keep_best_per_cluster(
     window partitions are bounded by cluster size, not corpus size).
 
     Returns (cluster_id, n_members, keep_id, keep_quality).
+    ``keep_quality`` keeps the input column's type (integral types
+    widen to long for cross-engine stability; fractional scores —
+    lm_score, removed_frac — pass through unchanged, never
+    truncated).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     m = labels.join(quality.select(node_col, quality_col), node_col)
     w = Window.partitionBy(component_col).orderBy(
         F.desc(quality_col), F.asc(node_col)
     )
     ranked = m.withColumn("__rn", F.row_number().over(w))
     is_best = F.col("__rn") == 1
+    q_type = quality.schema[quality_col].dataType
+    keep_q = F.max(F.when(is_best, F.col(quality_col)))
+    if isinstance(q_type, (ByteType, ShortType, IntegerType, LongType)):
+        keep_q = keep_q.cast("long")
     return ranked.groupBy(F.col(component_col).alias("cluster_id")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.max(F.when(is_best, F.col(node_col))).cast("long").alias("keep_id"),
-        F.max(F.when(is_best, F.col(quality_col)))
-        .cast("long")
-        .alias("keep_quality"),
+        keep_q.alias("keep_quality"),
     )

@@ -51,6 +51,7 @@ def cosine_topk_bruteforce(
     corpus_id: str = "corpus_id",
     vec_col: str = "vec",
     exact_int: bool = False,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × scan corpus.
 
@@ -66,16 +67,27 @@ def cosine_topk_bruteforce(
     BASELINE ONLY: cost is |Q| x |corpus|. ``max_queries`` makes the
     contract enforceable — a query set past it raises instead of
     silently planning a corpus-side blow-up; route large query sets
-    to the bucketed paths (``sign_lsh_topk`` / ``ivf_topk``).
+    to the bucketed paths (``sign_lsh_topk`` / ``ivf_topk``), or use
+    :func:`cosine_topk` which dispatches automatically. NOTE: when
+    the guard is on it runs one EAGER Spark job at plan-construction
+    time (a ``limit(max_queries+1).count()``); the query frame is
+    localCheckpoint'ed first so its lineage executes once and the
+    checkpointed rows feed the broadcast. ``max_queries=None`` skips
+    the guard (and the eager action) entirely — callers that already
+    know |Q| is bounded.
     """
-    max_queries = 10_000
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
-        raise ValueError(
-            f"cosine_topk_bruteforce got > {max_queries} query vectors; "
-            "the broadcast-cross-join baseline is O(|Q| * |corpus|) — "
-            "use sign_lsh_topk or ivf_topk for large query sets"
-        )
+    if max_queries is not None:
+        # Materialize once: the count below and the broadcast both
+        # read the checkpointed rows, not the (possibly expensive)
+        # upstream lineage twice.
+        queries = queries.localCheckpoint(eager=True)
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk_bruteforce got > {max_queries} query vectors; "
+                "the broadcast-cross-join baseline is O(|Q| * |corpus|) — "
+                "use sign_lsh_topk or ivf_topk for large query sets"
+            )
     d = dot_int if exact_int else dot
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qv"),
@@ -95,6 +107,56 @@ def cosine_topk_bruteforce(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "vec",
+    exact_int: bool = False,
+    small_query_limit: int = 10_000,
+    centroids: DataFrame | None = None,
+    nprobe: int = 2,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Default ANN entry point: routes by query-set size instead of
+    making the caller pick a strategy.
+
+    |Q| <= ``small_query_limit`` → :func:`cosine_topk_bruteforce`
+    (exact; corpus scanned once, queries broadcast). Larger query
+    sets SILENTLY take a bucketed approximate path: :func:`ivf_topk`
+    when ``centroids`` is provided (cell-probe join), else
+    :func:`cosine_topk_lsh` (multi-table sign-LSH) — never the
+    O(|Q|·|corpus|) plan.
+
+    The size probe is one eager ``limit(n+1).count()`` job on a
+    localCheckpoint'ed query frame (lineage runs once; the
+    checkpointed rows feed whichever path is chosen).
+    """
+    queries = queries.localCheckpoint(eager=True)
+    n_q = queries.limit(small_query_limit + 1).count()
+    if n_q <= small_query_limit:
+        return cosine_topk_bruteforce(
+            queries, corpus, k=k, query_id=query_id, corpus_id=corpus_id,
+            vec_col=vec_col, exact_int=exact_int, max_queries=None,
+        )
+    if centroids is not None:
+        return ivf_topk(
+            queries, corpus, centroids, k=k, nprobe=nprobe,
+            query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+            exact_int=exact_int,
+        )
+    return cosine_topk_lsh(
+        queries, corpus, dim, k=k, n_planes=n_planes, n_tables=n_tables,
+        query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+        seed=seed, exact_int=exact_int,
     )
 
 

@@ -36,6 +36,7 @@ from docker_etl_spark.operators.aggregates import (
     group_percentiles,
     ordered_limited_collect,
 )
+from docker_etl_spark.operators.corpus import split_threshold_hexes
 from docker_etl_spark.operators.dedupe import dedupe_latest_per_key
 from docker_etl_spark.operators.joins import (
     anti_join,
@@ -4171,8 +4172,12 @@ def pr01_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _split_threshold_hex(cum: float) -> str:
-    return format(int(min(max(cum, 0.0), 1.0) * 0xFFFFFFFF), "08x")
+# Shared engine/oracle threshold derivation (fsum prefix — see
+# operators/corpus.py split_threshold_hexes): the oracle CASE is
+# built from the SAME fraction list the engine splits on, so any
+# fraction configuration keeps both engines row-identical.
+_SPLIT_FRACS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+_SPLIT_HEX_TRAIN, _SPLIT_HEX_VAL = split_threshold_hexes(_SPLIT_FRACS)
 
 
 _X26_ORACLE = f"""
@@ -4182,8 +4187,8 @@ SELECT split, lang,
 FROM (
   SELECT lang, doc_id,
          CASE
-           WHEN u < '{_split_threshold_hex(0.9)}' THEN 'train'
-           WHEN u < '{_split_threshold_hex(0.95)}' THEN 'val'
+           WHEN u < '{_SPLIT_HEX_TRAIN}' THEN 'train'
+           WHEN u < '{_SPLIT_HEX_VAL}' THEN 'val'
            ELSE 'test'
          END AS split
   FROM (
@@ -4749,8 +4754,8 @@ capped AS (
 assigned AS (
   SELECT *,
          CASE
-           WHEN u < '{_split_threshold_hex(0.9)}' THEN 'train'
-           WHEN u < '{_split_threshold_hex(0.95)}' THEN 'val'
+           WHEN u < '{_SPLIT_HEX_TRAIN}' THEN 'train'
+           WHEN u < '{_SPLIT_HEX_VAL}' THEN 'val'
            ELSE 'test'
          END AS split
   FROM (
