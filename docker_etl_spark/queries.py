@@ -2304,6 +2304,128 @@ def r01_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r02_historic_scores",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type AS status,
+             CAST(CAST(FLOOR(value) AS INT) % 5 AS VARCHAR) AS sev,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS p_status,
+             LAG(CAST(CAST(FLOOR(value) AS INT) % 5 AS VARCHAR))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS p_sev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_id, p_status, p_sev FROM t
+      WHERE p_status IS NOT NULL
+        AND (status <> p_status OR sev <> p_sev)
+    ),
+    tw AS (SELECT event_type, COUNT(*) AS w FROM events GROUP BY event_type)
+    SELECT c.user_id, c.event_id,
+           CAST(CASE WHEN c.p_status <> 'purchase' AND c.p_sev <> '0'
+                     THEN tw.w * (CAST(c.p_sev AS INT) + 1)
+                     ELSE 0 END AS DOUBLE) AS score
+    FROM ch c JOIN tw ON tw.event_type = c.p_status
+    """,
+)
+def r02_historic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historic metric re-scoring composite (§3.1's last lifecycle):
+    replay entity states from reverse diffs, then re-run the scoring
+    expression against every reconstructed state — the reference's
+    compute_historic_scores (etl/metric_changes.py:327-413: states →
+    rendered scoring SQL over a temp state table → per-(bug, index)
+    Decimal scores, 0 for states that don't qualify).
+
+    Fixture framing: each user is a "bug" with TWO tracked fields —
+    status (event_type; FIXED_STATES analogue = 'purchase') and
+    severity (a value bucket). History entries carry PARTIAL
+    change-sets (only fields that actually changed, like Bugzilla
+    history), so the replay fold must merge un-applied diffs over the
+    seeded current state — r01 never exercises the seed path because
+    its every change-set overwrites the whole state. Scoring mirrors
+    the reference's weight-dim product: a per-status weight from a
+    broadcast dim (dim_bug_score analogue) × a severity modifier
+    (SITE_RANK_MODIFIER analogue), zero for non-qualifying states.
+    The oracle recomputes everything with LAG windows — a genuine
+    differential of fold + seed + scoring glue.
+
+    Scale: replay is one groupBy(user) fold (JVM HOFs); the weight
+    dim is broadcast (k distinct statuses); no other shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        (F.floor("value").cast("int") % 5).cast("string").alias("sev"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = typed.select(
+        "*",
+        F.lag("status").over(w).alias("p_status"),
+        F.lag("sev").over(w).alias("p_sev"),
+    )
+    changes = F.filter(
+        F.array(
+            F.struct(
+                F.lit("status").alias("field_name"),
+                F.col("status").alias("added"),
+                F.col("p_status").alias("removed"),
+            ),
+            F.struct(
+                F.lit("severity").alias("field_name"),
+                F.col("sev").alias("added"),
+                F.col("p_sev").alias("removed"),
+            ),
+        ),
+        lambda c: c["added"] != c["removed"],
+    )
+    hist = (
+        lagged.filter(F.col("p_status").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("change_time"),
+            changes.alias("changes"),
+        )
+        .filter(F.size("changes") > 0)
+    )
+    # Seed = the genuinely-latest state: partial change-sets leave
+    # un-changed fields at the seed's value during replay.
+    current = dedupe_latest_per_key(
+        typed, ["user_id"], [F.desc("event_id")]
+    ).select(
+        "user_id",
+        F.create_map(
+            F.lit("status"), F.col("status"), F.lit("severity"), F.col("sev")
+        ).alias("state"),
+    )
+    states = replay_states(
+        current,
+        hist,
+        entity_col="user_id",
+        time_col="change_time",
+        changes_col="changes",
+        state_col="state",
+        time_type="bigint",
+    )
+    weights = ev.groupBy("event_type").agg(F.count("*").alias("w"))
+    scored = states.select(
+        "user_id",
+        F.col("change_time").alias("event_id"),
+        F.col("state_before").getItem("status").alias("p_status"),
+        F.col("state_before").getItem("severity").alias("p_sev"),
+    ).join(F.broadcast(weights), F.col("event_type") == F.col("p_status"))
+    score = (
+        F.when(
+            (F.col("p_status") != F.lit("purchase"))
+            & (F.col("p_sev") != F.lit("0")),
+            F.col("w") * (F.col("p_sev").cast("int") + 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+    return scored.select("user_id", "event_id", score.alias("score"))
+
+
+@register(
     "s05_json_lines_roundtrip",
     oracle="""
     SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,

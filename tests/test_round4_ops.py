@@ -145,6 +145,36 @@ def test_strip_boilerplate_shuffled_antijoin_matches_broadcast(spark):
     assert "no_broadcast_hash" in opt or "ResolvedHint" not in opt
 
 
+def test_replay_partial_changesets_use_seed(spark):
+    """Mirrors compute_historic_scores' state semantics
+    (metric_changes.py:327-413): change-sets carry only CHANGED
+    fields, so un-applying a diff must leave other fields at the
+    seeded current value — and the current state may postdate the
+    newest change (trailing no-op events)."""
+    from docker_etl_spark.operators.replay import replay_states
+
+    # timeline: (t=1 status=open sev=2) -> (t=2 status=open sev=3)
+    #           -> (t=3 status=fixed sev=3) -> t=4 no-op
+    current = spark.createDataFrame(
+        [(1, {"status": "fixed", "severity": "3"})],
+        "number long, state map<string,string>",
+    )
+    hist = spark.createDataFrame(
+        [
+            (1, 2, [("severity", "3", "2")]),
+            (1, 3, [("status", "fixed", "open")]),
+        ],
+        "number long, change_time long, "
+        "changes array<struct<field_name string, added string, removed string>>",
+    )
+    out = replay_states(current, hist, time_type="bigint").collect()
+    got = {r.change_time: dict(r.state_before) for r in out}
+    assert got == {
+        3: {"status": "open", "severity": "3"},  # severity from seed
+        2: {"status": "open", "severity": "2"},
+    }
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
