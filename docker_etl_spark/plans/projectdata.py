@@ -40,9 +40,11 @@ edges with cycle detection (update_schema.py:218 topological_sort).
 
 from __future__ import annotations
 
+import hashlib
 import re
 import tomllib
 from dataclasses import dataclass, field
+from datetime import datetime
 from graphlib import CycleError, TopologicalSorter
 from pathlib import Path
 
@@ -264,6 +266,54 @@ _TOKEN_RE = re.compile(
     r")\s*\}\}"
 )
 
+# {% for m in metrics %} ... {% endfor %} — the reference's
+# metric-view generation loop (webcompat_kb/metrics/metrics.py:196-216
+# renders whole views by looping metric_types and splicing each
+# metric's agg_function). Supported inside the body:
+#   {{ var.attr }} / {{ var.method() }}   attribute / no-arg call
+#   {{ ',' if not loop.last }}            the separator idiom
+_LOOP_RE = re.compile(
+    r"\{%\s*for\s+(?P<var>\w+)\s+in\s+(?P<seq>\w+)\s*%\}"
+    r"(?P<body>.*?)\{%\s*endfor\s*%\}",
+    re.S,
+)
+
+
+def expand_template_loops(text: str, context: dict, *, where: str) -> str:
+    """Expand metric-loop blocks against ``context`` (name → iterable
+    of objects). Each iteration substitutes the loop variable's
+    attribute/method tokens; ``loop.last`` gates separators. Loops
+    cannot nest (the reference's templates don't either)."""
+
+    def expand(m: re.Match) -> str:
+        var, seq, body = m.group("var"), m.group("seq"), m.group("body")
+        if seq not in context:
+            raise KeyError(
+                f"{where}: template loops over {seq!r} but the project "
+                f"was built without it in template_context"
+            )
+        items = list(context[seq])
+        attr_re = re.compile(
+            r"\{\{\s*" + re.escape(var) + r"\.(\w+)(\(\))?\s*\}\}"
+        )
+        last_re = re.compile(
+            r"\{\{\s*'([^']*)'\s+if\s+not\s+loop\.last\s*\}\}"
+        )
+        out = []
+        for i, item in enumerate(items):
+            def sub_attr(am: re.Match) -> str:
+                v = getattr(item, am.group(1))
+                return str(v() if am.group(2) else v)
+
+            piece = attr_re.sub(sub_attr, body)
+            piece = last_re.sub(
+                lambda lm: lm.group(1) if i < len(items) - 1 else "", piece
+            )
+            out.append(piece)
+        return "".join(out)
+
+    return _LOOP_RE.sub(expand, text)
+
 
 def conform_binding(df: DataFrame, schema: T.StructType, *, where: str) -> DataFrame:
     """Cast/select a bound DataFrame to the declared table schema.
@@ -287,6 +337,23 @@ def conform_binding(df: DataFrame, schema: T.StructType, *, where: str) -> DataF
     return df.select(*cols)
 
 
+def tree_hash(root: str | Path) -> str:
+    """Deterministic content hash of a project directory — the
+    reference's git-style ``hash_tree`` (treehash.py:98), used to
+    skip no-op schema deployments: same bytes on disk → same hash →
+    nothing to do. Hashes sorted relative paths with their content
+    digests, so renames, additions, and edits all change it."""
+    rootp = Path(root)
+    h = hashlib.sha256()
+    for p in sorted(rootp.rglob("*")):
+        if p.is_file():
+            h.update(str(p.relative_to(rootp)).encode())
+            h.update(b"\x00")
+            h.update(hashlib.sha256(p.read_bytes()).digest())
+            h.update(b"\x00")
+    return h.hexdigest()
+
+
 class FileProject:
     """A loaded on-disk project, deployable into a SparkSession.
 
@@ -305,6 +372,7 @@ class FileProject:
         base_tables: dict[str, DataFrame] | None = None,
         table_bindings: dict[str, DataFrame] | None = None,
         prefix: str = "",
+        template_context: dict | None = None,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -312,6 +380,12 @@ class FileProject:
         self.base_tables = dict(base_tables or {})
         self.table_bindings = dict(table_bindings or {})
         self.prefix = prefix
+        # name -> iterable of objects, for {% for %} template loops
+        # (the registry the reference passes to its Jinja environment)
+        self.template_context = dict(template_context or {})
+        # (dataset, name) -> (kind, deployed schema-or-text): what THIS
+        # project instance deployed, diffed by needs_update.
+        self._live: dict[tuple[str, str], tuple[str, object]] = {}
         # (dataset, name) -> kind, for ref classification
         self._known: dict[tuple[str, str], str] = {}
         for ds in self.datasets.values():
@@ -353,6 +427,8 @@ class FileProject:
 
     def _render(self, tpl: SqlTemplate) -> tuple[str, set[tuple[str, str]]]:
         deps: set[tuple[str, str]] = set()
+        where = f"{tpl.kind} {tpl.dataset}.{tpl.name}"
+        sql = expand_template_loops(tpl.sql, self.template_context, where=where)
 
         def sub(m: re.Match) -> str:
             if m.group("var"):
@@ -370,11 +446,16 @@ class FileProject:
                 deps.add(target)
             return self.physical_name(*target)
 
-        return _TOKEN_RE.sub(sub, tpl.sql), deps
+        return _TOKEN_RE.sub(sub, sql), deps
 
     def _scan_refs(self, tpl: SqlTemplate) -> set[tuple[str, str]]:
         deps: set[tuple[str, str]] = set()
-        for m in _TOKEN_RE.finditer(tpl.sql):
+        sql = expand_template_loops(
+            tpl.sql,
+            self.template_context,
+            where=f"{tpl.kind} {tpl.dataset}.{tpl.name}",
+        )
+        for m in _TOKEN_RE.finditer(sql):
             if not m.group("ref"):
                 continue
             target = self._resolve(
@@ -403,46 +484,196 @@ class FileProject:
             cycle = " -> ".join(f"{d}.{n}" for d, n in ex.args[1])
             raise ValueError(f"dependency cycle in project: {cycle}") from ex
 
+    def _deploy_one(self, ds_name: str, name: str) -> str:
+        """Deploy a single object and record what was deployed (kind +
+        schema/rendered text) in the live-state map the incremental
+        updater diffs against."""
+        ds = self.datasets[ds_name]
+        phys = self.physical_name(ds_name, name)
+        kind = self._known[(ds_name, name)]
+        if kind == "table":
+            tbl = ds.tables[name]
+            bound = self.table_bindings.get(f"{ds_name}.{name}")
+            if bound is not None:
+                df = conform_binding(
+                    bound, tbl.schema, where=f"table {ds_name}.{name}"
+                )
+            else:
+                df = self.spark.createDataFrame([], tbl.schema)
+            df.createOrReplaceTempView(phys)
+            self._live[(ds_name, name)] = ("table", tbl.schema)
+        elif kind == "routine":
+            rendered, _ = self._render(ds.routines[name])
+            stripped = rendered.lstrip()
+            if not stripped.upper().startswith("CREATE"):
+                raise ValueError(
+                    f"routine {ds_name}.{name}: template must be a CREATE "
+                    f"FUNCTION statement (update_schema.py validate_routine_sql)"
+                )
+            if phys not in rendered:
+                raise ValueError(
+                    f"routine {ds_name}.{name}: rendered SQL must define "
+                    f"{phys!r}; name the function `{{{{ ref(name) }}}}`"
+                )
+            self.spark.sql(rendered)
+            self._live[(ds_name, name)] = ("routine", rendered)
+        else:
+            rendered, _ = self._render(ds.views[name])
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {phys} AS {rendered}"
+            )
+            self._live[(ds_name, name)] = ("view", rendered)
+        return phys
+
     def deploy(self) -> list[str]:
         """Materialize the whole project; returns physical names in
         deploy order. Base tables register first (scan layer), then
         tables/routines/views in dependency order."""
         for name, df in self.base_tables.items():
             df.createOrReplaceTempView(f"{self.prefix}{name}")
-        deployed = []
-        for ds_name, name in self.deploy_order():
-            ds = self.datasets[ds_name]
-            phys = self.physical_name(ds_name, name)
-            if name in ds.tables and self._known[(ds_name, name)] == "table":
-                tbl = ds.tables[name]
-                bound = self.table_bindings.get(f"{ds_name}.{name}")
-                if bound is not None:
-                    df = conform_binding(
-                        bound, tbl.schema, where=f"table {ds_name}.{name}"
-                    )
-                else:
-                    df = self.spark.createDataFrame([], tbl.schema)
-                df.createOrReplaceTempView(phys)
-            elif (ds_name, name) in {(d, n) for (d, n), k in self._known.items() if k == "routine"}:
-                rendered, _ = self._render(ds.routines[name])
-                stripped = rendered.lstrip()
-                if not stripped.upper().startswith("CREATE"):
-                    raise ValueError(
-                        f"routine {ds_name}.{name}: template must be a CREATE "
-                        f"FUNCTION statement (update_schema.py validate_routine_sql)"
-                    )
-                if phys not in rendered:
-                    raise ValueError(
-                        f"routine {ds_name}.{name}: rendered SQL must define "
-                        f"{phys!r}; name the function `{{{{ ref(name) }}}}`"
-                    )
-                self.spark.sql(rendered)
-            else:
-                rendered, _ = self._render(ds.views[name])
-                self.spark.sql(
-                    f"CREATE OR REPLACE TEMPORARY VIEW {phys} AS {rendered}"
-                )
-            deployed.append(phys)
+        return [self._deploy_one(d, n) for d, n in self.deploy_order()]
+
+    # -- incremental schema update (update_schema.py:295-474,551-623) --
+    def reload(self) -> None:
+        """Re-read templates from disk — the step between editing the
+        project directory and asking what changed."""
+        self.datasets = load_project_dir(self.root)
+        self._known = {}
+        for ds in self.datasets.values():
+            for n in ds.tables:
+                self._known[(ds.name, n)] = "table"
+            for n in ds.views:
+                self._known[(ds.name, n)] = "view"
+            for n in ds.routines:
+                self._known[(ds.name, n)] = "routine"
+        for key in self.table_bindings:
+            if tuple(key.split(".", 1)) not in self._known:
+                raise ValueError(f"table binding {key!r} matches no declared table")
+
+    def needs_update(self, ds_name: str, name: str) -> bool:
+        """Live-vs-declared diff for one object, mirroring the
+        reference's updaters (update_schema.py:320-419): missing →
+        update; table → field additions (``schema_new_fields`` over
+        the LIVE catalog schema, recursing into nested structs) or
+        field-count change; view/routine → rendered text differs from
+        what this project deployed. Text diffing routines is an
+        engine-side improvement over the reference (which re-deploys
+        routines unconditionally because BigQuery returns a parsed
+        form) — possible here because the deployed text is recorded.
+        """
+        from docker_etl_spark.sources.io import schema_new_fields
+
+        kind = self._known[(ds_name, name)]
+        phys = self.physical_name(ds_name, name)
+        if kind == "table":
+            if not self.spark.catalog.tableExists(phys):
+                return True
+            declared = self.datasets[ds_name].tables[name].schema
+            live = self.spark.table(phys).schema
+            return bool(schema_new_fields(declared, live)) or len(
+                declared.fields
+            ) != len(live.fields)
+        tpl = (
+            self.datasets[ds_name].routines[name]
+            if kind == "routine"
+            else self.datasets[ds_name].views[name]
+        )
+        rendered, _ = self._render(tpl)
+        recorded = self._live.get((ds_name, name))
+        if recorded is None:
+            return True  # never deployed by this project → deploy
+        return recorded[1] != rendered
+
+    def _dependents_closure(
+        self, changed: set[tuple[str, str]]
+    ) -> set[tuple[str, str]]:
+        """Transitive consumers of ``changed`` through ref edges.
+        Engine-specific necessity: temp views freeze their analyzed
+        plan at creation, so replacing an upstream object does NOT
+        flow into an existing downstream view — dependents must be
+        re-created (BigQuery views re-resolve per query, so the
+        reference skips this)."""
+        fwd: dict[tuple[str, str], set[tuple[str, str]]] = {}
+        for ds in self.datasets.values():
+            for tpl in list(ds.routines.values()) + list(ds.views.values()):
+                fwd[(tpl.dataset, tpl.name)] = self._scan_refs(tpl)
+        out = set(changed)
+        grew = True
+        while grew:
+            grew = False
+            for obj, deps in fwd.items():
+                if obj not in out and deps & out:
+                    out.add(obj)
+                    grew = True
+        return out - set(changed)
+
+    def deploy_incremental(self) -> list[str]:
+        """Deploy only objects whose declaration changed, plus their
+        transitive dependents, in dependency order — the engine twin
+        of ``update_schemas`` touching only what ``needs_update``
+        (update_schema.py:479-531). Returns deployed physical names
+        (empty when nothing changed)."""
+        order = self.deploy_order()
+        changed = {
+            (d, n) for d, n in order if self.needs_update(d, n)
+        }
+        if not changed:
+            return []
+        targets = changed | self._dependents_closure(changed)
+        for name, df in self.base_tables.items():
+            df.createOrReplaceTempView(f"{self.prefix}{name}")
+        return [
+            self._deploy_one(d, n) for d, n in order if (d, n) in targets
+        ]
+
+    def get_last_update(self) -> tuple[datetime | None, str | None]:
+        """Most recent (run_at, schema_hash) from the deployment log,
+        (None, None) when the log doesn't exist yet
+        (update_schema.py:551-570 get_last_update)."""
+        log = f"{self.prefix}metadata__schema_updates"
+        if not self.spark.catalog.tableExists(log):
+            return None, None
+        rows = (
+            self.spark.table(log)
+            .orderBy(F.desc("run_at"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None, None
+        return rows[0].run_at, rows[0].schema_hash
+
+    def record_update(self, schema_hash: str) -> None:
+        """Append a deployment record (update_schema.py:572-583)."""
+        log = f"{self.prefix}metadata__schema_updates"
+        row = self.spark.createDataFrame(
+            [(datetime.now(), schema_hash)],
+            "run_at timestamp_ntz, schema_hash string",
+        )
+        if self.spark.catalog.tableExists(log):
+            row = self.spark.table(log).unionByName(row)
+        # materialize before re-binding the view name the union reads
+        row = row.localCheckpoint(eager=True)
+        row.createOrReplaceTempView(log)
+
+    def update_if_needed(self, force: bool = False) -> list[str]:
+        """The reference's top-level orchestration
+        (update_schema.py:595-623 update_schema_if_needed): hash the
+        template tree; if it matches the last recorded deployment and
+        that deployment is from today, do NOTHING (idempotent no-op
+        runs); otherwise deploy the diff and record the new hash."""
+        src_hash = tree_hash(self.root)
+        last_time, last_hash = self.get_last_update()
+        update_needed = (
+            force
+            or last_hash != src_hash
+            or (last_time is not None and last_time.date() < datetime.now().date())
+        )
+        if not update_needed:
+            return []
+        self.reload()
+        deployed = self.deploy_incremental()
+        self.record_update(src_hash)
         return deployed
 
     def table(self, ref: str) -> DataFrame:

@@ -2784,6 +2784,48 @@ def c02_project_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c03_metric_template_loop",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {metric_select_sql(_ORDER_METRICS)}
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def c03_metric_template_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-generated metric VIEW in the file catalog: the view
+    template holds a ``{{% for m in metrics %}}`` loop that expands
+    against the metric registry at render time — the reference's
+    metric-view generation (webcompat_kb/metrics/metrics.py:196-216:
+    Jinja loops over metric_types splice each metric's agg_function
+    into the view body). Same _ORDER_METRICS registry as a03, so the
+    file-template surface and the Column surface provably share one
+    metric definition; the oracle is generated from it too.
+
+    Scale: the deployed view is logical — the final plan is the same
+    single hash aggregate a03 plans."""
+    from pathlib import Path
+
+    from docker_etl_spark.plans.projectdata import FileProject
+
+    root = (
+        Path(__file__).resolve().parent.parent
+        / "fixtures"
+        / "demo_metrics_project"
+    )
+    proj = FileProject(
+        spark,
+        root,
+        table_bindings={
+            "metricsdemo.scored_orders": load_table(spark, sf_dir, "orders")
+        },
+        prefix="c03_",
+        template_context={"metrics": _ORDER_METRICS},
+    )
+    proj.deploy()
+    return proj.table("metricsdemo.status_metrics").orderBy("o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # f03 — user-story DSL parse (F1; etl/bugzilla.py:407-433): key:value
 # lines → map<string,array<string>> as one JVM fold. The story text

@@ -175,6 +175,33 @@ def test_replay_partial_changesets_use_seed(spark):
     }
 
 
+def test_expand_template_loops():
+    from docker_etl_spark.functions.metrics import CountMetric
+    from docker_etl_spark.plans.projectdata import expand_template_loops
+
+    tpl = (
+        "SELECT k,\n"
+        "  {% for m in metrics %}{{ m.sql() }}{{ ',' if not loop.last }}\n"
+        "  {% endfor %}\n"
+        "FROM t"
+    )
+    ms = [CountMetric("a", "x = 1"), CountMetric("b", "x = 2")]
+    out = expand_template_loops(tpl, {"metrics": ms}, where="view d.v")
+    assert "AS a," in out and "AS b" in out
+    assert out.rstrip().endswith("FROM t")
+    # separator only between items, not after the last
+    assert out.count("AS a,") == 1 and "AS b," not in out
+    with pytest.raises(KeyError, match="template_context"):
+        expand_template_loops(tpl, {}, where="view d.v")
+    # plain attribute (no call) also substitutes
+    out2 = expand_template_loops(
+        "{% for m in metrics %}[{{ m.name }}]{% endfor %}",
+        {"metrics": ms},
+        where="view d.v",
+    )
+    assert out2 == "[a][b]"
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
