@@ -526,6 +526,41 @@ def kmeans_fit_quantized(
     cluster cardinality, an exact membership checksum, and the sum of
     the centroid's dims (training-result fingerprint).
     """
+    assigned, centroids = kmeans_assign_quantized(
+        df, vec_col, id_col, k, iterations, quant_scale
+    )
+    return (
+        assigned.groupBy(F.col("__cluster").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("__id").cast("long").alias("member_id_sum"),
+        )
+        .withColumn(
+            "centroid_sum",
+            F.lit(0).cast("bigint")
+            + sum(
+                (F.when(F.col("cluster_id") == j, int(sum(c))).otherwise(0)
+                 for j, c in enumerate(centroids)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+
+
+def kmeans_assign_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int = 2,
+    quant_scale: int = 1000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """The assignment-level kernel under ``kmeans_fit_quantized``:
+    returns (assigned frame with columns (__id, __vq, __cluster),
+    final centroids). Same deterministic integer spec; exposed so
+    composites (IVF layout, :func:`semantic_dedup`) can reuse the
+    per-vector cluster labels without re-deriving them.
+    """
     vq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
@@ -590,21 +625,80 @@ def kmeans_fit_quantized(
             else centroids[j]  # empty cluster keeps its centroid
             for j in range(k)
         ]
-    return (
-        assigned.groupBy(F.col("__cluster").alias("cluster_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.sum("__id").cast("long").alias("member_id_sum"),
+    assert assigned is not None
+    return assigned, centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster embeddings with the integer-exact
+    Lloyd kernel, compare vectors only WITHIN each cluster, and drop
+    every vector whose cosine to a lower-id cluster-mate reaches
+    ``threshold`` (greedy lowest-id survivor — the full
+    connected-components treatment is ``connected_components`` over
+    :func:`embedding_near_duplicates` pairs; this is the cheap
+    cluster-local pass SemDeDup actually runs at scale).
+
+    Exactness: quantized integer dot products; cosine is one IEEE
+    division over a correctly-rounded sqrt, so any engine agreeing on
+    the integers agrees on every keep/drop decision. Zero-norm
+    vectors never pair (cosine undefined — and NaN comparison
+    semantics differ across engines).
+
+    Scale: the only pairwise work is the within-cluster self-join —
+    an equi-join on the cluster label, never a corpus cross join.
+    Cluster sizes bound the quadratic term: pick k ~ corpus_size /
+    target_cluster_size (SemDeDup uses tens of thousands of clusters
+    at web scale; the per-round training cost is k·dim-bounded, see
+    ``kmeans_fit_quantized``). Skewed (oversized) clusters are the
+    known failure mode — cap them upstream or sub-bucket with
+    ``embedding_near_duplicates``' sign-LSH within the big cells.
+
+    Returns (cluster_id, n_members, n_dropped, survivor_id_sum).
+    """
+    assigned, _ = kmeans_assign_quantized(
+        df, vec_col, id_col, k, iterations, quant_scale
+    )
+    norm = dot_int(F.col("__vq"), F.col("__vq"))
+    vecs = assigned.select(
+        "__cluster", "__id", "__vq", norm.alias("__n")
+    )
+    a = vecs.filter(F.col("__n") > 0).alias("a")
+    b = vecs.filter(F.col("__n") > 0).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__cluster") == F.col("b.__cluster"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    )
+    cos = dot_int(F.col("a.__vq"), F.col("b.__vq")).cast("double") / F.sqrt(
+        (F.col("a.__n") * F.col("b.__n")).cast("double")
+    )
+    dropped = (
+        pairs.filter(cos >= F.lit(threshold))
+        .select(
+            F.col("b.__cluster").alias("__cluster"),
+            F.col("b.__id").alias("__id"),
         )
-        .withColumn(
-            "centroid_sum",
-            F.lit(0).cast("bigint")
-            + sum(
-                (F.when(F.col("cluster_id") == j, int(sum(c))).otherwise(0)
-                 for j, c in enumerate(centroids)),
-                F.lit(0),
-            ).cast("bigint"),
-        )
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    marked = assigned.join(dropped, ["__cluster", "__id"], "left")
+    return marked.groupBy(F.col("__cluster").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.when(F.col("__dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("__dropped").isNull(), F.col("__id")).otherwise(0))
+        .cast("long")
+        .alias("survivor_id_sum"),
     )
 
 

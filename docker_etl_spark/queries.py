@@ -4024,7 +4024,10 @@ def x22_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X23_K = 4
 
-_X23_ORACLE = """
+# Shared deterministic-Lloyd CTE prefix (through the round-2
+# assignment) — reused by x23 (training fingerprint) and x36
+# (SemDeDup over the same assignments).
+_KMEANS_CTES = """
 WITH vq AS (
   SELECT vec_id AS id,
          list_transform(embedding,
@@ -4064,7 +4067,9 @@ a2 AS (
          ) AS rn
   FROM vq, cent1
 ),
-assign2 AS (SELECT id, v, cid FROM a2 WHERE rn = 1),
+assign2 AS (SELECT id, v, cid FROM a2 WHERE rn = 1)"""
+
+_X23_ORACLE = _KMEANS_CTES + """,
 cent2 AS (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,

@@ -1,0 +1,122 @@
+"""Super-linearity spot-check for the iterative/dedup kernels.
+
+Derives a 10x corpus from sf0.1 (replica tokens are suffixed per
+replica so replicas are NOT near-duplicates of each other — pure
+duplication would quadratically inflate candidate pairs as a data
+artifact, masking the kernel's own scaling), then times the five
+heaviest kernels at 1x and 10x and prints sec ratios. Near-linear
+kernels should land <= ~12x for 10x rows; anything far above that
+has a hidden super-linear term.
+
+Usage: python scale_check.py [--replicas 10]
+Writes scaled parquet under /tmp/docker_etl_spark_scale/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from docker_etl_spark.queries import QUERIES
+from docker_etl_spark.session import get_spark
+from docker_etl_spark.sources.io import load_table
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+KERNELS = [
+    "x05_minhash_lsh_near_dups",
+    "x09_minhash_fast",
+    "x20_dedup_clusters",
+    "x23_kmeans_ivf_train",
+    "x33_dedup_keep_best",
+]
+
+
+def build_scaled(spark, out_dir: str, replicas: int) -> None:
+    docs = load_table(spark, BASE, "documents")
+    emb = load_table(spark, BASE, "embeddings")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    r = spark.range(replicas).withColumnRenamed("id", "rep")
+    scaled_docs = (
+        docs.crossJoin(F.broadcast(r))
+        .select(
+            (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
+            # suffix every token with the replica id: shingle-profile
+            # SHAPE is preserved, cross-replica near-dups are not
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    scaled_emb = (
+        emb.crossJoin(F.broadcast(r))
+        .select(
+            (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
+            # rotate components by the replica id so replicas point in
+            # different directions (no artificial near-dup cliques)
+            F.transform(
+                F.col("embedding"),
+                lambda v, i: v + (F.col("rep") * (i + 1) % 7).cast("float") * F.lit(0.31),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_docs.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    scaled_emb.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def time_query(spark, name: str, sf_dir: str, passes: int = 2) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).count()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+    # local mode defaults to a 1g driver heap — the 10x corpus needs
+    # real executor memory (driver == executor in local mode)
+    spark = get_spark(
+        app_name="scale-check",
+        extra_conf={"spark.driver.memory": "12g"},
+    )
+    out_dir = "/tmp/docker_etl_spark_scale"
+    build_scaled(spark, out_dir, args.replicas)
+
+    results = {}
+    for name in KERNELS:
+        try:
+            t1 = time_query(spark, name, BASE)
+            t10 = time_query(spark, name, out_dir)
+            results[name] = {
+                "sec_1x": round(t1, 3),
+                f"sec_{args.replicas}x": round(t10, 3),
+                "ratio": round(t10 / t1, 2),
+            }
+        except Exception as ex:  # keep probing the other kernels
+            results[name] = {"error": str(ex).split("\n")[0][:300]}
+        print(name, results[name], flush=True)
+    print(json.dumps({"replicas": args.replicas, "kernels": results}))
+
+
+if __name__ == "__main__":
+    main()
