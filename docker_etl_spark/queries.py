@@ -4025,15 +4025,16 @@ def x22_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X23_K = 4
 
 # Shared deterministic-Lloyd CTE prefix (through the round-2
-# assignment) — reused by x23 (training fingerprint) and x36
-# (SemDeDup over the same assignments).
-_KMEANS_CTES = """
-WITH vq AS (
-  SELECT vec_id AS id,
-         list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
-             AS v
-  FROM embeddings
+# assignment) — reused by x23 (training fingerprint) and x37
+# (SemDeDup over the same assignments). ``src_sql`` provides
+# (id, dv: double list) so fixtures can plant near-duplicates.
+def _kmeans_ctes(src_sql: str) -> str:
+    return f"""
+WITH src AS ({src_sql}),
+vq AS (
+  SELECT id,
+         list_transform(dv, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v
+  FROM src
 ),
 init AS (
   SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
@@ -4069,7 +4070,13 @@ a2 AS (
 ),
 assign2 AS (SELECT id, v, cid FROM a2 WHERE rn = 1)"""
 
-_X23_ORACLE = _KMEANS_CTES + """,
+
+_X23_SRC = (
+    "SELECT vec_id AS id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings"
+)
+
+_X23_ORACLE = _kmeans_ctes(_X23_SRC) + """,
 cent2 AS (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,
@@ -4104,6 +4111,91 @@ def x23_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "member_id_sum",
         "centroid_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x37 — SemDeDup: semantic dedup via cluster-local cosine pruning
+# (operators/similarity.semantic_dedup; Abbas et al. 2023). The
+# oracle extends x23's deterministic-Lloyd CTEs with the
+# within-cluster pair stage — same integer dot products, one IEEE
+# division, so keep/drop decisions are engine-portable.
+# ---------------------------------------------------------------------------
+
+_X37_THRESHOLD = 0.9
+
+# Fixture planting (same recipe as x12): random vectors have no
+# genuine near-dups (max pairwise cosine ~= 0.51), so perturbed
+# copies of vec_id < 20 are added — each planted twin has cosine
+# ~= 1 to its original and must be dropped by the pruning stage.
+_X37_SRC = _X23_SRC + (
+    " UNION ALL SELECT vec_id + 1000000, "
+    "list_transform(range(1, 65), i -> CASE WHEN i = 1 "
+    "THEN CAST(embedding[i] AS DOUBLE) + 0.01 "
+    "ELSE CAST(embedding[i] AS DOUBLE) END) "
+    "FROM embeddings WHERE vec_id < 20"
+)
+
+_X37_ORACLE = _kmeans_ctes(_X37_SRC) + f""",
+norms AS (
+  SELECT id, v, cid,
+         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS n
+  FROM assign2
+),
+pairs AS (
+  SELECT a.cid, b.id AS id_b
+  FROM norms a JOIN norms b
+    ON a.cid = b.cid AND a.id < b.id AND a.n > 0 AND b.n > 0
+  WHERE CAST(list_sum(list_transform(range(1, 65),
+                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / sqrt(CAST(a.n * b.n AS DOUBLE)) >= {_X37_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT cid, id_b AS id FROM pairs)
+SELECT a.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.id IS NULL THEN a.id ELSE 0 END) AS BIGINT)
+           AS survivor_id_sum
+FROM assign2 a LEFT JOIN dropped d ON a.cid = d.cid AND a.id = d.id
+GROUP BY a.cid
+"""
+
+
+@register("x37_semantic_dedup", oracle=_X37_ORACLE)
+def x37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (augmented with the planted
+    near-dup twins — see _X37_SRC): cluster with the x23
+    integer-Lloyd kernel, then drop every vector whose cosine to a
+    lower-id cluster-mate reaches the threshold — pairwise work is
+    confined to each cluster (the equi-join on the cluster label),
+    never a corpus cross join. See semantic_dedup's docstring for the
+    100 TB sizing rule (k grows with the corpus so cluster sizes stay
+    bounded)."""
+    from docker_etl_spark.operators.similarity import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", dvec.alias("dv"))
+    planted = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            dvec, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("dv"),
+    )
+    aug = base.unionByName(planted)
+    out = semantic_dedup(
+        aug,
+        vec_col="dv",
+        id_col="vec_id",
+        k=_X23_K,
+        iterations=2,
+        threshold=_X37_THRESHOLD,
+    )
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "n_dropped",
+        "survivor_id_sum",
     )
 
 

@@ -175,6 +175,32 @@ def test_replay_partial_changesets_use_seed(spark):
     }
 
 
+def test_semantic_dedup_drops_twin_keeps_lowest_id(spark):
+    from docker_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-twin of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> kept
+        (4, [0.0, 0.0, 0.0, 0.0]),     # zero norm -> never pairs
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    # k=1: all vectors share a cluster (k=2 would seed the twins as
+    # separate initial centroids — ids 1 and 2 are the k smallest —
+    # and cluster-local pruning never compares across clusters)
+    out = semantic_dedup(
+        df, vec_col="v", id_col="vec_id", k=1, iterations=1, threshold=0.95
+    )
+    total = out.agg(
+        F.sum("n_members").alias("m"),
+        F.sum("n_dropped").alias("d"),
+        F.sum("survivor_id_sum").alias("s"),
+    ).collect()[0]
+    assert total.m == 4
+    assert total.d == 1          # only the twin (zero vector immune)
+    assert total.s == 1 + 3 + 4  # lowest id of the pair survives
+
+
 def test_expand_template_loops():
     from docker_etl_spark.functions.metrics import CountMetric
     from docker_etl_spark.plans.projectdata import expand_template_loops
