@@ -5141,3 +5141,183 @@ def dr01_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.col("source").isin("src0", "src1"))
     b = d.filter(~F.col("source").isin("src0", "src1"))
     return histogram_drift(a, b, value_col="n_chars", bucket_width=60, n_buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# x38 — temperature-based mixture sampling: per-domain keep rates
+# derived from corpus counts with alpha = 0.5 (the multilingual-LM
+# "temperature" recipe: p_d ∝ (n_d/N)^α upweights tail domains).
+# rate_d = sqrt(min_n / n_d) keeps the rarest domain whole and
+# subsamples head domains toward the flattened target. sqrt is an
+# IEEE correctly-rounded op (unlike pow), so both engines derive the
+# SAME per-domain threshold bit-for-bit; the draw is the md5-hex
+# idiom of x21/x26.
+# ---------------------------------------------------------------------------
+
+_X38_ORACLE = """
+WITH docs AS (
+  -- the fixture's sources are uniform (temperature sampling would be
+  -- a no-op); derive a skewed domain: bucket sizes 1:3:5:...:19
+  SELECT doc_id,
+         'd' || CAST(CAST(FLOOR(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS INT)
+                     AS VARCHAR) AS dom
+  FROM documents
+),
+census AS (
+  SELECT dom, CAST(COUNT(*) AS BIGINT) AS n FROM docs GROUP BY dom
+),
+minn AS (SELECT MIN(n) AS mn FROM census),
+thr AS (
+  SELECT dom, n,
+         printf('%08x', CAST(FLOOR(sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * 4294967295) AS BIGINT)) AS thr_hex
+  FROM census, minn
+),
+kept AS (
+  SELECT d.dom, d.doc_id
+  FROM docs d JOIN thr ON d.dom = thr.dom
+  WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || chr(31) || 'temp'), 1, 8)
+        < thr.thr_hex
+)
+SELECT t.dom, t.n AS n_total,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+FROM thr t LEFT JOIN kept k ON t.dom = k.dom
+GROUP BY t.dom, t.n
+"""
+
+
+@register("x38_temperature_mixture", oracle=_X38_ORACLE)
+def x38_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) mixture sampling with rates computed FROM
+    the corpus census — unlike x21's fixed-rate mixture_sample, the
+    per-domain thresholds are derived in-plan (two tiny aggregates
+    broadcast back over the scan), so no collect and no driver-side
+    rate table.
+
+    Scale: census = one partial+final agg (k domain rows); the keep
+    decision is a map-side md5-hex compare after a broadcast join of
+    the k-row threshold dim. One pass over the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("d"),
+            F.floor(F.sqrt((F.col("doc_id") % 100).cast("double")))
+            .cast("int")
+            .cast("string"),
+        ).alias("dom"),
+    )
+    census = d.groupBy("dom").agg(F.count("*").cast("bigint").alias("n"))
+    minn = census.agg(F.min("n").alias("mn"))
+    thr = census.crossJoin(F.broadcast(minn)).select(
+        "dom",
+        F.col("n").alias("n_total"),
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.floor(
+                        F.sqrt(F.col("mn").cast("double") / F.col("n").cast("double"))
+                        * F.lit(4294967295.0)
+                    ).cast("bigint")
+                ),
+                8,
+                "0",
+            )
+        ).alias("thr_hex"),
+    )
+    u = F.substring(
+        F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.lit("temp"))),
+        1,
+        8,
+    )
+    kept = (
+        d.select("dom", "doc_id", u.alias("u"))
+        .join(F.broadcast(thr), "dom")
+        .filter(F.col("u") < F.col("thr_hex"))
+    )
+    return (
+        thr.join(
+            kept.groupBy("dom").agg(
+                F.count("*").cast("bigint").alias("n_kept"),
+                F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            ),
+            "dom",
+            "left",
+        )
+        .select(
+            "dom",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce(F.col("kept_id_sum"), F.lit(0).cast("bigint")).alias(
+                "kept_id_sum"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x39 — train/test leakage guard: hash-split the corpus, then measure
+# distinct-chunk-digest overlap BETWEEN splits (source_overlap with
+# the split as the group). The number every eval pipeline must check
+# before trusting held-out metrics — contamination ACROSS a split is
+# invisible to within-split dedup.
+# ---------------------------------------------------------------------------
+
+_X39_ORACLE = f"""
+WITH assigned AS (
+  SELECT text,
+         CASE
+           WHEN u < '{_SPLIT_HEX_TRAIN}' THEN 'train'
+           WHEN u < '{_SPLIT_HEX_VAL}' THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT text,
+           substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split'), 1, 8) AS u
+    FROM documents
+  )
+),
+tok AS (SELECT split, string_split(lower(text), ' ') AS w FROM assigned),
+ch AS (
+  SELECT DISTINCT split, h FROM (
+    SELECT split,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+               i -> md5(array_to_string(
+                        list_slice(w, i * 5 + 1, i * 5 + 5), ' '))))
+               AS h
+    FROM tok
+  )
+),
+tot AS (SELECT split, count(*) AS n FROM ch GROUP BY split),
+p AS (
+  SELECT a.split AS group_a, b.split AS group_b, count(*) AS n_shared
+  FROM ch a JOIN ch b ON a.h = b.h AND a.split < b.split
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(n_shared AS DOUBLE) / CAST(ta.n AS DOUBLE) AS frac_a,
+       CAST(n_shared AS DOUBLE) / CAST(tb.n AS DOUBLE) AS frac_b
+FROM p JOIN tot ta ON p.group_a = ta.split
+       JOIN tot tb ON p.group_b = tb.split
+"""
+
+
+@register("x39_split_leakage", oracle=_X39_ORACLE)
+def x39_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split chunk leakage matrix: hash_split (x26's exact
+    assignment) composed with source_overlap on the split label.
+    Pure composition of the two library operators — the lifecycle
+    guard a corpus build runs right after splitting.
+
+    Scale: the split is a map-side expression; the overlap join
+    shuffles narrow (split, digest) pairs — S=3 groups bound the
+    per-digest fan-out exactly as x36's source matrix."""
+    from docker_etl_spark.operators.corpus import hash_split, source_overlap
+
+    d = load_docs_spread(spark, sf_dir)
+    assigned = hash_split(d, key_cols=("doc_id",), seed="split")
+    return source_overlap(assigned, chunk_tokens=5, group_col="split")
