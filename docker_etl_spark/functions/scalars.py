@@ -188,3 +188,47 @@ def parse_user_story(col: str) -> Column:
           cast(map() as map<string,array<string>>))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML family (S11 in-engine half)
+# ---------------------------------------------------------------------------
+
+_HTML_HREF_RE = r"""(?i)href\s*=\s*["']([^"']+)["']"""
+
+
+def html_links(col: Column | str) -> Column:
+    """Extract href targets from markup → array<string>.
+
+    The reference mines links with driver-side BeautifulSoup
+    (extensions/main.py:110-133 get_unique_links_from_html); the
+    FETCH stays a driver-side adapter (S11, out of engine scope), but
+    once pages are a corpus column, link extraction belongs on
+    executors: one JVM regexp_extract_all, whole-stage codegen'd —
+    no Python, no per-row soup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_HTML_HREF_RE), 1)
+
+
+def html_text(col: Column | str) -> Column:
+    """Markup → visible text: strip tags, decode the five standard
+    entities, collapse whitespace — the engine twin of the
+    reference's ``BeautifulSoup(...).get_text()`` +
+    ``html.unescape`` (release_scraping/main.py:451-452). Numeric
+    character references beyond ``&#39;`` are left as-is (the
+    scraped-notes corpus uses the named five); full entity tables
+    belong in a Pandas-UDF kernel if ever needed.
+
+    Entity order matters: specific entities decode BEFORE ``&amp;``
+    so ``&amp;lt;`` single-decodes to ``&lt;`` (not ``<``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, F.lit(r"<[^>]*>"), F.lit(" "))
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, F.lit(r"\s+"), F.lit(" ")))

@@ -5321,3 +5321,79 @@ def x39_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_docs_spread(spark, sf_dir)
     assigned = hash_split(d, key_cols=("doc_id",), seed="split")
     return source_overlap(assigned, chunk_tokens=5, group_col="split")
+
+
+# ---------------------------------------------------------------------------
+# s11 — HTML link/text extraction (the in-engine half of the S11
+# web-scrape source: fetching stays a driver adapter; PARSING a
+# fetched-page corpus is distributed JVM regex work —
+# functions/scalars.html_links/html_text). The fixture synthesizes
+# markup from orders columns (both quote styles, entities incl. the
+# double-escape trap, tag soup, ragged whitespace) identically in
+# both engines.
+# ---------------------------------------------------------------------------
+
+_S11_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         '<html><body> <h1>Order</h1>  <a href="https://shop.example/o/'
+         || o_orderkey || '">view</a> <a href=' || '''' || '/rel/'
+         || o_custkey || '''' || '>rel</a> <p>Tom &amp; Jerry &lt;b&gt; '
+         || '&#39;q&#39; &amp;lt;raw&amp;gt;</p></body></html>' AS page
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+ex AS (
+  SELECT o_orderkey,
+         regexp_extract_all(page,
+             '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1) AS links,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(page, '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS text
+  FROM src
+)
+SELECT o_orderkey,
+       CAST(len(links) AS BIGINT) AS n_links,
+       links[1] AS first_link,
+       links[2] AS second_link,
+       text
+FROM ex
+"""
+
+
+@register("s11_html_extract", oracle=_S11_ORACLE)
+def s11_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link + visible-text extraction over a page corpus: JVM
+    regexp_extract_all for hrefs (both quote styles) and the
+    tag-strip/entity-decode/whitespace-collapse chain — the
+    distributed twin of the reference's driver-side BeautifulSoup
+    passes (extensions/main.py:110-133; release_scraping/main.py:
+    451-452). Scale: pure map-side codegen'd expressions; a 100 TB
+    crawl parses at scan speed with zero Python."""
+    from docker_etl_spark.functions.scalars import html_links, html_text
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    page = F.concat(
+        F.lit('<html><body> <h1>Order</h1>  <a href="https://shop.example/o/'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('">view</a> <a href='),
+        F.lit("'"),
+        F.lit("/rel/"),
+        F.col("o_custkey").cast("string"),
+        F.lit("'"),
+        F.lit(">rel</a> <p>Tom &amp; Jerry &lt;b&gt; "),
+        F.lit("&#39;q&#39; &amp;lt;raw&amp;gt;</p></body></html>"),
+    )
+    pages = o.select("o_orderkey", page.alias("page"))
+    links = html_links("page")
+    return pages.select(
+        "o_orderkey",
+        F.size(links).cast("bigint").alias("n_links"),
+        F.element_at(links, 1).alias("first_link"),
+        F.element_at(links, 2).alias("second_link"),
+        html_text("page").alias("text"),
+    )

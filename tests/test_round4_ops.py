@@ -228,6 +228,24 @@ def test_expand_template_loops():
     assert out2 == "[a][b]"
 
 
+def test_html_links_and_text(spark):
+    from docker_etl_spark.functions.scalars import html_links, html_text
+
+    page = (
+        '<div><a HREF="https://a.example/x">A</a>'
+        "<a href='/rel'>B</a><a href=>none</a>"
+        "<p>1 &lt; 2 &amp;&amp; 3 &gt; 2</p>"
+        "<script>var x = '<not a tag';</script>  trailing   space </div>"
+    )
+    df = spark.createDataFrame([(page,)], "page string")
+    row = df.select(
+        html_links("page").alias("links"), html_text("page").alias("text")
+    ).collect()[0]
+    assert row.links == ["https://a.example/x", "/rel"]  # HREF case-blind
+    assert "1 < 2 && 3 > 2" in row.text
+    assert "  " not in row.text and not row.text.endswith(" ")
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
