@@ -28,12 +28,18 @@ from pyspark.sql import DataFrame
 
 def stub_break_probability(texts: pd.Series) -> pd.Series:
     """Deterministic local stand-in for the bugbug classifier:
-    logistic over two cheap text features. Clearly a fake — the seam
-    (batching, schema, parallelism) is what's real."""
+    squashed linear score over two cheap text features. Clearly a
+    fake — the seam (batching, schema, parallelism) is what's real.
+
+    The squashing is the RATIONAL sigmoid 0.5·(1 + z/(1+|z|)), not
+    the logistic: every op is basic IEEE arithmetic (no exp), so any
+    engine reproduces the scores bit-for-bit — which is what lets
+    i01's differential oracle check the Arrow round-trip exactly
+    instead of settling for a rows-only smoke."""
     n_chars = texts.str.len().astype("float64")
     n_bangs = texts.str.count("!").astype("float64")
     z = -3.0 + 0.002 * n_chars + 0.8 * n_bangs
-    return 1.0 / (1.0 + np.exp(-z))
+    return 0.5 * (1.0 + z / (1.0 + np.abs(z)))
 
 
 def batched_inference(

@@ -2506,13 +2506,44 @@ def f09_forecast_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m01_media_features")
+# The stub decode is sha256-deterministic, so the oracle can replay
+# it: luma = int(sha256(utf8)[:4 bytes]) / 2^32 * 255, checksummed as
+# exact integers (SUM of floor(luma * 1e6) — order-independent,
+# unlike avg of doubles). Valid only for the stub path: with a real
+# decoder present (PIL), m01 reverts to rows-only by design.
+_M01_ORACLE = """
+WITH v AS (
+  SELECT list_sum(list_transform(range(1, 9),
+           i -> CAST(strpos('0123456789abcdef',
+                            substring(substring(sha256(text), 1, 8), i, 1)) - 1
+                     AS BIGINT)
+                * CAST(16 ** (8 - i) AS BIGINT))) AS iv
+  FROM documents
+)
+SELECT 'stub' AS decoder,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(CAST(FLOOR(iv / 4294967296.0 * 255.0 * 1000000.0) AS BIGINT))
+            AS BIGINT) AS luma_checksum
+FROM v
+"""
+
+
+def _m01_oracle() -> str | None:
+    from docker_etl_spark.operators.multimodal import HAVE_PIL
+
+    return None if HAVE_PIL else _M01_ORACLE
+
+
+@register("m01_media_features", oracle=_m01_oracle())
 def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (rows-only): documents → binary
-    media table (typed meta struct) → Arrow-batched decode kernel
-    (deterministic stub — no image libs in this container) → feature
-    aggregation. The Spark-side contract (schema, mapInPandas batch
-    shape, partitioning) is real; only the pixel decode is faked."""
+    """Multimodal plumbing end-to-end: documents → binary media table
+    (typed meta struct) → Arrow-batched decode kernel (deterministic
+    stub — no image libs in this container) → feature aggregation.
+    The Spark-side contract (schema, mapInPandas batch shape,
+    partitioning) is real; only the pixel decode is faked — and the
+    fake is sha256-exact, so the whole Arrow round-trip is now
+    ORACLE-CHECKED (byte fidelity through encode → Arrow → kernel
+    digest must match DuckDB hashing the same utf-8 text)."""
     from docker_etl_spark.operators.multimodal import (
         decode_image_features,
         media_table_from_documents,
@@ -2522,8 +2553,10 @@ def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_documents(d, kind="image")
     feats = decode_image_features(media)
     return feats.groupBy("decoder").agg(
-        F.count("*").alias("n_media"),
-        F.avg("mean_luma").alias("avg_luma"),
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum(F.floor(F.col("mean_luma") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("luma_checksum"),
     )
 
 
@@ -3242,13 +3275,32 @@ def sq01_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_orders", F.col("n_orders").cast("bigint"))
 
 
-@register("i01_batched_inference")
+# The stub model is exp-free (rational sigmoid — basic IEEE ops
+# only), so the oracle replays the identical formula: the Arrow
+# batching, schema, and round-trip are differentially checked. A
+# production remote model stays rows-only by nature; the SEAM is
+# what this verifies.
+_I01_ORACLE = """
+WITH s AS (
+  SELECT -3.0 + 0.002 * CAST(length(text) AS DOUBLE)
+         + 0.8 * CAST(length(text) - length(replace(text, '!', ''))
+                      AS DOUBLE) AS z
+  FROM documents
+),
+p AS (SELECT 0.5 * (1.0 + z / (1.0 + abs(z))) AS pr FROM s)
+SELECT CAST(FLOOR(pr * 10) AS INT) AS prob_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1
+"""
+
+
+@register("i01_batched_inference", oracle=_I01_ORACLE)
 def i01_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched model scoring via mapInPandas (F8) — the
     broken-site-report-ml classifier pattern (one model/HTTP call per
-    Arrow batch; deterministic local stub here, rows-only check:
-    remote models are not SQL-expressible). Scores bucket into a
-    triage histogram, the job's real output shape."""
+    Arrow batch; deterministic exp-free local stub here, so the whole
+    Arrow seam is oracle-checked). Scores bucket into a triage
+    histogram, the job's real output shape."""
     from docker_etl_spark.operators._util import spread_for_compute
     from docker_etl_spark.operators.inference import batched_inference
 
@@ -3261,7 +3313,7 @@ def i01_batched_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy(
             F.floor(F.col("break_prob") * 10).cast("int").alias("prob_decile")
         )
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
 
 

@@ -214,9 +214,12 @@ def test_batched_inference_matches_column_twin(spark, sf_dir):
     z = -3.0 + 0.002 * F.length("text") + 0.8 * (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("!"), F.lit("")))
     )
-    twin = d.withColumn("p2", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    twin = d.withColumn(
+        "p2", F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+    )
     joined = scored.join(twin.select("doc_id", "p2"), "doc_id")
-    bad = joined.filter(F.abs(F.col("p") - F.col("p2")) > 1e-9).count()
+    # rational sigmoid: bit-exact equality, not tolerance
+    bad = joined.filter(F.col("p") != F.col("p2")).count()
     assert bad == 0
 
 
