@@ -18,6 +18,7 @@ writer whose mode maps the reference's write dispositions:
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,9 @@ def write_table(
     max_records_per_file: int | None = None,
     single_file: bool = False,
     write: bool = True,
+    bucket_by: tuple[int, list[str]] | None = None,
+    sort_by: list[str] | None = None,
+    table_name: str | None = None,
 ) -> None:
     """Sink with the reference's write dispositions.
 
@@ -163,6 +167,15 @@ def write_table(
         Dry-run gate (D6): when False, log the plan instead of
         executing the write but still force a count so the SELECT
         side runs (mirrors bqhelpers.py:580-593 behaviour).
+    bucket_by:
+        ``(n_buckets, [cols])`` — hash-bucketed layout (the engine's
+        analogue of the reference's BigQuery clustering): two fact
+        tables bucketed by the same join key join with ZERO exchanges
+        (see tests/test_bucketing.py). Bucketing requires the
+        catalog, so this path uses ``saveAsTable`` (``table_name``
+        defaults to the path's basename) with ``path`` as the
+        external location; ``sort_by`` adds within-bucket ordering
+        (sort-merge join without the sort).
     """
     if not write:
         log.info(
@@ -180,6 +193,15 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if bucket_by is not None:
+        n_buckets, bucket_cols = bucket_by
+        writer = writer.option("path", path).bucketBy(n_buckets, *bucket_cols)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.saveAsTable(
+            table_name or os.path.basename(path.rstrip("/")).replace(".", "_")
+        )
+        return
     writer.save(path)
 
 

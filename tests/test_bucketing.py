@@ -161,3 +161,31 @@ def test_bucketed_range_join_null_end_clamps(spark):
         (1, "2024-03-01"), (1, "2024-04-01"), (1, "2024-05-01"), (1, "2024-06-01"),
         (2, "2024-03-01"), (2, "2024-04-01"),
     }
+
+
+def test_write_table_bucketed_roundtrip_joins_without_shuffle(
+    spark, sf_dir, tmp_path
+):
+    """The write_table(bucket_by=...) sink path must produce the same
+    exchange-free join as the raw saveAsTable fixture."""
+    from docker_etl_spark.sources.io import write_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    for name in ("wt_orders_a", "wt_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_table(
+            orders,
+            str(tmp_path / name),
+            mode="overwrite",
+            bucket_by=(4, ["o_orderkey"]),
+            sort_by=["o_orderkey"],
+            table_name=name,
+        )
+    a = spark.table("wt_orders_a")
+    b = spark.table("wt_orders_b").select("o_orderkey", "o_totalprice")
+    joined = a.join(b.hint("merge"), "o_orderkey")
+    plan = _formatted(joined)
+    assert "Exchange" not in plan, plan
+    assert joined.count() == orders.count()
+    for name in ("wt_orders_a", "wt_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
