@@ -637,6 +637,7 @@ def semantic_dedup(
     iterations: int = 2,
     threshold: float = 0.95,
     quant_scale: int = 1000,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster embeddings with the integer-exact
@@ -662,6 +663,14 @@ def semantic_dedup(
     known failure mode — cap them upstream or sub-bucket with
     ``embedding_near_duplicates``' sign-LSH within the big cells.
 
+    ``salt_buckets``: when k is far below the cluster's core count
+    (small coarse quantizers), the pair join has only k distinct
+    keys and the quadratic work lands on k tasks. The left side is
+    salted by pmod(id, salt_buckets) and the right side replicated
+    across salts, so join-key cardinality becomes k·salt_buckets —
+    each pair still appears exactly once (in the left row's salt).
+    Set to 1 when k alone already saturates the cluster.
+
     Returns (cluster_id, n_members, n_dropped, survivor_id_sum).
     """
     assigned, _ = kmeans_assign_quantized(
@@ -670,12 +679,16 @@ def semantic_dedup(
     norm = dot_int(F.col("__vq"), F.col("__vq"))
     vecs = assigned.select(
         "__cluster", "__id", "__vq", norm.alias("__n")
-    )
-    a = vecs.filter(F.col("__n") > 0).alias("a")
-    b = vecs.filter(F.col("__n") > 0).alias("b")
+    ).filter(F.col("__n") > 0)
+    a = vecs.withColumn("__salt", F.pmod(F.col("__id"), F.lit(salt_buckets))).alias("a")
+    b = vecs.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.__cluster") == F.col("b.__cluster"))
+        & (F.col("a.__salt") == F.col("b.__salt"))
         & (F.col("a.__id") < F.col("b.__id")),
     )
     cos = dot_int(F.col("a.__vq"), F.col("b.__vq")).cast("double") / F.sqrt(
