@@ -179,6 +179,77 @@ class CorpusPrepJob(EtlJob):
         )
 
 
+class SchemaUpdateJob(EtlJob):
+    """Schema deployment lifecycle (reference UpdateSchemaJob,
+    etl/update_schema.py:625-682): load the file project, diff the
+    template tree hash against the last recorded deployment, and
+    deploy only changed objects + their dependents. ``--out``
+    overrides the project root (defaults to the demo project). In
+    dry-run (no ``--write``) the changed set is reported but nothing
+    deploys. Returns one row per would-be/actually deployed object."""
+
+    name = "update_schema"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from pathlib import Path
+
+        from docker_etl_spark.plans.projectdata import FileProject, tree_hash
+
+        root = ctx.out or str(
+            Path(__file__).resolve().parent.parent / "fixtures" / "demo_project"
+        )
+        proj = FileProject(
+            ctx.spark,
+            root,
+            table_bindings={
+                "analytics.priority_orders": load_table(
+                    ctx.spark, ctx.sf_dir, "orders"
+                )
+            },
+            prefix="schemajob_",
+        )
+        if ctx.write:
+            deployed = proj.update_if_needed()
+            rows = [(n, "deployed") for n in deployed]
+        else:
+            last_t, last_h = proj.get_last_update()
+            if last_h == tree_hash(root):
+                rows = []
+            else:
+                rows = [
+                    (proj.physical_name(d, n), "would-deploy")
+                    for d, n in proj.deploy_order()
+                    if proj.needs_update(d, n)
+                ]
+        return ctx.spark.createDataFrame(
+            rows or [], "object string, action string"
+        )
+
+
+class KpiForecastJob(EtlJob):
+    """kpi-forecasting lifecycle (§3.3): daily metric series per
+    segment → per-segment model fit/predict (applyInPandas; the
+    cluster parallelizes across segments) → observed+forecast
+    combination → WRITE_APPEND, the reference's writeback
+    disposition (prophet_forecast.py:357)."""
+
+    name = "kpi_forecast"
+
+    def run(self, ctx: JobContext) -> DataFrame:
+        from docker_etl_spark.operators.forecast import fit_predict_segments
+
+        ev = load_table(ctx.spark, ctx.sf_dir, "events")
+        daily = ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("ds")
+        ).agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("y"))
+        fc = fit_predict_segments(
+            daily, ["event_type"], date_col="ds", value_col="y", horizon_days=14
+        )
+        if ctx.out:
+            write_table(fc, ctx.out, mode="append", write=ctx.write)
+        return fc
+
+
 JOB_TEMPLATE = '''"""{name} job (generated scaffold — docker-etl-spark new)."""
 
 from pyspark.sql import DataFrame

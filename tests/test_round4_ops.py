@@ -246,6 +246,34 @@ def test_html_links_and_text(spark):
     assert "  " not in row.text and not row.text.endswith(" ")
 
 
+def test_schema_update_job_dry_run_then_deploy(spark, sf_dir):
+    from docker_etl_spark.jobs import ALL_JOBS, JobContext
+
+    job = ALL_JOBS["update_schema"]()
+    dry = job.run(JobContext(spark, sf_dir, None, write=False)).collect()
+    assert dry and all(r.action == "would-deploy" for r in dry)
+    wet = job.run(JobContext(spark, sf_dir, None, write=True)).collect()
+    assert {r.object for r in wet} == {r.object for r in dry}
+    # second write run: tree hash matches the recorded deployment
+    again = job.run(JobContext(spark, sf_dir, None, write=True)).collect()
+    assert again == []
+    # and dry-run agrees nothing is pending
+    assert job.run(JobContext(spark, sf_dir, None, write=False)).collect() == []
+
+
+def test_kpi_forecast_job_appends(spark, sf_dir, tmp_path):
+    from docker_etl_spark.jobs import ALL_JOBS, JobContext
+
+    out = str(tmp_path / "fc")
+    job = ALL_JOBS["kpi_forecast"]()
+    fc = job.run(JobContext(spark, sf_dir, out, write=True))
+    n1 = spark.read.parquet(out).count()
+    assert n1 == fc.count() and n1 > 0
+    assert fc.filter("is_forecast").groupBy("event_type").count().count() == 5
+    job.run(JobContext(spark, sf_dir, out, write=True))
+    assert spark.read.parquet(out).count() == 2 * n1  # WRITE_APPEND
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
