@@ -835,3 +835,50 @@ def chunk_windows(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def dedup_repeated_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTRA-document repetition removal: split each document into
+    non-overlapping ``chunk_tokens``-token chunks and keep only the
+    FIRST occurrence of each chunk text within the document — the
+    per-doc complement of :func:`strip_boilerplate` (which drops
+    chunks frequent across the CORPUS). Targets scraper artifacts:
+    doubled page bodies, repeated nav blocks, templated footers
+    stuttered through one page.
+
+    Scale: entirely map-side — one order-preserving fold per document
+    (``aggregate`` with a conditional append), NO shuffle of any
+    kind; a 100 TB pass runs at scan speed. Membership checks are
+    O(chunks²) per doc, bounded by document length, not corpus size.
+
+    Returns (id, clean_text, n_chunks, n_removed, removed_frac).
+    """
+    toks = doc_tokens(text_col)
+    k = chunk_tokens
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    kept = F.aggregate(
+        chunks,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, c: F.when(F.array_contains(acc, c), acc).otherwise(
+            F.concat(acc, F.array(c))
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        n_chunks.alias("n_chunks"),
+        (n_chunks - F.size(kept)).cast("long").alias("n_removed"),
+        (
+            (n_chunks - F.size(kept)).cast("double")
+            / n_chunks.cast("double")
+        ).alias("removed_frac"),
+    )

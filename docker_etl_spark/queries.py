@@ -5449,3 +5449,81 @@ def s11_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(links, 2).alias("second_link"),
         html_text("page").alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x40 — intra-document repetition removal
+# (operators/corpus.dedup_repeated_chunks). The fixture plants a
+# repeat of each qualifying document's FIRST chunk at its end
+# (docs whose token count is a multiple of 5, so the appended chunk
+# aligns exactly) — without planting, random fixture text has no
+# repeated 5-token chunks and the check would be vacuous.
+# ---------------------------------------------------------------------------
+
+_X40_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lower(text) AS text,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN len(w) % 5 = 0 AND doc_id % 3 = 0
+              THEN text || ' ' || array_to_string(list_slice(w, 1, 5), ' ')
+              ELSE text END AS text
+  FROM base
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+             i -> array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ')))
+             AS chunk,
+         generate_subscripts(list_transform(
+             range(0, CAST(ceil(len(w) / 5.0) AS INT)), i -> i), 1) AS idx
+  FROM tok
+),
+firsts AS (
+  SELECT doc_id, chunk, MIN(idx) AS fi FROM ch GROUP BY doc_id, chunk
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY fi) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM firsts GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(ceil(len(w) / 5.0) AS BIGINT) AS n_chunks FROM tok
+)
+SELECT t.doc_id, r.clean_text, t.n_chunks,
+       CAST(t.n_chunks - r.n_kept AS BIGINT) AS n_removed,
+       CAST(t.n_chunks - r.n_kept AS DOUBLE) / CAST(t.n_chunks AS DOUBLE)
+           AS removed_frac
+FROM tot t JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+@register("x40_intradoc_dedup", oracle=_X40_ORACLE)
+def x40_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal over the (plant-augmented)
+    documents table — map-side order-preserving chunk fold, zero
+    shuffle (the complement of x34's corpus-frequency removal)."""
+    from docker_etl_spark.operators.corpus import dedup_repeated_chunks, doc_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    w = doc_tokens("text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            (F.size(w) % 5 == 0) & (F.col("doc_id") % 3 == 0),
+            F.concat(
+                F.lower("text"),
+                F.lit(" "),
+                F.array_join(F.slice(w, 1, 5), " "),
+            ),
+        )
+        .otherwise(F.lower("text"))
+        .alias("text"),
+    )
+    return dedup_repeated_chunks(planted, chunk_tokens=5)

@@ -246,6 +246,26 @@ def test_html_links_and_text(spark):
     assert "  " not in row.text and not row.text.endswith(" ")
 
 
+def test_dedup_repeated_chunks_first_occurrence(spark):
+    from docker_etl_spark.operators.corpus import dedup_repeated_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),        # doubled doc, aligned
+            (2, "a b c d e x a b c d e"),      # shifted: chunks differ
+            (3, "u v w"),                       # single short chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_removed)
+        for r in dedup_repeated_chunks(docs, chunk_tokens=5).collect()
+    }
+    assert got[1] == ("a b c d e", 2, 1)
+    assert got[2][2] == 0 and got[2][1] == 3  # misaligned repeat kept
+    assert got[3] == ("u v w", 1, 0)
+
+
 def test_schema_update_job_dry_run_then_deploy(spark, sf_dir):
     from docker_etl_spark.jobs import ALL_JOBS, JobContext
 
