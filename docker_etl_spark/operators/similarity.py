@@ -680,11 +680,28 @@ def semantic_dedup(
     vecs = assigned.select(
         "__cluster", "__id", "__vq", norm.alias("__n")
     ).filter(F.col("__n") > 0)
-    a = vecs.withColumn("__salt", F.pmod(F.col("__id"), F.lit(salt_buckets))).alias("a")
-    b = vecs.withColumn(
-        "__salt",
-        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
-    ).alias("b")
+    # EXPLICIT numbered repartition on the join keys: the per-pair
+    # cosine is CPU-heavy (interpreted HOF dot) on a tiny-by-bytes
+    # shuffle, exactly the shape AQE's size-based coalescing folds
+    # back onto one core. REPARTITION_BY_NUM is exempt from AQE
+    # coalescing, and matching HashPartitioning on both sides means
+    # the join adds no further exchange.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = (
+        vecs.withColumn("__salt", F.pmod(F.col("__id"), F.lit(salt_buckets)))
+        .repartition(par, "__cluster", "__salt")
+        .alias("a")
+    )
+    b = (
+        vecs.withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")
+            ),
+        )
+        .repartition(par, "__cluster", "__salt")
+        .alias("b")
+    )
     pairs = a.join(
         b,
         (F.col("a.__cluster") == F.col("b.__cluster"))

@@ -5289,9 +5289,11 @@ def x38_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         thr.join(
-            kept.groupBy("dom").agg(
-                F.count("*").cast("bigint").alias("n_kept"),
-                F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.broadcast(
+                kept.groupBy("dom").agg(
+                    F.count("*").cast("bigint").alias("n_kept"),
+                    F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+                )
             ),
             "dom",
             "left",

@@ -148,6 +148,21 @@ def test_spread_for_compute_skips_already_parallel_input(spark, sf_dir):
     assert "Exchange" in plan
 
 
+def test_intradoc_dedup_is_shuffle_free(spark, sf_dir):
+    """x40's claim: intra-doc repetition removal is one map-side
+    fold — no Exchange anywhere (a 100 TB pass at scan speed)."""
+    plan = formatted(QUERIES["x40_intradoc_dedup"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_temperature_mixture_broadcasts_threshold_dim(spark, sf_dir):
+    """x38: the census-derived threshold dim must broadcast back over
+    the scan — the corpus never shuffles for the keep decision."""
+    plan = formatted(QUERIES["x38_temperature_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_chunk_windows_is_shuffle_free(spark, sf_dir):
     """x30's claim: chunking is one map-side pass — the plan must
     contain no Exchange of any kind (chunking 100 TB = one scan)."""
