@@ -565,7 +565,12 @@ def kmeans_assign_quantized(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
     )
-    base = df.select(F.col(id_col).alias("__id"), vq.alias("__vq"))
+    # Spread BEFORE checkpointing: the checkpoint freezes its
+    # partitioning, and every Lloyd round's distance/argmin fold (the
+    # CPU-heavy interpreted-HOF part) runs map-side on exactly those
+    # partitions — a single-file scan would otherwise pin the whole
+    # training loop to 1-2 cores.
+    base = _spread(df.select(F.col(id_col).alias("__id"), vq.alias("__vq")))
     base = base.localCheckpoint(eager=True)
 
     # Init: k smallest ids' vectors, pulled as plan literals (k rows).
