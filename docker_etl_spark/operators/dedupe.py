@@ -79,6 +79,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    algorithm: str = "min-label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every
     node labeled with the smallest node id reachable from it — the
@@ -100,11 +101,21 @@ def connected_components(
     max_iterations — e.g. a pathological boilerplate chain at corpus
     scale), this RAISES rather than silently returning wrong labels.
     Raise max_iterations (cost is per-round, only unconverged rounds
-    run) — min-label propagation needs diameter rounds; for
-    long-chain graphs switch to a large-star/small-star variant.
+    run), or pass ``algorithm="two-phase"`` — the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), which converges in
+    O(log^2 n) rounds INDEPENDENT of diameter: the right choice for
+    long-chain graphs. Both algorithms label every node with the
+    component minimum, so results are identical.
 
     Returns (node, component) with component = min reachable id.
     """
+    if algorithm == "two-phase":
+        return _connected_components_two_phase(
+            pairs, a_col, b_col, max_iterations
+        )
+    if algorithm != "min-label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(
             F.col(a_col).alias("u"), F.col(b_col).alias("v")
@@ -160,9 +171,130 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations — a component has diameter > max_iterations; "
-            "returning would mislabel clusters. Raise max_iterations."
+            "returning would mislabel clusters. Raise max_iterations, or "
+            "use algorithm='two-phase' (diameter-independent rounds)."
         )
     return labels
+
+
+def _cc_min_to_neighbors(edges: DataFrame) -> DataFrame:
+    """(u, m_u) where m_u = min(N(u) ∪ {u}) — the star center each
+    phase links neighbors to. One groupBy on narrow (u, v) pairs."""
+    return (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select("u", F.least(F.col("u"), F.col("m")).alias("m"))
+    )
+
+
+def _cc_edge_fingerprint(edges: DataFrame) -> tuple:
+    """Order-independent edge-set fingerprint (count + two hash
+    sums) — one aggregate job, no driver-side edge data."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64("v", "u", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
+    ).collect()[0]
+    return (row.n, row.h1, row.h2)
+
+
+def _connected_components_two_phase(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star / small-star CC (Kiveris et al.,
+    SoCC'14): each round reshapes the edge set toward per-component
+    stars rooted at the minimum id; rounds needed are O(log^2 n)
+    regardless of diameter (vs diameter rounds for min-label
+    propagation). Per phase: one groupBy(min) + one join — narrow
+    (node, node) pairs only, no per-node adjacency arrays, so hot
+    nodes never blow an aggregation buffer.
+
+    large-star: every neighbor v > u links to min(N⁺(u));
+    small-star: every neighbor v <= u (and u itself) links to it.
+    Converged when a round leaves the edge set unchanged
+    (order-independent count+hash fingerprint).
+    """
+    und = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        m = _cc_min_to_neighbors(e)
+        return (
+            e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges downward so N(u) here is the small neighbors
+        down = e.filter(F.col("v") <= F.col("u")).union(
+            e.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        m = _cc_min_to_neighbors(down)
+        linked = (
+            down.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return linked
+
+    edges = und
+    fp = None
+    converged = False
+    for _ in range(max_iterations):
+        # one round = large-star then small-star, then a symmetric
+        # view for the next round's neighborhoods
+        stars = small_star(large_star(edges).union(edges).distinct())
+        stars = stars.localCheckpoint(eager=True)
+        new_fp = _cc_edge_fingerprint(stars)
+        sym = stars.union(
+            stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        edges = sym
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected_components did not stabilize in "
+            f"{max_iterations} rounds"
+        )
+    # stars now link every non-root node to its component min; roots
+    # (component minima) appear only on the v side
+    stars = edges.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    # a node may briefly carry several down-links; the component is
+    # the smallest
+    labels = stars.groupBy("node").agg(F.min("component").alias("component"))
+    roots = (
+        labels.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    singletons = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .join(roots.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return labels.unionByName(roots).unionByName(singletons).distinct()
 
 
 def incremental_content_dedup(

@@ -36,6 +36,68 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert {r.component for r in labels.collect()} == {0}
 
 
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_two_phase_cc_handles_long_chains(spark):
+    """Path graph of diameter 63: min-label needs 63 rounds (raises
+    at 10); two-phase stabilizes in O(log^2) rounds."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=10)
+    labels = connected_components(
+        pairs, max_iterations=10, algorithm="two-phase"
+    )
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_phase_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(404)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(20, 50))
+            }
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        want = _union_find_labels(edges)
+        two = {
+            r.node: r.component
+            for r in connected_components(
+                pairs, max_iterations=15, algorithm="two-phase"
+            ).collect()
+        }
+        one = {
+            r.node: r.component
+            for r in connected_components(pairs, max_iterations=30).collect()
+        }
+        assert two == want, f"trial {trial}: two-phase != union-find"
+        assert one == want, f"trial {trial}: min-label != union-find"
+
+
 def test_keep_best_per_cluster_preserves_fractional_quality(spark):
     labels = spark.createDataFrame(
         [(1, 0), (2, 0), (3, 3)], "node long, component long"
