@@ -104,3 +104,49 @@ def replay_states(
         F.col("s.t").alias(time_col),
         F.col("s.state").alias("state_before"),
     )
+
+
+def change_reasons(
+    changes: Column,
+    status_field: str = "status",
+    fixed_states: tuple[str, ...] = ("purchase",),
+    field_reasons: dict[str, str] | None = None,
+) -> Column:
+    """Classify a change-set into sorted, de-duplicated reason tags —
+    the reference's ``get_change_reasons``
+    (etl/metric_changes.py:415-447: url → url-updated, cf_user_story
+    → triage, status crossing FIXED_STATES → resolved/reopened;
+    reasons are set-collected then sorted).
+
+    ``changes`` is the replay change array (field_name, added,
+    removed). Status transitions INTO ``fixed_states`` map to
+    'resolved', OUT of them to 'reopened'; other fields map through
+    ``field_reasons``; unmatched changes contribute nothing. Pure
+    JVM expressions (transform → filter → distinct → sort).
+    """
+    field_reasons = dict(field_reasons or {})
+    fixed = [F.lit(s) for s in fixed_states]
+
+    def one(c: Column) -> Column:
+        status = (
+            F.when(
+                c["added"].isin(*fixed) & ~c["removed"].isin(*fixed),
+                F.lit("resolved"),
+            )
+            .when(
+                c["removed"].isin(*fixed) & ~c["added"].isin(*fixed),
+                F.lit("reopened"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        other = F.lit(None).cast("string")
+        for fname, reason in sorted(field_reasons.items()):
+            other = F.when(c["field_name"] == fname, F.lit(reason)).otherwise(
+                other
+            )
+        return F.when(c["field_name"] == status_field, status).otherwise(other)
+
+    tagged = F.transform(changes, one)
+    return F.array_sort(
+        F.array_distinct(F.filter(tagged, lambda r: r.isNotNull()))
+    )

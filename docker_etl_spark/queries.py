@@ -5529,3 +5529,96 @@ def x40_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return dedup_repeated_chunks(planted, chunk_tokens=5)
+
+
+# ---------------------------------------------------------------------------
+# r03 — change-reason classification over the replay change log
+# (operators/replay.change_reasons; reference get_change_reasons,
+# etl/metric_changes.py:415-447). Uses the same events-derived
+# change-set fixture as r02; the oracle recomputes reasons from the
+# LAG columns directly.
+# ---------------------------------------------------------------------------
+
+_R03_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, event_type AS status,
+         CAST(CAST(FLOOR(value) AS INT) % 5 AS VARCHAR) AS sev,
+         LAG(event_type) OVER w AS p_status,
+         LAG(CAST(CAST(FLOOR(value) AS INT) % 5 AS VARCHAR)) OVER w AS p_sev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+ch AS (
+  SELECT user_id, event_id, status, sev, p_status, p_sev FROM t
+  WHERE p_status IS NOT NULL AND (status <> p_status OR sev <> p_sev)
+)
+SELECT user_id, event_id,
+       COALESCE(array_to_string(list_sort(list_filter([
+         CASE WHEN status <> p_status AND status = 'purchase'
+                   AND p_status <> 'purchase' THEN 'resolved'
+              WHEN status <> p_status AND p_status = 'purchase'
+                   AND status <> 'purchase' THEN 'reopened'
+         END,
+         CASE WHEN sev <> p_sev THEN 'triage' END
+       ], x -> x IS NOT NULL)), ','), '') AS reasons,
+       CAST(CAST(status <> p_status AS INT) + CAST(sev <> p_sev AS INT)
+            AS BIGINT) AS n_changes
+FROM ch
+"""
+
+
+@register("r03_change_reasons", oracle=_R03_ORACLE)
+def r03_change_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason tags for every replayed change-set (resolved / reopened
+    / triage), completing the metric_changes lifecycle: r01 replays
+    states, r02 re-scores them, r03 explains WHY each score moved —
+    the reasons column the reference writes alongside score changes.
+    Map-side transform over the change arrays; the only shuffle is
+    the fixture's LAG window."""
+    from docker_etl_spark.operators.replay import change_reasons
+
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        (F.floor("value").cast("int") % 5).cast("string").alias("sev"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = typed.select(
+        "*",
+        F.lag("status").over(w).alias("p_status"),
+        F.lag("sev").over(w).alias("p_sev"),
+    )
+    changes = F.filter(
+        F.array(
+            F.struct(
+                F.lit("status").alias("field_name"),
+                F.col("status").alias("added"),
+                F.col("p_status").alias("removed"),
+            ),
+            F.struct(
+                F.lit("severity").alias("field_name"),
+                F.col("sev").alias("added"),
+                F.col("p_sev").alias("removed"),
+            ),
+        ),
+        lambda c: c["added"] != c["removed"],
+    )
+    hist = (
+        lagged.filter(F.col("p_status").isNotNull())
+        .select("user_id", "event_id", changes.alias("changes"))
+        .filter(F.size("changes") > 0)
+    )
+    reasons = change_reasons(
+        F.col("changes"),
+        status_field="status",
+        fixed_states=("purchase",),
+        field_reasons={"severity": "triage"},
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        F.array_join(reasons, ",").alias("reasons"),
+        F.size("changes").cast("bigint").alias("n_changes"),
+    )
