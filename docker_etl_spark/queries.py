@@ -5622,3 +5622,25 @@ def r03_change_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(reasons, ",").alias("reasons"),
         F.size("changes").cast("bigint").alias("n_changes"),
     )
+
+
+@register("x41_dedup_clusters_twophase", oracle=_X20_ORACLE)
+def x41_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x20's pipeline with the diameter-independent two-phase CC
+    (large-star/small-star) — same oracle, proving both algorithms
+    label identically on the production near-dup graph. This is the
+    algorithm the docs point long-chain graphs at; running it under
+    the driver gate keeps that escape hatch honest."""
+    from docker_etl_spark.operators.dedupe import connected_components
+    from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, algorithm="two-phase")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )
