@@ -135,3 +135,47 @@ def test_decimal_sum_is_order_independent(spark):
     s1 = df1.agg(F.sum(F.col("v").cast("decimal(12,2)"))).first()[0]
     s32 = df32.agg(F.sum(F.col("v").cast("decimal(12,2)"))).first()[0]
     assert s1 == s32 == sum(vals)
+
+
+# -- replay round trip -------------------------------------------------------
+
+_state_vals = st.sampled_from(["p", "q", "r", "s"])
+_state_seqs = st.lists(
+    st.fixed_dictionaries({"a": _state_vals, "b": _state_vals}),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(_state_seqs)
+def test_replay_inverts_forward_diffs(spark, seq):
+    """For ANY state sequence: derive forward diffs (changed fields
+    only), seed with the final state, and replay_states must emit
+    exactly state_{i-1} before each change — the fold is the exact
+    inverse of applying diffs forward (metric_changes.py:186-314)."""
+    from docker_etl_spark.operators.replay import replay_states
+
+    hist_rows = []
+    for i in range(1, len(seq)):
+        ch = [
+            (f, seq[i][f], seq[i - 1][f])
+            for f in ("a", "b")
+            if seq[i][f] != seq[i - 1][f]
+        ]
+        if ch:
+            hist_rows.append((1, i, ch))
+    current = spark.createDataFrame(
+        [(1, seq[-1])], "number long, state map<string,string>"
+    )
+    if not hist_rows:
+        return  # no changes: replay output is empty by contract
+    hist = spark.createDataFrame(
+        hist_rows,
+        "number long, change_time long, "
+        "changes array<struct<field_name string, added string, removed string>>",
+    )
+    out = replay_states(current, hist, time_type="bigint").collect()
+    got = {r.change_time: dict(r.state_before) for r in out}
+    want = {t: dict(seq[t - 1]) for _, t, _ in [(1, r[1], r[2]) for r in hist_rows]}
+    assert got == want
