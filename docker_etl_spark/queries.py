@@ -5644,3 +5644,41 @@ def x41_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq01 — typed-parameter file query (plans/paramqueries; reference
+# redashdata.py:25-428 — dashboard queries as on-disk dirs with
+# parameter schemas: enum membership checked, dates parsed, defaults
+# filled). Binding goes through spark.sql named args, so parameters
+# are typed literals Catalyst constant-folds (pushdown identical to
+# hand-written predicates). The oracle inlines the same defaults.
+# ---------------------------------------------------------------------------
+
+_DQ01_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_totalprice >= 150000
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'
+GROUP BY o_orderpriority
+"""
+
+
+@register("dq01_typed_param_query", oracle=_DQ01_ORACLE)
+def dq01_typed_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the demo dashboard catalog's query with its declared
+    defaults (enum + number + date-range parameters)."""
+    from pathlib import Path
+
+    from docker_etl_spark.plans.paramqueries import load_query_catalog
+
+    root = (
+        Path(__file__).resolve().parent.parent / "fixtures" / "demo_dashboards"
+    )
+    catalog = load_query_catalog(root)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return catalog["orders_by_priority"].run(spark)
