@@ -117,3 +117,96 @@ def histogram_drift(
     return g.select(
         "bucket", "n_a", "n_b", term.alias("drift_term")
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectations (data contracts)
+# ---------------------------------------------------------------------------
+
+
+def expect_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Violations per column: rows where the column is NULL. One scan
+    for the whole column list (conditional counts, no per-check
+    pass)."""
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack}) as (target, n_violations)"
+    ).select(
+        F.lit("not_null").alias("check"), "target", "n_violations"
+    )
+
+
+def expect_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Violations: rows beyond the first per key (COUNT(*) - COUNT
+    (DISTINCT key) in aggregate form — the dbt `unique` test). One
+    groupBy on the key."""
+    dup_rows = (
+        df.groupBy(*cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.sum(F.col("count") - 1).alias("n"))
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"))
+    )
+    return dup_rows.select(
+        F.lit("unique").alias("check"),
+        F.lit(",".join(cols)).alias("target"),
+        F.col("n").alias("n_violations"),
+    )
+
+
+def expect_accepted_values(
+    df: DataFrame, col: str, values: list[str]
+) -> DataFrame:
+    """Violations: non-NULL values outside the accepted set (dbt
+    `accepted_values`). Map-side filter + count."""
+    n = (
+        df.filter(F.col(col).isNotNull() & ~F.col(col).isin(*values))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return n.select(
+        F.lit("accepted_values").alias("check"),
+        F.lit(col).alias("target"),
+        F.col("n").alias("n_violations"),
+    )
+
+
+def expect_references(
+    df: DataFrame, col: str, ref: DataFrame, ref_col: str
+) -> DataFrame:
+    """Violations: non-NULL foreign keys with no parent row (dbt
+    `relationships`). left_anti against the (distinct) parent keys —
+    broadcast when small, hash join when not; never materializes the
+    match set."""
+    orphans = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("__k"))
+        .join(
+            ref.select(F.col(ref_col).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return orphans.select(
+        F.lit("references").alias("check"),
+        F.lit(col).alias("target"),
+        F.col("n").alias("n_violations"),
+    )
+
+
+def expectation_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check frames into one (check, target,
+    n_violations, passed) report — the shape a warehouse admission
+    gate consumes (reference pattern: webcompat-kb's ad-hoc
+    validation queries, systematized)."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -5682,3 +5682,76 @@ def dq01_typed_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = load_query_catalog(root)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return catalog["orders_by_priority"].run(spark)
+
+
+# ---------------------------------------------------------------------------
+# e01 — declarative data-quality expectations report
+# (operators/profiling expectations family): not_null + unique +
+# accepted_values + referential integrity over the fixture warehouse,
+# one report row per check. All counts exact ints — the oracle
+# recomputes each check in SQL.
+# ---------------------------------------------------------------------------
+
+_E01_ORACLE = """
+SELECT 'not_null' AS check, 'o_custkey' AS target,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null', 'o_orderdate',
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       COUNT(*) = COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'references', 'o_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+"""
+
+
+@register("e01_expectations_report", oracle=_E01_ORACLE)
+def e01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract admission gate over the fixture warehouse: the
+    dbt-style check quartet as one report. Scale: not_null checks
+    share one scan; unique is one groupBy; references is a
+    (broadcastable) anti-join — no check materializes violating rows,
+    only counts."""
+    from docker_etl_spark.operators.profiling import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_references,
+        expect_unique,
+        expectation_report,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return expectation_report(
+        [
+            expect_not_null(o, ["o_custkey", "o_orderdate"]),
+            expect_unique(o, ["o_orderkey"]),
+            expect_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+            expect_references(o, "o_custkey", c, "c_custkey"),
+        ]
+    )

@@ -356,6 +356,36 @@ def test_kpi_forecast_job_appends(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == 2 * n1  # WRITE_APPEND
 
 
+def test_expectations_detect_planted_violations(spark):
+    """e01's fixture is clean, so the report's zeros must be EARNED:
+    each check has to fire on planted violations."""
+    from docker_etl_spark.operators.profiling import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_references,
+        expect_unique,
+        expectation_report,
+    )
+
+    rows = [(1, "O", 10), (1, "F", None), (2, "X", 99), (3, None, 10)]
+    df = spark.createDataFrame(rows, "k long, status string, fk int")
+    parent = spark.createDataFrame([(10,)], "pk int")
+    rep = expectation_report(
+        [
+            expect_not_null(df, ["status", "fk"]),
+            expect_unique(df, ["k"]),
+            expect_accepted_values(df, "status", ["O", "F", "P"]),
+            expect_references(df, "fk", parent, "pk"),
+        ]
+    )
+    got = {(r.check, r.target): (r.n_violations, r.passed) for r in rep.collect()}
+    assert got[("not_null", "status")] == (1, False)
+    assert got[("not_null", "fk")] == (1, False)
+    assert got[("unique", "k")] == (1, False)       # one extra row for k=1
+    assert got[("accepted_values", "status")] == (1, False)  # 'X'; NULL exempt
+    assert got[("references", "fk")] == (1, False)  # fk=99 orphan; NULL exempt
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
