@@ -149,6 +149,18 @@ def _partition_from_meta(meta: dict, *, where: str) -> RangePartition | None:
 
 
 @dataclass(frozen=True)
+class TableCheck:
+    """One declared data-quality check (the dbt schema.yml idiom,
+    engine-side: meta.toml ``[[checks]]`` entries mapped onto the
+    operators/profiling expectations family)."""
+
+    type: str  # not_null | unique | accepted_values | references
+    columns: tuple[str, ...] = ()
+    values: tuple[str, ...] = ()
+    ref: str = ""  # "dataset.table:column" for references
+
+
+@dataclass(frozen=True)
 class TableTemplate:
     dataset: str
     name: str
@@ -156,6 +168,7 @@ class TableTemplate:
     description: str | None = None
     etl: tuple[str, ...] = ()
     partition: RangePartition | None = None
+    checks: tuple[TableCheck, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -174,6 +187,39 @@ class DatasetTemplates:
     tables: dict[str, TableTemplate] = field(default_factory=dict)
     views: dict[str, SqlTemplate] = field(default_factory=dict)
     routines: dict[str, SqlTemplate] = field(default_factory=dict)
+
+
+_CHECK_TYPES = ("not_null", "unique", "accepted_values", "references")
+
+
+def _checks_from_meta(meta: dict, *, where: str) -> tuple[TableCheck, ...]:
+    raw = meta.get("checks", [])
+    if not isinstance(raw, list):
+        raise ValueError(f"{where}: 'checks' must be an array of tables")
+    out = []
+    for i, c in enumerate(raw):
+        if not isinstance(c, dict) or c.get("type") not in _CHECK_TYPES:
+            raise ValueError(
+                f"{where}: checks[{i}] needs a 'type' in {_CHECK_TYPES}"
+            )
+        cols = tuple(c.get("columns", ()))
+        if not cols:
+            raise ValueError(f"{where}: checks[{i}] needs 'columns'")
+        if c["type"] == "accepted_values" and not c.get("values"):
+            raise ValueError(f"{where}: checks[{i}] needs 'values'")
+        if c["type"] == "references" and ":" not in c.get("ref", ""):
+            raise ValueError(
+                f"{where}: checks[{i}] needs ref = 'dataset.table:column'"
+            )
+        out.append(
+            TableCheck(
+                type=c["type"],
+                columns=cols,
+                values=tuple(c.get("values", ())),
+                ref=c.get("ref", ""),
+            )
+        )
+    return tuple(out)
 
 
 def _load_meta(path: Path) -> dict:
@@ -239,6 +285,7 @@ def load_project_dir(root: str | Path) -> dict[str, DatasetTemplates]:
                         description=obj_meta.get("description"),
                         etl=tuple(etl),
                         partition=_partition_from_meta(obj_meta, where=str(obj_meta_path)),
+                        checks=_checks_from_meta(obj_meta, where=str(obj_meta_path)),
                     )
                 else:
                     body = obj_dir / ("view.sql" if kind == "view" else "routine.sql")
@@ -675,6 +722,56 @@ class FileProject:
         deployed = self.deploy_incremental()
         self.record_update(src_hash)
         return deployed
+
+    def validate(self, ref: str | None = None) -> DataFrame:
+        """Run every declared table check against the DEPLOYED tables
+        and return the admission report (check, target, n_violations,
+        passed) — the catalog-integrated form of the
+        operators/profiling expectations family (dbt's schema.yml
+        tests, declared in meta.toml ``[[checks]]``). ``ref`` limits
+        to one table. Raises if no checked table matches."""
+        from docker_etl_spark.operators.profiling import (
+            expect_accepted_values,
+            expect_not_null,
+            expect_references,
+            expect_unique,
+            expectation_report,
+        )
+
+        frames: list[DataFrame] = []
+        for ds in self.datasets.values():
+            for tbl in ds.tables.values():
+                if ref is not None and ref not in (
+                    tbl.name,
+                    f"{tbl.dataset}.{tbl.name}",
+                ):
+                    continue
+                if not tbl.checks:
+                    continue
+                df = self.spark.table(self.physical_name(tbl.dataset, tbl.name))
+                for c in tbl.checks:
+                    if c.type == "not_null":
+                        frames.append(expect_not_null(df, list(c.columns)))
+                    elif c.type == "unique":
+                        frames.append(expect_unique(df, list(c.columns)))
+                    elif c.type == "accepted_values":
+                        frames.append(
+                            expect_accepted_values(
+                                df, c.columns[0], list(c.values)
+                            )
+                        )
+                    else:  # references
+                        target, rcol = c.ref.split(":", 1)
+                        frames.append(
+                            expect_references(
+                                df, c.columns[0], self.table(target), rcol
+                            )
+                        )
+        if not frames:
+            raise ValueError(
+                f"no declared checks match {ref!r}" if ref else "no declared checks"
+            )
+        return expectation_report(frames)
 
     def table(self, ref: str) -> DataFrame:
         target = self._resolve(ref, from_dataset="", where="table()")

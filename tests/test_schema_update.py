@@ -115,3 +115,39 @@ def test_routine_text_edit_redeploys_routine_and_dependents(
         .collect()
     }
     assert ranks and all(r >= 11 for r in ranks)
+
+
+def test_declared_checks_run_against_deployed_tables(spark, sf_dir, proj_dir):
+    p = _project(spark, sf_dir, proj_dir, prefix="chk1_")
+    p.deploy()
+    rep = p.validate("priority_orders")
+    got = {(r.check, r.target): r.passed for r in rep.collect()}
+    assert got == {
+        ("not_null", "o_orderkey"): True,
+        ("not_null", "o_custkey"): True,
+        ("unique", "o_orderkey"): True,
+        ("accepted_values", "o_orderstatus"): True,
+    }
+    # a poisoned binding must FAIL the gate, proving the checks bite
+    import pyspark.sql.functions as F
+    from docker_etl_spark.plans.projectdata import FileProject
+    from docker_etl_spark.sources.io import load_table
+
+    bad = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    p2 = FileProject(
+        spark,
+        proj_dir,
+        table_bindings={"analytics.priority_orders": bad},
+        prefix="chk2_",
+    )
+    p2.deploy()
+    failed = {
+        (r.check, r.target)
+        for r in p2.validate().collect()
+        if not r.passed
+    }
+    assert ("accepted_values", "o_orderstatus") in failed
+    with pytest.raises(ValueError, match="no declared checks"):
+        p2.validate("import_runs")
