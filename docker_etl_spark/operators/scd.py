@@ -59,3 +59,73 @@ def scd2_build(
             *key_cols, *attr_cols, "valid_from", "valid_to", "is_current"
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two table snapshots: ``added``
+    (only in new), ``removed`` (only in old), ``changed`` (present in
+    both, any compared column differs — null-safe), ``unchanged``.
+    The daily-diff primitive under change-capture reporting (the
+    reference's history inserts and metric_changes both start from
+    "what moved since the last snapshot").
+
+    Returns one row per key: (*keys, change_type, changed_cols) with
+    ``changed_cols`` the sorted list of differing columns (empty
+    unless changed). One full-outer shuffle on the keys; compared
+    values ride along, nothing is re-scanned per column.
+
+    Scale: for partitioned snapshot layouts, diff partition-by-
+    partition (prune both scans to the same partition) and union —
+    the join stays co-located and a 100 TB table diffs in
+    partition-sized pieces.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in keys
+        ]
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.sort_array(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    return j.select(
+        *keys,
+        change_type.alias("change_type"),
+        F.when(change_type == "changed", changed).otherwise(empty).alias(
+            "changed_cols"
+        ),
+    )

@@ -5755,3 +5755,76 @@ def e01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_references(o, "o_custkey", c, "c_custkey"),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# e02 — snapshot diff classification (operators/scd.snapshot_diff).
+# The "new" snapshot is derived deterministically from orders:
+# every 17th key removed, every 13th's status flipped, every 19th
+# re-keyed as an addition — so all four classes are exercised and
+# the oracle rebuilds the identical snapshots.
+# ---------------------------------------------------------------------------
+
+_E02_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS total
+  FROM orders
+),
+new AS (
+  SELECT k,
+         CASE WHEN k % 13 = 0 THEN 'Z' ELSE status END AS status,
+         total
+  FROM old WHERE k % 17 <> 0
+  UNION ALL
+  SELECT k + 100000000, status, total FROM old WHERE k % 19 = 0
+),
+j AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.status IS DISTINCT FROM n.status
+                   OR o.total IS DISTINCT FROM n.total THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM j GROUP BY change_type
+"""
+
+
+@register("e02_snapshot_diff", oracle=_E02_ORACLE)
+def e02_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-diff classification between two snapshot states of the
+    orders table (added / removed / changed / unchanged per key), the
+    change-capture primitive under history inserts. One full-outer
+    shuffle on the key."""
+    from docker_etl_spark.operators.scd import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("total"),
+    )
+    new = (
+        old.filter(F.col("k") % 17 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 13 == 0, F.lit("Z"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+            "total",
+        )
+        .unionByName(
+            old.filter(F.col("k") % 19 == 0).select(
+                (F.col("k") + 100_000_000).alias("k"), "status", "total"
+            )
+        )
+    )
+    d = snapshot_diff(old, new, ["k"], compare_cols=["status", "total"])
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )

@@ -386,6 +386,27 @@ def test_expectations_detect_planted_violations(spark):
     assert got[("references", "fk")] == (1, False)  # fk=99 orphan; NULL exempt
 
 
+def test_snapshot_diff_null_safe_and_changed_cols(spark):
+    from docker_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, 5), (3, "c", 3)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (4, "d", 1)],
+        "k long, s string, v int",
+    )
+    got = {
+        r.k: (r.change_type, list(r.changed_cols))
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got[1] == ("unchanged", [])   # NULL == NULL is not a change
+    assert got[2] == ("changed", ["s"])  # NULL -> 'b' IS a change
+    assert got[3] == ("removed", [])
+    assert got[4] == ("added", [])
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
