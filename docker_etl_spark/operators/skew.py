@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,41 @@ def upsert_by_key(
     return updates.unionByName(
         current.join(updates.select(*keys), list(keys), "left_anti")
     )
+
+
+def apply_cdc(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture batch (``op`` ∈ {'I','U','D'}) to a
+    snapshot — the full MERGE triad on plain parquet tables:
+    upserts win on key collision, deletes drop the key, unmatched
+    current rows pass through (completes D1-D6's mutation family with
+    the delete leg ``upsert_by_key`` lacks).
+
+    With ``order_col``, multiple change rows per key are collapsed to
+    the LAST one first (CDC logs replay in order; only the final
+    operation matters for snapshot semantics) — without it the batch
+    must already be one-row-per-key.
+
+    Scale: one window (only if collapsing) + one left_anti on the
+    touched-key set + a union — the copy-on-write recipe; pair with
+    dynamic partition overwrite so only touched partitions rewrite.
+    """
+    keys = list(keys)
+    ch = changes
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        ch = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    survivors = current.join(ch.select(*keys), keys, "left_anti")
+    upserts = ch.filter(F.col(op_col) != "D").drop(op_col)
+    if order_col is not None and order_col not in current.columns:
+        upserts = upserts.drop(order_col)
+    return survivors.unionByName(upserts)

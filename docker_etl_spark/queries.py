@@ -5828,3 +5828,77 @@ def e02_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e03 — CDC apply (operators/skew.apply_cdc): a deterministic change
+# batch (upserts, deletes, inserts — with per-key multi-row logs
+# collapsed to the last op) applied to the orders snapshot; census
+# by status proves the merge. Oracle replays the same CDC semantics
+# with window + anti-join SQL.
+# ---------------------------------------------------------------------------
+
+_E03_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+),
+raw_ch AS (
+  -- seq 1: every 11th key -> status 'U1'; seq 2 overrides every 22nd
+  -- to DELETE (last op wins); every 23rd key inserts a new row
+  SELECT k, 'U' AS op, 'U1' AS status, 1 AS seq FROM cur WHERE k % 11 = 0
+  UNION ALL
+  SELECT k, 'D', NULL, 2 FROM cur WHERE k % 22 = 0
+  UNION ALL
+  SELECT k + 200000000, 'I', 'NEW', 1 FROM cur WHERE k % 23 = 0
+),
+last_ch AS (
+  SELECT k, op, status FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM raw_ch
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT c.k, c.status FROM cur c
+  WHERE NOT EXISTS (SELECT 1 FROM last_ch l WHERE l.k = c.k)
+  UNION ALL
+  SELECT k, status FROM last_ch WHERE op <> 'D'
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM merged GROUP BY status
+"""
+
+
+@register("e03_cdc_apply", oracle=_E03_ORACLE)
+def e03_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + CDC batch -> merged snapshot (I/U/D with last-op-
+    wins collapse), censused by status. One window + one anti-join +
+    union; with partitioned layouts only touched partitions
+    rewrite."""
+    from docker_etl_spark.operators.skew import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status")
+    )
+    ch = (
+        cur.filter(F.col("k") % 11 == 0)
+        .select("k", F.lit("U").alias("op"), F.lit("U1").alias("status"), F.lit(1).alias("seq"))
+        .unionByName(
+            cur.filter(F.col("k") % 22 == 0).select(
+                "k", F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("status"), F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            cur.filter(F.col("k") % 23 == 0).select(
+                (F.col("k") + 200_000_000).alias("k"), F.lit("I").alias("op"),
+                F.lit("NEW").alias("status"), F.lit(1).alias("seq"),
+            )
+        )
+    )
+    merged = apply_cdc(cur, ch, ["k"], op_col="op", order_col="seq")
+    return merged.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )

@@ -407,6 +407,28 @@ def test_snapshot_diff_null_safe_and_changed_cols(spark):
     assert got[4] == ("added", [])
 
 
+def test_apply_cdc_last_op_wins_and_delete_semantics(spark):
+    from docker_etl_spark.operators.skew import apply_cdc
+
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "U", "a2", 1), (1, "D", None, 2),  # update then delete -> gone
+            (2, "D", None, 1), (2, "U", "b2", 2),  # delete then update -> b2
+            (4, "I", "d", 1),                       # insert new key
+            (9, "D", None, 1),                      # delete unseen key: no-op
+        ],
+        "k long, op string, v string, seq int",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_cdc(cur, ch, ["k"], op_col="op", order_col="seq").collect()
+    }
+    assert got == {2: "b2", 3: "c", 4: "d"}
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
