@@ -232,3 +232,56 @@ def html_text(col: Column | str) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, F.lit(r"\s+"), F.lit(" ")))
+
+
+def canonicalize_url(col: Column | str, strip_prefixes: tuple[str, ...] = ("utm_", "fbclid", "gclid")) -> Column:
+    """Canonical URL for crawl-level dedup: lowercase scheme+host,
+    drop the fragment, drop tracking query parameters (``utm_*`` and
+    friends), sort surviving parameters, drop a trailing slash on a
+    bare path. Two crawls of the same page with different tracking
+    decorations collapse to one key — the standard pre-dedup
+    normalization for web corpora (complements ``url_host``/
+    ``url_parse``; reference normalizes hosts the same way before
+    rank joins, WEBCOMPAT_HOST/routine.sql).
+
+    Pure JVM expressions: split → filter → sort → rejoin; no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.substring_index(c, "#", 1)
+    base = F.substring_index(no_frag, "?", 1)
+    query = F.when(
+        no_frag.contains("?"), F.substr(no_frag, F.instr(no_frag, "?") + 1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    host = F.lower(F.substring_index(rest, "/", 1))
+    path = F.when(
+        rest.contains("/"),
+        F.concat(F.lit("/"), F.substr(rest, F.instr(rest, "/") + 1)),
+    ).otherwise(F.lit(""))
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+
+    import functools
+
+    def is_tracking(p: Column) -> Column:
+        tests = [
+            p.startswith(pre)
+            if pre.endswith("_")
+            else (F.substring_index(p, "=", 1) == pre)
+            for pre in strip_prefixes
+        ]
+        return functools.reduce(lambda a, b: a | b, tests, F.lit(False))
+
+    params = F.filter(
+        F.split(query, "&"), lambda p: (p != "") & ~is_tracking(p)
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )

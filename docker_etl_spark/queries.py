@@ -5902,3 +5902,54 @@ def e03_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x42 — canonical-URL crawl dedup (functions/scalars.canonicalize_url)
+# Synthesized URLs carry per-doc tracking decorations and shuffled
+# parameter order; the oracle constructs the ground-truth canonical
+# form directly from the same arithmetic, so the engine's parse →
+# strip → sort → rebuild chain is checked against construction, not
+# against a SQL re-implementation of itself.
+# ---------------------------------------------------------------------------
+
+_X42_ORACLE = """
+WITH canon AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+         || '?a=1&b=2' AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register("x42_canonical_url_dedup", oracle=_X42_ORACLE)
+def x42_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group a decorated-URL corpus by canonical form — the crawl
+    pre-dedup step (two fetches of one page with different tracking
+    params are one document). Map-side canonicalization + one
+    groupBy."""
+    from docker_etl_spark.functions.scalars import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=x"))
+        .otherwise(F.lit("?a=1&utm_medium=m&b=2")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    urls = d.select("doc_id", raw.alias("url"))
+    return urls.groupBy(
+        canonicalize_url("url").alias("canonical_url")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

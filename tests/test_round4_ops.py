@@ -429,6 +429,23 @@ def test_apply_cdc_last_op_wins_and_delete_semantics(spark):
     assert got == {2: "b2", 3: "c", 4: "d"}
 
 
+def test_canonicalize_url(spark):
+    from docker_etl_spark.functions.scalars import canonicalize_url
+
+    cases = [
+        ("HTTPS://Example.COM/Path?utm_source=x&b=2&a=1#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("http://a.com/?gclid=123", "http://a.com"),
+        ("http://a.com/p?fbclid=9&z=1&utm_campaign=c", "http://a.com/p?z=1"),
+        ("https://b.org", "https://b.org"),
+        ("https://b.org/", "https://b.org"),
+        ("https://b.org/x/y?k=v", "https://b.org/x/y?k=v"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [w for _, w in cases]
+
+
 def test_multimodal_decode_capability_if_pil_present(spark):
     """Capability (not just contract) test for the image decode seam:
     runs only when PIL exists in the container; skips cleanly
