@@ -5953,3 +5953,49 @@ def x42_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x43 — per-group adaptive quality floor: each language keeps only
+# documents at or above ITS OWN 25th length percentile (exact
+# discrete percentile — deterministic in both engines), instead of
+# one global cutoff that over-prunes short-form languages. The
+# group-threshold dim is tiny and broadcast back over the scan.
+# ---------------------------------------------------------------------------
+
+_X43_ORACLE = """
+WITH thr AS (
+  SELECT lang, quantile_disc(n_chars, 0.25) AS floor_chars
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(MIN(t.floor_chars) AS BIGINT) AS floor_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum
+FROM documents d JOIN thr t ON d.lang = t.lang
+WHERE d.n_chars >= t.floor_chars
+GROUP BY d.lang
+"""
+
+
+@register("x43_adaptive_quality_floor", oracle=_X43_ORACLE)
+def x43_adaptive_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive length floor (exact 25th percentile per
+    group, broadcast join, map-side filter) — the stratified form of
+    the fixed-threshold quality gate (x15). Scale: the percentile agg
+    shuffles once to k group rows; the corpus-side keep decision
+    never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = d.groupBy("lang").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("floor_chars")
+    )
+    kept = d.join(F.broadcast(thr), "lang").filter(
+        F.col("n_chars") >= F.col("floor_chars")
+    )
+    return kept.groupBy("lang").agg(
+        F.min("floor_chars").cast("bigint").alias("floor_chars"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
