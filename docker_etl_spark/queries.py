@@ -5999,3 +5999,47 @@ def x43_adaptive_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fi01 — heavy-hitters with an exactness guardrail (cd01's pattern
+# applied to frequent items): the sketch side (df.stat.freqItems,
+# Karp-Papadimitriou-Shenker) must CONTAIN every event_type whose
+# true frequency exceeds the support threshold; the differential
+# contract checks that containment (deterministic for fixed data)
+# alongside the exact counts.
+# ---------------------------------------------------------------------------
+
+_FI01_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS in_sketch
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) * 0.15
+"""
+
+
+@register("fi01_frequent_items_guardrail", oracle=_FI01_ORACLE)
+def fi01_frequent_items_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (> 15% support) annotated with sketch
+    containment: freqItems' one-pass summary is the 100 TB path (no
+    shuffle of the value space); KPS guarantees no false negatives
+    above the support, which is exactly what the boolean pins.
+
+    Driver actions here are BOUNDED by contract (the library-collect
+    allowlist class, like the k-means centroid pull): freqItems
+    returns one row with <= 1/support items, and count() a scalar —
+    never corpus rows."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = set(
+        ev.stat.freqItems(["event_type"], support=0.15).collect()[0][0]
+    )
+    total = ev.count()
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") > total * 0.15)
+    )
+    in_sketch = F.col("event_type").isin(*sorted(sketch)) if sketch else F.lit(False)
+    return exact.select("event_type", "n_events", in_sketch.alias("in_sketch"))

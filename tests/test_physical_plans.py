@@ -163,6 +163,21 @@ def test_temperature_mixture_broadcasts_threshold_dim(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_adaptive_floor_broadcasts_threshold_dim(spark, sf_dir):
+    """x43: the per-group percentile dim must broadcast — the corpus
+    never shuffles for the keep decision."""
+    plan = formatted(QUERIES["x43_adaptive_quality_floor"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_expectations_report_has_no_cartesian_and_counts_only(spark, sf_dir):
+    """e01: checks aggregate to counts — no violating-row
+    materialization means no wide project after the checks."""
+    plan = formatted(QUERIES["e01_expectations_report"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
 def test_chunk_windows_is_shuffle_free(spark, sf_dir):
     """x30's claim: chunking is one map-side pass — the plan must
     contain no Exchange of any kind (chunking 100 TB = one scan)."""
