@@ -179,3 +179,54 @@ def test_replay_inverts_forward_diffs(spark, seq):
     got = {r.change_time: dict(r.state_before) for r in out}
     want = {t: dict(seq[t - 1]) for _, t, _ in [(1, r[1], r[2]) for r in hist_rows]}
     assert got == want
+
+
+# -- TOML schema parsing ----------------------------------------------------
+
+_BQ_TYPES = {
+    "STRING": "string",
+    "INT64": "bigint",
+    "FLOAT64": "double",
+    "BOOL": "boolean",
+    "DATE": "date",
+    "DATETIME": "timestamp_ntz",
+}
+_modes = st.sampled_from(["NULLABLE", "REQUIRED", "REPEATED"])
+_fnames = st.text(alphabet="abcdef_", min_size=1, max_size=8).filter(
+    lambda s: not s.startswith("_")
+)
+_leaf = st.tuples(st.sampled_from(sorted(_BQ_TYPES)), _modes)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(_fnames, _leaf, min_size=1, max_size=6),
+    st.dictionaries(_fnames, _leaf, min_size=1, max_size=3),
+)
+def test_schema_from_toml_parses_arbitrary_declarations(flat, nested):
+    """Any valid field declaration set (incl. a nested RECORD) parses
+    to the StructType a pure-Python model predicts: type mapping,
+    REQUIRED → non-nullable, REPEATED → array wrapper."""
+    from docker_etl_spark.plans.projectdata import schema_from_toml
+
+    lines = []
+    for name, (t, mode) in flat.items():
+        lines += [f"[{name}]", f'type = "{t}"', f'mode = "{mode}"']
+    rec_name = "rec_" + next(iter(nested))
+    lines += [f"[{rec_name}]", 'type = "RECORD"']
+    for name, (t, mode) in nested.items():
+        lines += [f"[{rec_name}.fields.{name}]", f'type = "{t}"', f'mode = "{mode}"']
+    schema = schema_from_toml("\n".join(lines))
+
+    got = {f.name: f for f in schema.fields}
+    assert set(got) == set(flat) | {rec_name}
+    for name, (t, mode) in flat.items():
+        f = got[name]
+        if mode == "REPEATED":
+            assert f.dataType.typeName() == "array"
+            assert f.dataType.elementType.simpleString() == _BQ_TYPES[t]
+        else:
+            assert f.dataType.simpleString() == _BQ_TYPES[t]
+            assert f.nullable == (mode != "REQUIRED")
+    sub = {f.name: f for f in got[rec_name].dataType.fields}
+    assert set(sub) == set(nested)
