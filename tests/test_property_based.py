@@ -230,3 +230,49 @@ def test_schema_from_toml_parses_arbitrary_declarations(flat, nested):
             assert f.nullable == (mode != "REQUIRED")
     sub = {f.name: f for f in got[rec_name].dataType.fields}
     assert set(sub) == set(nested)
+
+
+# -- URL canonicalization ----------------------------------------------------
+
+_hostchars = st.text(alphabet="aBcD0", min_size=1, max_size=6)
+_seg = st.text(alphabet="xYz2", min_size=1, max_size=4)
+_key = st.sampled_from(["a", "B", "k2", "utm_source", "utm_x", "fbclid", "gclid"])
+_urlspec = st.tuples(
+    st.sampled_from(["http", "HTTPS"]),
+    _hostchars,
+    st.lists(_seg, min_size=0, max_size=3),
+    st.lists(st.tuples(_key, _seg), min_size=0, max_size=4),
+    st.booleans(),  # fragment
+)
+
+
+def _py_canonical(scheme, host, segs, params, frag):
+    kept = sorted(
+        f"{k}={v}"
+        for k, v in params
+        if not (k.startswith("utm_") or k in ("fbclid", "gclid"))
+    )
+    path = "/" + "/".join(segs) if segs else ""
+    q = ("?" + "&".join(kept)) if kept else ""
+    return f"{scheme.lower()}://{host.lower()}{path}{q}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_urlspec, min_size=1, max_size=6))
+def test_canonicalize_url_matches_python_model(spark, specs):
+    from docker_etl_spark.functions.scalars import canonicalize_url
+
+    urls, want = [], []
+    for scheme, host, segs, params, frag in specs:
+        u = f"{scheme}://{host}"
+        if segs:
+            u += "/" + "/".join(segs)
+        if params:
+            u += "?" + "&".join(f"{k}={v}" for k, v in params)
+        if frag:
+            u += "#frag"
+        urls.append(u)
+        want.append(_py_canonical(scheme, host, segs, params, frag))
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == want
