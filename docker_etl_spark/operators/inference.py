@@ -64,3 +64,32 @@ def batched_inference(
             yield pdf
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def stub_translate(texts: pd.Series) -> pd.Series:
+    """Deterministic stand-in for the translation service
+    (broken_site_report_ml/main.py translate batch calls): reverses
+    word order — clearly fake, trivially checkable, exp-free."""
+    return texts.map(lambda t: " ".join(reversed(t.split(" "))))
+
+
+def batched_transform(
+    df: DataFrame,
+    text_col: str,
+    transform_fn: Callable[[pd.Series], pd.Series] = stub_translate,
+    out_col: str = "translated",
+) -> DataFrame:
+    """String→string batched model call (the translation shape of F8,
+    alongside ``batched_inference``'s scoring shape): one service
+    call per Arrow batch, output aligned 1:1."""
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in df.dtypes] + [f"{out_col} string"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = transform_fn(pdf[text_col]).astype("object")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)

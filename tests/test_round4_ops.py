@@ -465,3 +465,69 @@ def test_multimodal_decode_capability_if_pil_present(spark):
     )
     out = decode_image_features(df).collect()
     assert len(out) == 1 and out[0].mean_luma is not None
+
+
+def test_batched_transform_matches_column_twin(spark, sf_dir):
+    """F8 translation shape: the Arrow-batched string transform must
+    equal the same formula as a JVM expression (pins the seam)."""
+    from docker_etl_spark.operators.inference import batched_transform
+    from docker_etl_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = batched_transform(d, "text")
+    twin = d.withColumn(
+        "t2", F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    )
+    joined = out.join(twin.select("doc_id", "t2"), "doc_id")
+    assert joined.filter(F.col("translated") != F.col("t2")).count() == 0
+
+
+def test_streaming_cdc_merge_via_foreach_batch(spark, tmp_path):
+    """Streaming MERGE: CDC micro-batches applied through
+    foreachBatch + apply_cdc onto an accumulating snapshot — the
+    Structured Streaming upsert/delete sink recipe."""
+    import json
+    import os
+
+    from docker_etl_spark.operators.skew import apply_cdc
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    snap_path = str(tmp_path / "snapshot")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.mode("overwrite").parquet(snap_path)
+
+    # two micro-batches: update k=1, insert k=3; then delete k=2
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"k": 1, "op": "U", "v": "a2", "seq": 1},
+                {"k": 3, "op": "I", "v": "c", "seq": 1},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("k long, op string, v string, seq int")
+        .json(str(src))
+    )
+
+    def merge(batch_df, batch_id):
+        cur = spark.read.parquet(snap_path)
+        merged = apply_cdc(cur, batch_df, ["k"], op_col="op", order_col="seq")
+        # rewrite via a temp dir then swap (plain-parquet copy-on-write)
+        tmp_out = snap_path + f".new{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        spark.read.parquet(tmp_out).write.mode("overwrite").parquet(snap_path)
+
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(snap_path).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+
+    (src / "b2.json").write_text(json.dumps({"k": 2, "op": "D", "v": None, "seq": 1}))
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(snap_path).collect()}
+    assert got == {1: "a2", 3: "c"}
