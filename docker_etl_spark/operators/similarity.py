@@ -805,3 +805,60 @@ def label_centroid_outliers(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "vec",
+    exact_int: bool = False,
+) -> DataFrame:
+    """Contrastive-training data prep: for each anchor, the k most
+    similar corpus vectors with a DIFFERENT label — the "hard
+    negatives" that make embedding models learn boundaries (the
+    highest-cosine wrong-label neighbors, not random negatives).
+
+    Anchors broadcast (the small side — mini-batch or probe set);
+    corpus is scanned once; ranking is one window per anchor id. For
+    anchor sets past broadcast size, generate candidates with the
+    bucketed paths (``cosine_topk_lsh`` / ``ivf_topk``) and apply the
+    label-mismatch filter + window on their output — the plan shape
+    is identical from the filter down.
+
+    Returns (anchor_id, negative_id, cosine, rank), rank 1 = hardest.
+    """
+    d = dot_int if exact_int else dot
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__albl"),
+        F.col(vec_col).alias("__av"),
+        squared_norm(F.col(vec_col), exact_int).alias("__an"),
+    ).filter(F.col("__an") > 0)
+    c = _spread(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("__clbl"),
+        F.col(vec_col).alias("__cv"),
+        squared_norm(F.col(vec_col), exact_int).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(c)
+        .filter(
+            (F.col("anchor_id") != F.col("negative_id"))
+            & (F.col("__albl") != F.col("__clbl"))
+        )
+    )
+    cos = d(F.col("__av"), F.col("__cv")).cast("double") / F.sqrt(
+        (F.col("__an") * F.col("__cn")).cast("double")
+    )
+    scored = pairs.select("anchor_id", "negative_id", cos.alias("cosine"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

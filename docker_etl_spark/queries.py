@@ -6043,3 +6043,63 @@ def fi01_frequent_items_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     in_sketch = F.col("event_type").isin(*sorted(sketch)) if sketch else F.lit(False)
     return exact.select("event_type", "n_events", in_sketch.alias("in_sketch"))
+
+
+# ---------------------------------------------------------------------------
+# x44 — hard-negative mining (operators/similarity.hard_negative_mining)
+# over int-quantized embeddings: exact integer dots, deterministic
+# ranking — the x22 exactness recipe applied to contrastive
+# training-pair prep.
+# ---------------------------------------------------------------------------
+
+_X44_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         list_sum(list_transform(v, x -> x * x)) AS nrm
+  FROM q
+  WHERE list_sum(list_transform(v, x -> x * x)) > 0
+),
+anchors AS (SELECT * FROM n WHERE vec_id < 8),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                                      i -> a.v[i] * c.v[i])) AS DOUBLE)
+         / sqrt(CAST(a.nrm * c.nrm AS DOUBLE)) AS cosine
+  FROM anchors a JOIN n c
+    ON a.vec_id <> c.vec_id AND a.label <> c.label
+)
+SELECT anchor_id, negative_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC
+  ) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+
+@register("x44_hard_negatives", oracle=_X44_ORACLE)
+def x44_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-cosine wrong-label neighbors for each of 8
+    anchor embeddings (quantized exact-int mode). Anchors broadcast;
+    corpus scanned once; one window on the anchor id."""
+    from docker_etl_spark.operators.similarity import hard_negative_mining
+    from docker_etl_spark.operators.similarity import quantize_vectors_int8  # noqa: F401
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qv = em.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+        ).alias("vec"),
+    )
+    anchors = qv.filter(F.col("vec_id") < 8)
+    return hard_negative_mining(
+        qv, anchors, k=3, exact_int=True
+    ).withColumn("rank", F.col("rank").cast("bigint"))
