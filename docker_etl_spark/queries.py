@@ -6089,7 +6089,6 @@ def x44_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor embeddings (quantized exact-int mode). Anchors broadcast;
     corpus scanned once; one window on the anchor id."""
     from docker_etl_spark.operators.similarity import hard_negative_mining
-    from docker_etl_spark.operators.similarity import quantize_vectors_int8  # noqa: F401
 
     em = load_table(spark, sf_dir, "embeddings")
     qv = em.select(
