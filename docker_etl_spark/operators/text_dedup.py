@@ -489,3 +489,148 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def signature_band_keys(
+    sig_col: Column, bands: int, rows_per_band: int
+) -> Column:
+    """The (band, bkey) array for one signature — md5 over each
+    band's '|'-joined values, identical to ``lsh_candidate_pairs``'
+    keying so stored signatures and fresh ones bucket compatibly."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("bkey"),
+        ),
+    )
+
+
+def signature_match_fraction(a: Column, b: Column, num_perm: int) -> Column:
+    """The unbiased MinHash Jaccard estimator: fraction of equal
+    signature positions. One IEEE division of exact ints."""
+    matches = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m)
+    )
+    return matches.cast("double") / F.lit(float(num_perm))
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    signature_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sig_col: str = "sig",
+    shingle_n: int = 3,
+    num_perm: int = 12,
+    bands: int = 3,
+    est_threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-dup dedup of an incoming batch against a corpus
+    SIGNATURE store — the continuous-corpus-build form of MinHash
+    LSH (the x32 exact-digest pattern upgraded to near-duplicates):
+    the store holds only (id, signature); no text is ever re-read or
+    re-shingled for ingested documents.
+
+    Candidates come from the band-bucket equi-join (batch × store
+    and batch × earlier-in-batch); similarity is the signature
+    position-match fraction (the unbiased MinHash estimator — the
+    store has no shingles to verify against, which is precisely the
+    storage trade this operator exists for; run exact verification
+    only on the flagged survivors' text if the pipeline keeps it).
+
+    Returns one row per batch document: (id, n_candidates, max_est,
+    is_dup). Append ``is_dup = false`` rows' signatures to the store.
+
+    Scale: signatures computed once per batch doc (lazy barrier);
+    both joins shuffle narrow (band, key) pairs; store side is
+    band-keyed once per batch — at 100 TB keep the store PARTITIONED
+    BY band so the batch join prunes to matching partitions.
+    """
+    rows_per_band = num_perm // bands
+    has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    from docker_etl_spark.operators._util import spread_for_compute as _spread_
+
+    sigs = (
+        _spread_(new_docs.filter(has))
+        .select(
+            F.col(id_col),
+            minhash_signature(
+                word_shingles(text_col, shingle_n), num_perm, hash_fn
+            ).alias("__sig"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    new_b = sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.col("__sig").alias("new_sig"),
+        F.explode(
+            signature_band_keys(F.col("__sig"), bands, rows_per_band)
+        ).alias("bk"),
+    ).select("new_id", "new_sig", "bk.band", "bk.bkey")
+    store_b = signature_store.select(
+        F.col(id_col).alias("store_id"),
+        F.col(sig_col).alias("store_sig"),
+        F.explode(
+            signature_band_keys(F.col(sig_col), bands, rows_per_band)
+        ).alias("bk"),
+    ).select("store_id", "store_sig", "bk.band", "bk.bkey")
+
+    est = signature_match_fraction(
+        F.col("new_sig"), F.col("other_sig"), num_perm
+    )
+    vs_store = (
+        new_b.join(
+            store_b.withColumnRenamed("store_sig", "other_sig"),
+            ["band", "bkey"],
+        )
+        .dropDuplicates(["new_id", "store_id"])
+        .select("new_id", est.alias("est"))
+    )
+    # batch-internal: the HIGHER id is the duplicate of the earlier doc
+    vs_batch = (
+        new_b.alias("a")
+        .join(
+            new_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.new_id") > F.col("b.new_id")),
+        )
+        .select(
+            F.col("a.new_id").alias("new_id"),
+            F.col("b.new_id").alias("other_id"),
+            signature_match_fraction(
+                F.col("a.new_sig"), F.col("b.new_sig"), num_perm
+            ).alias("est"),
+        )
+        .dropDuplicates(["new_id", "other_id"])
+        .select("new_id", "est")
+    )
+    cands = vs_store.unionByName(vs_batch)
+    agg = cands.groupBy("new_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.max("est").alias("max_est"),
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(agg.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("max_est"), F.lit(0.0)).alias("max_est"),
+            (F.coalesce(F.col("max_est"), F.lit(0.0)) >= est_threshold).alias(
+                "is_dup"
+            ),
+        )
+    )

@@ -6102,3 +6102,108 @@ def x44_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(
         qv, anchors, k=3, exact_int=True
     ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# x45 — incremental near-dup dedup against a signature store
+# (operators/text_dedup.incremental_minhash_dedup): the x32
+# continuous-build pattern upgraded from exact digests to MinHash.
+# Store = even doc_ids' SIGNATURES (no text); batch = odd ids plus
+# planted copies of early even docs (signature-identical -> est 1.0),
+# so the store-hit path is provably non-vacuous. Oracle rebuilds
+# signatures, band buckets, and the position-match estimator in SQL.
+# ---------------------------------------------------------------------------
+
+_X45_SIG_SQL = "[" + ",\n         ".join(
+    f"list_min(list_transform(s, x -> md5(x || 'p{i}')))" for i in range(12)
+) + "]"
+
+_X45_ORACLE = f"""
+WITH newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000001, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 20
+),
+storedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+shn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newdocs)
+  WHERE len(w) >= 3
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM storedocs)
+  WHERE len(w) >= 3
+),
+sgn AS (SELECT doc_id, {_X45_SIG_SQL} AS g FROM shn),
+sgs AS (SELECT doc_id, {_X45_SIG_SQL} AS g FROM shs),
+bn AS (
+  SELECT doc_id, g, b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sgn, unnest([0, 1, 2]) AS u(b)
+),
+bs AS (
+  SELECT doc_id, g, b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sgs, unnest([0, 1, 2]) AS u(b)
+),
+cand AS (
+  SELECT new_id, est FROM (
+    SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id,
+           CAST(len(list_filter(range(1, 13), i -> n.g[i] = s.g[i])) AS DOUBLE)
+           / 12.0 AS est
+    FROM bn n JOIN bs s ON n.b = s.b AND n.bkey = s.bkey
+  )
+  UNION ALL
+  SELECT new_id, est FROM (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id,
+           CAST(len(list_filter(range(1, 13), i -> a.g[i] = b.g[i])) AS DOUBLE)
+           / 12.0 AS est
+    FROM bn a JOIN bn b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id > b.doc_id
+  )
+),
+agg AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(est) AS max_est
+  FROM cand GROUP BY new_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.max_est, 0.0) AS max_est,
+       COALESCE(a.max_est, 0.0) >= 0.5 AS is_dup
+FROM newdocs d LEFT JOIN agg a ON a.new_id = d.doc_id
+"""
+
+
+@register("x45_incremental_minhash_dedup", oracle=_X45_ORACLE)
+def x45_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-signature-store near-dup admission: the store carries
+    only (id, signature) — no text re-read for ingested docs; new
+    docs are flagged from the band-bucket joins and the MinHash
+    position-match estimator."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") % 2 == 0).filter(
+        F.size(F.split("text", " ")) >= 3
+    ).select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").unionByName(
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).select(
+            (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
+        )
+    )
+    return incremental_minhash_dedup(
+        new, store, num_perm=12, bands=3, est_threshold=0.5, hash_fn="md5"
+    )
