@@ -6207,3 +6207,51 @@ def x45_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return incremental_minhash_dedup(
         new, store, num_perm=12, bands=3, est_threshold=0.5, hash_fn="md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# cd02 — incremental COUNT(DISTINCT) via mergeable HLL sketches:
+# per-day sketches (materializable binary columns) union-merged to a
+# monthly estimate WITHOUT re-scanning raw events — the MAU recipe
+# at 100 TB (a month = merging 30 stored sketch rows, not a
+# month-wide shuffle of user ids). Sketch bytes are engine-specific,
+# so the differential contract is cd01's: the merged estimate must
+# land within the configured error of the exact count.
+# ---------------------------------------------------------------------------
+
+_CD02_ORACLE = """
+SELECT CAST(strftime(ts, '%Y-%m') AS VARCHAR) AS month,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY 1
+"""
+
+
+@register("cd02_incremental_distinct_sketches", oracle=_CD02_ORACLE)
+def cd02_incremental_distinct_sketches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily HLL sketches -> monthly merge -> estimate, guardrailed
+    against the exact per-month distinct count (|est - exact| <= 5%).
+    The daily stage is what a pipeline materializes; the monthly
+    number never touches raw ids again."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    monthly = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    exact = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return exact.join(F.broadcast(monthly), "month").select(
+        "month",
+        "exact_users",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+            <= 0.05 * F.col("exact_users").cast("double")
+        ).alias("within_5pct"),
+    )
