@@ -6211,16 +6211,16 @@ def x45_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ---------------------------------------------------------------------------
 # cd02 — incremental COUNT(DISTINCT) via mergeable HLL sketches:
-# per-day sketches (materializable binary columns) union-merged to a
-# monthly estimate WITHOUT re-scanning raw events — the MAU recipe
-# at 100 TB (a month = merging 30 stored sketch rows, not a
-# month-wide shuffle of user ids). Sketch bytes are engine-specific,
+# per-day sketches (materializable binary columns) union-merged to
+# weekly estimates WITHOUT re-scanning raw events — the MAU recipe
+# at 100 TB (a week = merging 7 stored sketch rows, not a
+# week-wide shuffle of user ids). Sketch bytes are engine-specific,
 # so the differential contract is cd01's: the merged estimate must
 # land within the configured error of the exact count.
 # ---------------------------------------------------------------------------
 
 _CD02_ORACLE = """
-SELECT CAST(strftime(ts, '%Y-%m') AS VARCHAR) AS month,
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS within_5pct
 FROM events
@@ -6232,23 +6232,23 @@ GROUP BY 1
 def cd02_incremental_distinct_sketches(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Daily HLL sketches -> monthly merge -> estimate, guardrailed
+    """Daily HLL sketches -> weekly merge -> estimate, guardrailed
     against the exact per-month distinct count (|est - exact| <= 5%).
     The daily stage is what a pipeline materializes; the monthly
     number never touches raw ids again."""
     ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
     daily = ev.groupBy(
-        F.date_format("ts", "yyyy-MM").alias("month"),
-        F.col("ts").cast("date").alias("day"),
+        week.alias("week"), F.col("ts").cast("date").alias("day")
     ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
-    monthly = daily.groupBy("month").agg(
+    weekly = daily.groupBy("week").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
     )
-    exact = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+    exact = ev.groupBy(week.alias("week")).agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
-    return exact.join(F.broadcast(monthly), "month").select(
-        "month",
+    return exact.join(F.broadcast(weekly), "week").select(
+        "week",
         "exact_users",
         (
             F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
