@@ -194,3 +194,30 @@ def decayed_window_sum(
         )
         .drop(arr)
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Per-key forward fill: each NULL value takes the most recent
+    non-NULL earlier value within its key (``last(..., ignorenulls)``
+    over an unbounded-preceding frame). Pair with a date-spine left
+    join (operators/joins.date_spine) to densify a sparse daily
+    series first — the standard gap-filling recipe for metric
+    continuity.
+
+    One shuffle on the key columns; all fills share the single
+    window. Leading NULLs (no earlier observation) stay NULL.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -6255,3 +6255,66 @@ def cd02_incremental_distinct_sketches(
             <= 0.05 * F.col("exact_users").cast("double")
         ).alias("within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w10 — date-spine densify + forward fill (operators/windows.
+# forward_fill ∘ operators/joins.date_spine): sparse per-user daily
+# series -> continuous series carrying the last observation forward.
+# ---------------------------------------------------------------------------
+
+_W10_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM events WHERE user_id < 10
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+dense AS (
+  SELECT u.user_id, s.day, d.v
+  FROM (SELECT DISTINCT user_id FROM daily) u
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+)
+SELECT user_id, day,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM dense
+"""
+
+
+@register("w10_forward_fill", oracle=_W10_ORACLE)
+def w10_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify sparse per-user daily totals over the full date spine,
+    then forward-fill gaps — one cross of (users x spine) via a
+    broadcast spine, one left join, one window per key. Leading
+    NULLs stay NULL (no earlier observation). The bounds pull is a
+    single 2-scalar driver action (min/max day — the bounded
+    library-collect class), which parameterizes the literal-folded
+    spine."""
+    from docker_etl_spark.operators.joins import date_spine
+    from docker_etl_spark.operators.windows import forward_fill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(_dbl(F.sum(_dec("value"))).alias("v"))
+    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
+    spine = date_spine(spark, str(lo), str(hi)).select(
+        F.col("spine_date").cast("date").alias("day")
+    )
+    users = daily.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(spine))
+        .join(daily, ["user_id", "day"], "left")
+    )
+    return forward_fill(dense, ["user_id"], "day", ["v"]).select(
+        "user_id", "day", F.col("v").alias("v_filled")
+    )
