@@ -162,3 +162,41 @@ def test_corpus_filter_stream_matches_batch(spark, tmp_path):
     batch = spark.read.schema(schema).parquet(path)
     batch_out = corpus_filter_stream(batch, ts_col=None)
     assert sorted(r.text for r in batch_out.collect()) == texts
+
+
+def test_stream_static_dim_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: a micro-batch stream enriched against a
+    static dimension (the broadcast-dim pattern inside a stream —
+    each micro-batch plans the same broadcast join a batch query
+    would)."""
+    import json
+
+    from docker_etl_spark.sources.io import load_table
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps({"n_nationkey": k, "qty": k * 10}) for k in range(5)
+        )
+    )
+    dim = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    stream = (
+        spark.readStream.schema("n_nationkey long, qty long").json(str(src))
+    )
+    enriched = stream.join(dim, "n_nationkey")
+    out = tmp_path / "out"
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.n_nationkey: (r.n_name, r.qty) for r in spark.read.parquet(str(out)).collect()}
+    want = {r.n_nationkey: r.n_name for r in dim.filter("n_nationkey < 5").collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[3][1] == 30
