@@ -6186,6 +6186,7 @@ def x45_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     only (id, signature) — no text re-read for ingested docs; new
     docs are flagged from the band-bucket joins and the MinHash
     position-match estimator."""
+    from docker_etl_spark.operators._util import spread_for_compute
     from docker_etl_spark.operators.text_dedup import (
         incremental_minhash_dedup,
         minhash_signature,
@@ -6193,12 +6194,16 @@ def x45_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     d = load_table(spark, sf_dir, "documents")
-    store = d.filter(F.col("doc_id") % 2 == 0).filter(
-        F.size(F.split("text", " ")) >= 3
+    # the fixture derives the store from text in-query: spread it (a
+    # production store is pre-partitioned parquet and skips this)
+    store = spread_for_compute(
+        d.filter(F.col("doc_id") % 2 == 0).filter(
+            F.size(F.split("text", " ")) >= 3
+        )
     ).select(
         "doc_id",
         minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").unionByName(
         d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).select(
             (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
