@@ -285,3 +285,28 @@ def canonicalize_url(col: Column | str, strip_prefixes: tuple[str, ...] = ("utm_
             F.lit("")
         ),
     )
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton / Z-order interleave of two non-negative ints (low
+    ``bits`` of each) — the layout key that makes ONE sort cluster
+    TWO dimensions: files written in zorder_key order serve range
+    predicates on either column with few-file reads (min/max stats
+    prune), the standard multi-dimensional data-layout trick Spark's
+    writer lacks natively.
+
+    Pure bit arithmetic (shiftright/&1/shiftleft folds — codegen'd);
+    deterministic in any engine. Use as
+    ``df.repartitionByRange(n, zorder_key(...)).sortWithinPartitions(...)``
+    before the write.
+    """
+    ca = (F.col(a) if isinstance(a, str) else a).cast("bigint")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("bigint")
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out

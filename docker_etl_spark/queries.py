@@ -6323,3 +6323,71 @@ def w10_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill(dense, ["user_id"], "day", ["v"]).select(
         "user_id", "day", F.col("v").alias("v_filled")
     )
+
+
+# ---------------------------------------------------------------------------
+# lo02 — Z-order layout key (functions/scalars.zorder_key): Morton
+# interleave of (customer bucket, order day-of-year), plus the
+# locality evidence — bucketing rows into zorder-contiguous "files"
+# and counting how many distinct day values land in each (clustered
+# layouts put few per file, so day-range predicates prune). All
+# integer arithmetic; the oracle replays the interleave with the
+# same shifts.
+# ---------------------------------------------------------------------------
+
+_LO02_BITS = 9
+_LO02_ZEXPR = " + ".join(
+    f"(((ck >> {i}) & 1) << {2 * i}) + (((dy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_LO02_BITS)
+)
+
+_LO02_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 512 AS BIGINT) AS ck,
+         CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS dy
+  FROM orders
+),
+z AS (SELECT o_orderkey, ck, dy, CAST({_LO02_ZEXPR} AS BIGINT) AS zkey FROM base),
+filed AS (
+  SELECT *, CAST((ROW_NUMBER() OVER (ORDER BY zkey, o_orderkey) - 1) // 1000 AS BIGINT)
+            AS file_id
+  FROM z
+)
+SELECT file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT dy) AS BIGINT) AS distinct_days,
+       CAST(MIN(zkey) AS BIGINT) AS z_lo,
+       CAST(MAX(zkey) AS BIGINT) AS z_hi
+FROM filed GROUP BY file_id
+"""
+
+
+@register("lo02_zorder_layout", oracle=_LO02_ORACLE)
+def lo02_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order the orders table on (customer bucket, day-of-year) and
+    census the resulting 1000-row "files": low distinct_days per file
+    is the pruning win a min/max-stats reader gets on day-range
+    predicates after a single zorder sort. (The census's global
+    row_number is fixture-only bookkeeping; the production layout
+    path is ``repartitionByRange(n, zkey)`` + sortWithinPartitions —
+    fully distributed.)"""
+    from docker_etl_spark.functions.scalars import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 512).cast("bigint").alias("ck"),
+        F.dayofyear(F.col("o_orderdate").cast("date")).cast("bigint").alias("dy"),
+    )
+    z = base.withColumn("zkey", zorder_key("ck", "dy", bits=_LO02_BITS))
+    w = Window.orderBy("zkey", "o_orderkey")
+    filed = z.withColumn(
+        "file_id", ((F.row_number().over(w) - 1) / 1000).cast("bigint")
+    )
+    return filed.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("dy").cast("bigint").alias("distinct_days"),
+        F.min("zkey").cast("bigint").alias("z_lo"),
+        F.max("zkey").cast("bigint").alias("z_hi"),
+    )

@@ -531,3 +531,27 @@ def test_streaming_cdc_merge_via_foreach_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.v for r in spark.read.parquet(snap_path).collect()}
     assert got == {1: "a2", 3: "c"}
+
+
+def test_zorder_key_clusters_both_dimensions(spark):
+    """Locality evidence: bucketing rows by zorder rank must put
+    FEWER distinct y values per bucket than bucketing by x alone —
+    the multi-dimensional clustering the key exists for."""
+    from docker_etl_spark.functions.scalars import zorder_key
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = df.withColumn("z", zorder_key("x", "y", bits=5))
+    from pyspark.sql import Window
+
+    def avg_distinct_y(order_cols):
+        w = Window.orderBy(*order_cols)
+        filed = z.withColumn(
+            "f", ((F.row_number().over(w) - 1) / 64).cast("bigint")
+        )
+        per = filed.groupBy("f").agg(F.count_distinct("y").alias("d"))
+        return per.agg(F.avg("d")).collect()[0][0]
+
+    assert avg_distinct_y(["z"]) < avg_distinct_y(["x", "y"]) / 2
+    # interleave is a bijection on the 10-bit grid
+    assert z.select("z").distinct().count() == 32 * 32
