@@ -210,3 +210,32 @@ def expectation_report(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def expect_freshness(
+    df: DataFrame, ts_col: str, as_of: str, max_lag_hours: int
+) -> DataFrame:
+    """Freshness check (dbt source freshness): the newest event must
+    be within ``max_lag_hours`` of ``as_of`` (an explicit timestamp —
+    never wall-clock, so runs are reproducible). Violations = 0 or 1
+    (the table is stale or it isn't); lag rides in the target label
+    for the report reader."""
+    agg = df.agg(F.max(F.col(ts_col)).alias("mx"))
+    lag_h = (
+        F.timestamp_diff(
+            "SECOND", F.col("mx"), F.lit(as_of).cast("timestamp_ntz")
+        ).cast("double")
+        / 3600.0
+    )
+    return agg.select(
+        F.lit("freshness").alias("check"),
+        F.concat(F.lit(ts_col), F.lit("<="), F.lit(str(max_lag_hours)), F.lit("h")).alias(
+            "target"
+        ),
+        F.when(
+            F.col("mx").isNull() | (lag_h > max_lag_hours), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )

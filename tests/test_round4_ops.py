@@ -555,3 +555,27 @@ def test_zorder_key_clusters_both_dimensions(spark):
     assert avg_distinct_y(["z"]) < avg_distinct_y(["x", "y"]) / 2
     # interleave is a bijection on the 10-bit grid
     assert z.select("z").distinct().count() == 32 * 32
+
+
+def test_expect_freshness(spark):
+    from docker_etl_spark.operators.profiling import (
+        expect_freshness,
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-10 00:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    fresh = expectation_report(
+        [expect_freshness(df, "ts", "2024-01-10 06:00:00", max_lag_hours=12)]
+    ).collect()[0]
+    assert fresh.passed and fresh.n_violations == 0
+    stale = expectation_report(
+        [expect_freshness(df, "ts", "2024-01-11 00:00:00", max_lag_hours=12)]
+    ).collect()[0]
+    assert not stale.passed and stale.n_violations == 1
+    empty = spark.createDataFrame([], "ts timestamp_ntz")
+    missing = expectation_report(
+        [expect_freshness(empty, "ts", "2024-01-11 00:00:00", 12)]
+    ).collect()[0]
+    assert not missing.passed  # no data at all is the stalest state
