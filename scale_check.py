@@ -32,6 +32,9 @@ KERNELS = [
     "x20_dedup_clusters",
     "x23_kmeans_ivf_train",
     "x33_dedup_keep_best",
+    "x37_semantic_dedup",
+    "x41_dedup_clusters_twophase",
+    "x45_incremental_minhash_dedup",
 ]
 
 
