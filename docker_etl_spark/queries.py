@@ -6029,17 +6029,23 @@ def fi01_frequent_items_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Driver actions here are BOUNDED by contract (the library-collect
     allowlist class, like the k-means centroid pull): freqItems
-    returns one row with <= 1/support items, and count() a scalar —
-    never corpus rows."""
+    returns ONE row with <= 1/support items — and it is the single
+    extra action this builder runs. The support threshold folds into
+    the same aggregate via an unbounded window over the already
+    grouped (|event_type|-sized) frame, so `events` is scanned
+    exactly once when the returned plan executes."""
     ev = load_table(spark, sf_dir, "events")
     sketch = set(
         ev.stat.freqItems(["event_type"], support=0.15).collect()[0][0]
     )
-    total = ev.count()
+    grouped = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    total = F.sum("n_events").over(Window.partitionBy())
     exact = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").cast("bigint").alias("n_events"))
-        .filter(F.col("n_events") > total * 0.15)
+        grouped.withColumn("_total", total)
+        .filter(F.col("n_events") > F.col("_total") * 0.15)
+        .drop("_total")
     )
     in_sketch = F.col("event_type").isin(*sorted(sketch)) if sketch else F.lit(False)
     return exact.select("event_type", "n_events", in_sketch.alias("in_sketch"))
@@ -6300,20 +6306,19 @@ def w10_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify sparse per-user daily totals over the full date spine,
     then forward-fill gaps — one cross of (users x spine) via a
     broadcast spine, one left join, one window per key. Leading
-    NULLs stay NULL (no earlier observation). The bounds pull is a
-    single 2-scalar driver action (min/max day — the bounded
-    library-collect class), which parameterizes the literal-folded
-    spine."""
-    from docker_etl_spark.operators.joins import date_spine
+    NULLs stay NULL (no earlier observation). The spine bounds come
+    from an in-plan 1-row aggregate exploded through ``sequence`` —
+    ZERO driver actions in this builder; Spark evaluates the bounds
+    inside the same job that runs the query."""
     from docker_etl_spark.operators.windows import forward_fill
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(_dbl(F.sum(_dec("value"))).alias("v"))
-    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
-    spine = date_spine(spark, str(lo), str(hi)).select(
-        F.col("spine_date").cast("date").alias("day")
+    bounds = daily.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day")
     )
     users = daily.select("user_id").distinct()
     dense = (
