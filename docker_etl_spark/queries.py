@@ -5727,18 +5727,33 @@ SELECT 'references', 'o_custkey',
         WHERE o.o_custkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'freshness', 'ts<=24h',
+       CAST(CASE WHEN MAX(ts) IS NULL
+                  OR date_diff('second', MAX(ts),
+                               TIMESTAMP '2100-01-01 00:00:00') / 3600.0 > 24
+                 THEN 1 ELSE 0 END AS BIGINT),
+       CASE WHEN MAX(ts) IS NULL
+             OR date_diff('second', MAX(ts),
+                          TIMESTAMP '2100-01-01 00:00:00') / 3600.0 > 24
+            THEN 1 ELSE 0 END = 0
+FROM events
 """
 
 
 @register("e01_expectations_report", oracle=_E01_ORACLE)
 def e01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract admission gate over the fixture warehouse: the
-    dbt-style check quartet as one report. Scale: not_null checks
-    share one scan; unique is one groupBy; references is a
-    (broadcastable) anti-join — no check materializes violating rows,
-    only counts."""
+    dbt-style check quartet plus source freshness as one report.
+    Scale: not_null checks share one scan; unique is one groupBy;
+    references is a (broadcastable) anti-join; freshness is a 1-row
+    max — no check materializes violating rows, only counts. The
+    freshness ``as_of`` is an explicit literal (never wall-clock) so
+    the report is reproducible; the fixture is deliberately stale
+    against it, exercising the failing arm."""
     from docker_etl_spark.operators.profiling import (
         expect_accepted_values,
+        expect_freshness,
         expect_not_null,
         expect_references,
         expect_unique,
@@ -5747,12 +5762,16 @@ def e01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
     return expectation_report(
         [
             expect_not_null(o, ["o_custkey", "o_orderdate"]),
             expect_unique(o, ["o_orderkey"]),
             expect_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
             expect_references(o, "o_custkey", c, "c_custkey"),
+            expect_freshness(
+                ev, "ts", as_of="2100-01-01 00:00:00", max_lag_hours=24
+            ),
         ]
     )
 
