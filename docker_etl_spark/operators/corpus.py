@@ -415,7 +415,8 @@ def strip_boilerplate(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_frequent: bool = True,
+    broadcast_frequent: bool | None = None,
+    frequent_broadcast_limit: int = 500_000,
 ) -> DataFrame:
     """C4-style boilerplate REMOVAL (not just detection): split each
     document into non-overlapping ``chunk_tokens``-token chunks, find
@@ -433,17 +434,22 @@ def strip_boilerplate(
 
     Scale: one explode, then the count-then-anti-join pattern —
     distinct (digest, doc) pairs -> groupBy digest -> frequent set;
-    chunks anti-join that set on the digest. With
-    ``broadcast_frequent=True`` (default) the frequent set is
-    BROADCAST so the anti-join never shuffles the exploded corpus —
-    the right plan when boilerplate is what the threshold targets (a
-    small set of highly repeated strings). But the set's SIZE scales
-    with corpus duplication, not boilerplate: at low ``min_docs`` on
-    a duplicate-heavy corpus every shared chunk qualifies, and the
-    broadcast can exceed the broadcast limit / executor memory. Pass
-    ``broadcast_frequent=False`` there (or after exact dedup has not
-    yet run) to take a shuffled digest-keyed anti-join instead —
-    same result, one extra exchange on the narrow digest column.
+    chunks anti-join that set on the digest. The build side AUTO-
+    DISPATCHES by default (``broadcast_frequent=None``, the
+    :func:`cosine_topk` pattern): the frequent set is
+    localCheckpoint'ed eagerly (its lineage — one distinct + groupBy
+    over the chunked corpus — runs exactly once; the anti-join reads
+    the checkpointed rows), then a bounded ``limit(n+1).count()``
+    probe picks BROADCAST when the set fits
+    ``frequent_broadcast_limit`` digests (~16 B each) and a shuffled
+    digest-keyed anti-join when it doesn't. Broadcast is the right
+    plan when boilerplate is what the threshold targets (a small set
+    of highly repeated strings); but the set's SIZE scales with
+    corpus duplication, not boilerplate — at low ``min_docs`` on a
+    duplicate-heavy corpus every shared chunk qualifies, and a forced
+    broadcast would exceed executor memory. Callers that already know
+    which side of the line they're on pass an explicit True/False to
+    skip the probe (and its eager job) entirely.
     Document reassembly shuffles (id, pos, chunk) once
     (map-side combined since rows for a doc are co-located after the
     broadcast anti-join preserves scan partitioning); sort_array of
@@ -474,6 +480,10 @@ def strip_boilerplate(
         .select("chunk_md5")
     )
 
+    if broadcast_frequent is None:
+        frequent = frequent.localCheckpoint(eager=True)
+        n_freq = frequent.limit(frequent_broadcast_limit + 1).count()
+        broadcast_frequent = n_freq <= frequent_broadcast_limit
     if broadcast_frequent:
         frequent = F.broadcast(frequent)
     kept = chunked.join(frequent, "chunk_md5", "left_anti")

@@ -207,6 +207,35 @@ def test_strip_boilerplate_shuffled_antijoin_matches_broadcast(spark):
     assert "no_broadcast_hash" in opt or "ResolvedHint" not in opt
 
 
+def test_strip_boilerplate_auto_dispatches_build_side(spark):
+    """Default (auto) mode probes the frequent-set size and picks the
+    build-side strategy itself: small set -> broadcast hint in the
+    plan; set past the limit -> shuffled anti-join (no broadcast
+    hint). Results identical either way."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common header text alpha beta one two three"),
+            (2, "common header text alpha beta four five six"),
+            (3, "totally unique content with no shared chunks at all"),
+        ],
+        "doc_id long, text string",
+    )
+    auto_small = strip_boilerplate(docs, chunk_tokens=5)
+    opt = auto_small._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in opt or "broadcast" in opt.lower()
+    phys = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "SortMergeJoin LeftAnti" not in phys
+
+    auto_big = strip_boilerplate(docs, chunk_tokens=5, frequent_broadcast_limit=0)
+    opt_b = auto_big._jdf.queryExecution().optimizedPlan().toString()
+    assert "no_broadcast_hash" in opt_b or "ResolvedHint" not in opt_b
+
+    rows = sorted(map(tuple, auto_small.collect()))
+    assert rows == sorted(map(tuple, auto_big.collect()))
+    explicit = strip_boilerplate(docs, chunk_tokens=5, broadcast_frequent=True)
+    assert rows == sorted(map(tuple, explicit.collect()))
+
+
 def test_replay_partial_changesets_use_seed(spark):
     """Mirrors compute_historic_scores' state semantics
     (metric_changes.py:327-413): change-sets carry only CHANGED
