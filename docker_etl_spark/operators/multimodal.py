@@ -7,13 +7,17 @@ Design for a 100 TB training-data pipeline: media payloads are opaque
 through the driver, batch size bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch.
 
-The actual decode kernels (PIL/ffmpeg/librosa) are NOT present in
-this environment. Each kernel is import-gated: with the library
-available the real implementation runs; without it a clearly-marked
-deterministic fake produces schema-correct output so the Spark-side
-plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
-real and testable. The fakes are labelled in the output
-(``decoder='stub'``), never silently wrong.
+Decode dispatch is PER PAYLOAD, best capability first:
+
+1. PIL, when importable (the production fast path — absent here);
+2. the pure-stdlib PNG codec (:mod:`docker_etl_spark.operators._png`,
+   zlib + struct) for payloads carrying the PNG signature — a REAL
+   pixel decode with no dependency, so the kernel is
+   capability-tested in this container;
+3. a clearly-marked deterministic fake (``decoder='stub'``,
+   sha256-derived) for everything else, keeping the Spark-side
+   plumbing (schema, partitioning, UDF signature, Arrow batch shape)
+   exercised on arbitrary bytes — never silently wrong.
 """
 
 from __future__ import annotations
@@ -26,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from docker_etl_spark.operators import _png
 
 try:  # pragma: no cover - optional dependency
     from PIL import Image  # type: ignore  # noqa: F401
@@ -43,11 +49,35 @@ MEDIA_SCHEMA = (
 
 def _stub_pixel_stats(payload: bytes, width: int, height: int) -> tuple[float, str]:
     """Deterministic fake 'decode': derives a pseudo mean-luminance
-    from a digest of the bytes. Stands in for a real decoder so the
-    dataflow stays testable; replace via HAVE_PIL branch."""
+    from a digest of the bytes. Stands in for a real decoder on
+    payloads no available codec understands."""
     digest = hashlib.sha256(payload or b"").digest()
     mean_luma = int.from_bytes(digest[:4], "big") / 2**32 * 255.0
     return mean_luma, "stub"
+
+
+def _pixel_stats(payload: bytes, width: int, height: int) -> tuple[float, str]:
+    """Best-capability decode of one payload → (mean_luma, decoder).
+
+    PIL first (any format it knows), then the stdlib PNG codec, then
+    the digest stub. Per-payload dispatch means a mixed media table
+    (some real PNGs, some opaque blobs) decodes what it can and
+    labels the rest — no all-or-nothing import gate."""
+    b = payload or b""
+    if HAVE_PIL:  # pragma: no cover - not in this environment
+        import io
+
+        try:
+            img = Image.open(io.BytesIO(b)).convert("L")
+            return float(np.asarray(img, dtype=np.float64).mean()), "pil"
+        except Exception:
+            pass
+    if b[:8] == _png.PNG_MAGIC:
+        try:
+            return _png.mean_luma(_png.decode_png(b)), "png-stdlib"
+        except _png.PngFormatError:
+            pass
+    return _stub_pixel_stats(b, width, height)
 
 
 def decode_image_features(
@@ -70,12 +100,8 @@ def decode_image_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = pdf[meta_col]
-            if HAVE_PIL:  # pragma: no cover - not in this environment
-                raise NotImplementedError(
-                    "real PIL decode path: Image.open(BytesIO(b)) per row"
-                )
             stats = [
-                _stub_pixel_stats(
+                _pixel_stats(
                     b, m["width"] if m is not None else 0, m["height"] if m is not None else 0
                 )
                 for b, m in zip(pdf[content_col], metas)
@@ -97,26 +123,51 @@ def resize_images(
 ) -> DataFrame:
     """Resize payloads to (target_w, target_h).
 
-    Stub path: payload passes through unchanged but metadata is
-    rewritten to the target dimensions and the row tagged
-    resized_by='stub' — the transform contract (schema, 1:1 rows) is
-    the real one.
+    PNG payloads are REALLY resized (stdlib decode → nearest-neighbor
+    index map → stdlib re-encode, ``resized_by='png-stdlib'``; PIL
+    when importable). Other payloads pass through unchanged with
+    metadata rewritten to the target dimensions and the row tagged
+    ``resized_by='stub'`` — the transform contract (schema, 1:1 rows)
+    is the real one either way.
     """
     out_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", resized_by string"
     in_cols = df.columns
 
+    def _resize_one(b: bytes) -> tuple[bytes, str]:
+        b = b or b""
+        if HAVE_PIL:  # pragma: no cover - not in this environment
+            import io
+
+            try:
+                img = Image.open(io.BytesIO(b)).resize((target_w, target_h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue(), "pil"
+            except Exception:
+                pass
+        if b[:8] == _png.PNG_MAGIC:
+            try:
+                arr = _png.decode_png(b)
+                h, w = arr.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                return _png.encode_png(arr[ys][:, xs]), "png-stdlib"
+            except _png.PngFormatError:
+                pass
+        return b, "stub"
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real PIL resize path")
+            resized = [_resize_one(b) for b in pdf[content_col]]
             out = pdf.copy()
+            out[content_col] = [r[0] for r in resized]
             out[meta_col] = [
                 None
                 if m is None
                 else {**m, "width": target_w, "height": target_h}
                 for m in pdf[meta_col]
             ]
-            out["resized_by"] = "stub"
+            out["resized_by"] = [r[1] for r in resized]
             yield out[in_cols + ["resized_by"]]
 
     return df.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,142 @@
+"""Round-5 operator tests: stdlib PNG codec capability (the decode
+seam exercised on real pixels with no image library), plus the other
+round-5 additions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docker_etl_spark.operators import _png
+
+
+def _test_image(h: int = 8, w: int = 6, c: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------
+# Pure codec unit tests (no Spark)
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_colortypes(filter_type, channels):
+    img = _test_image(c=channels)
+    data = _png.encode_png(img, filter_type=filter_type)
+    assert data[:8] == _png.PNG_MAGIC
+    back = _png.decode_png(data)
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+def test_png_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(_png.PngFormatError):
+        _png.decode_png(b"not a png at all")
+    # 16-bit depth header must be rejected, not mis-decoded
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(_png.PngFormatError):
+        _png.decode_png(_png.PNG_MAGIC + chunk)
+
+
+def test_png_mean_luma_rec601():
+    # pure red 2x2 RGB: luma = 255 * 0.299
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    assert _png.mean_luma(red) == pytest.approx(255 * 0.299)
+    gray = np.full((3, 3), 7, dtype=np.uint8)
+    assert _png.mean_luma(gray) == 7.0
+
+
+# ---------------------------------------------------------------------
+# Capability tests through the Spark kernels (run in THIS container —
+# the non-PIL siblings of test_multimodal_decode_capability_if_pil_present)
+# ---------------------------------------------------------------------
+
+
+def _media_row(mid: int, payload: bytes, w: int = 0, h: int = 0):
+    return (
+        mid,
+        bytearray(payload),
+        {"kind": "image", "width": w, "height": h, "n_frames": 1, "sample_rate": 0},
+    )
+
+
+_MEDIA_DDL = (
+    "media_id bigint, content binary, "
+    "meta struct<kind string, width int, height int, n_frames int, sample_rate int>"
+)
+
+
+def test_decode_image_features_real_png_capability(spark):
+    """A real PNG payload must come back decoded by the stdlib codec
+    with the EXACT Rec.601 mean luminance — while an opaque payload in
+    the same table takes the labelled stub path (per-payload
+    dispatch, no all-or-nothing gate)."""
+    from docker_etl_spark.operators.multimodal import decode_image_features
+
+    img = _test_image(5, 4, 3)
+    df = spark.createDataFrame(
+        [
+            _media_row(1, _png.encode_png(img, filter_type=4), 4, 5),
+            _media_row(2, b"opaque bytes, no codec"),
+        ],
+        _MEDIA_DDL,
+    )
+    rows = {r.media_id: r for r in decode_image_features(df).collect()}
+    if rows[1].decoder == "pil":  # pragma: no cover - PIL present
+        pytest.skip("PIL took the fast path; stdlib arm covered elsewhere")
+    assert rows[1].decoder == "png-stdlib"
+    assert rows[1].mean_luma == pytest.approx(_png.mean_luma(img))
+    assert rows[2].decoder == "stub"
+
+
+def test_resize_images_real_png_capability(spark):
+    """PNG payloads are really resized: output bytes re-decode to the
+    target shape with nearest-neighbor-sampled pixels; opaque payloads
+    pass through byte-identical as 'stub'."""
+    from docker_etl_spark.operators.multimodal import resize_images
+
+    img = _test_image(8, 6, 3)
+    blob = b"not an image"
+    df = spark.createDataFrame(
+        [_media_row(1, _png.encode_png(img), 6, 8), _media_row(2, blob)],
+        _MEDIA_DDL,
+    )
+    rows = {r.media_id: r for r in resize_images(df, 3, 4).collect()}
+    if rows[1].resized_by == "pil":  # pragma: no cover
+        pytest.skip("PIL took the fast path")
+    assert rows[1].resized_by == "png-stdlib"
+    out = _png.decode_png(bytes(rows[1].content))
+    assert out.shape == (4, 3, 3)
+    ys, xs = (np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3
+    assert np.array_equal(out, img[ys][:, xs])
+    assert rows[1].meta["width"] == 3 and rows[1].meta["height"] == 4
+    assert rows[2].resized_by == "stub" and bytes(rows[2].content) == blob
+
+
+def test_m01_stub_path_unchanged_by_codec(spark, sf_dir):
+    """The documents-derived media table carries utf-8 text payloads —
+    no PNG signature — so m01's sha256 stub oracle must keep matching
+    after the codec landed (every row still tagged 'stub')."""
+    from docker_etl_spark.operators.multimodal import (
+        decode_image_features,
+        media_table_from_documents,
+    )
+    from docker_etl_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_image_features(media_table_from_documents(d))
+    tags = {r.decoder for r in out.select("decoder").distinct().collect()}
+    assert tags == {"stub"}
