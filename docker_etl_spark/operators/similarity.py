@@ -643,6 +643,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     quant_scale: int = 1000,
     salt_buckets: int = 8,
+    max_cluster_size: int | None = 100_000,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster embeddings with the integer-exact
@@ -664,9 +666,19 @@ def semantic_dedup(
     Cluster sizes bound the quadratic term: pick k ~ corpus_size /
     target_cluster_size (SemDeDup uses tens of thousands of clusters
     at web scale; the per-round training cost is k·dim-bounded, see
-    ``kmeans_fit_quantized``). Skewed (oversized) clusters are the
-    known failure mode — cap them upstream or sub-bucket with
-    ``embedding_near_duplicates``' sign-LSH within the big cells.
+    ``kmeans_fit_quantized``). Skewed (oversized) clusters — the
+    known failure mode — are handled AUTOMATICALLY: any cluster whose
+    population exceeds ``max_cluster_size`` is sub-bucketed by
+    sign-LSH inside the cell (plane count sized so the expected
+    bucket ≈ the cap; one k-row size probe, the bounded
+    library-collect class), and pairs form only within
+    (cluster, sub-bucket). The giant cell's pairwise cost drops from
+    |cluster|² to ~|cluster|²/2^planes — back inside the linear
+    envelope — at the price of SemDeDup's usual approximation
+    (near-twins split across buckets are kept; EXACT twins always
+    share every sign bit, so true duplicates are never missed).
+    Normal-size clusters keep the exact all-pairs semantics;
+    ``max_cluster_size=None`` disables probe and sub-bucketing.
 
     ``salt_buckets``: when k is far below the cluster's core count
     (small coarse quantizers), the pair join has only k distinct
@@ -678,12 +690,32 @@ def semantic_dedup(
 
     Returns (cluster_id, n_members, n_dropped, survivor_id_sum).
     """
-    assigned, _ = kmeans_assign_quantized(
+    assigned, centroids = kmeans_assign_quantized(
         df, vec_col, id_col, k, iterations, quant_scale
     )
+    sub = F.lit(0).cast("bigint")
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("__cluster").agg(
+            F.count("*").alias("n")
+        ).collect()  # k rows — bounded library-collect class
+        oversized = {
+            int(r["__cluster"]): int(r["n"])
+            for r in sizes
+            if int(r["n"]) > max_cluster_size
+        }
+        if oversized:
+            n_planes = max(
+                1,
+                math.ceil(math.log2(max(oversized.values()) / max_cluster_size)),
+            )
+            planes = random_hyperplanes(len(centroids[0]), n_planes, lsh_seed)
+            bkt = signlsh_bucket(F.col("__vq"), planes, exact_int=True)
+            sub = F.when(
+                F.col("__cluster").isin(*sorted(oversized)), bkt
+            ).otherwise(F.lit(0)).cast("bigint")
     norm = dot_int(F.col("__vq"), F.col("__vq"))
     vecs = assigned.select(
-        "__cluster", "__id", "__vq", norm.alias("__n")
+        "__cluster", "__id", "__vq", norm.alias("__n"), sub.alias("__sub")
     ).filter(F.col("__n") > 0)
     # EXPLICIT numbered repartition on the join keys: the per-pair
     # cosine is CPU-heavy (interpreted HOF dot) on a tiny-by-bytes
@@ -694,7 +726,7 @@ def semantic_dedup(
     par = df.sparkSession.sparkContext.defaultParallelism
     a = (
         vecs.withColumn("__salt", F.pmod(F.col("__id"), F.lit(salt_buckets)))
-        .repartition(par, "__cluster", "__salt")
+        .repartition(par, "__cluster", "__sub", "__salt")
         .alias("a")
     )
     b = (
@@ -704,12 +736,13 @@ def semantic_dedup(
                 F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")
             ),
         )
-        .repartition(par, "__cluster", "__salt")
+        .repartition(par, "__cluster", "__sub", "__salt")
         .alias("b")
     )
     pairs = a.join(
         b,
         (F.col("a.__cluster") == F.col("b.__cluster"))
+        & (F.col("a.__sub") == F.col("b.__sub"))
         & (F.col("a.__salt") == F.col("b.__salt"))
         & (F.col("a.__id") < F.col("b.__id")),
     )

@@ -140,3 +140,73 @@ def test_m01_stub_path_unchanged_by_codec(spark, sf_dir):
     out = decode_image_features(media_table_from_documents(d))
     tags = {r.decoder for r in out.select("decoder").distinct().collect()}
     assert tags == {"stub"}
+
+
+# ---------------------------------------------------------------------
+# semantic_dedup oversized-cluster auto-sub-bucket
+# ---------------------------------------------------------------------
+
+
+def _skewed_embeddings(spark, n_big: int = 60, n_small: int = 5):
+    """One giant cluster around e0 (with planted exact twins) and a
+    small one around e1."""
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = []
+    for i in range(n_big):
+        base = [1.0, 0.0, 0.0, 0.0]
+        jitter = [x + rng.uniform(-0.05, 0.05) for x in base]
+        rows.append((i, jitter))
+    # exact twins of ids 0..4 at high ids
+    for j in range(5):
+        rows.append((1000 + j, rows[j][1]))
+    for i in range(n_small):
+        rows.append((2000 + i, [0.0, 1.0, 0.0, rng.uniform(-0.05, 0.05)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_auto_subbuckets_giant_cluster(spark):
+    """With a cap far below the giant cluster's size the sub-bucketing
+    must engage (sign-LSH inside the cell) while keeping the contract:
+    exact twins share every sign bit, so they are STILL dropped; the
+    approximation only ever keeps more than the exact pass."""
+    from docker_etl_spark.operators.similarity import semantic_dedup
+
+    df = _skewed_embeddings(spark)
+    exact = {
+        r.cluster_id: r
+        for r in semantic_dedup(
+            df, k=2, threshold=0.999, max_cluster_size=None
+        ).collect()
+    }
+    sub = {
+        r.cluster_id: r
+        for r in semantic_dedup(
+            df, k=2, threshold=0.999, max_cluster_size=16
+        ).collect()
+    }
+    assert set(sub) == set(exact)
+    for cid in exact:
+        assert sub[cid].n_members == exact[cid].n_members
+        # approximation is one-sided: never drops more than exact
+        assert sub[cid].n_dropped <= exact[cid].n_dropped
+        assert sub[cid].survivor_id_sum >= exact[cid].survivor_id_sum
+    # the planted exact twins are dropped even under sub-bucketing
+    assert sum(r.n_dropped for r in sub.values()) >= 5
+
+
+def test_semantic_dedup_default_cap_is_inert_on_small_clusters(spark):
+    """x37-unchanged guarantee: with every cluster under the default
+    cap, auto mode returns bit-identical results to cap=None."""
+    from docker_etl_spark.operators.similarity import semantic_dedup
+
+    df = _skewed_embeddings(spark, n_big=20, n_small=5)
+    auto = sorted(map(tuple, semantic_dedup(df, k=2, threshold=0.97).collect()))
+    off = sorted(
+        map(
+            tuple,
+            semantic_dedup(df, k=2, threshold=0.97, max_cluster_size=None).collect(),
+        )
+    )
+    assert auto == off
