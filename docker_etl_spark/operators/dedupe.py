@@ -297,12 +297,34 @@ def _connected_components_two_phase(
     return labels.unionByName(roots).unionByName(singletons).distinct()
 
 
+def write_digest_store(
+    store: DataFrame,
+    path: str,
+    digest_col: str = "content_md5",
+    prefix_chars: int = 2,
+) -> None:
+    """Persist a content-digest store in its 100 TB layout:
+    ``partitionBy`` on the digest's first ``prefix_chars`` hex chars
+    (256 directories at the default). An ingest batch touches only
+    the prefixes its own digests hash into, so the batch anti-join
+    scans a bounded slice of a store holding billions of digests —
+    the reference's incremental-aggregate pattern
+    (etl/user_reports_aggregate.py:17-53) applied to the dedup
+    ledger. md5 is uniform, so partitions stay balanced by
+    construction."""
+    out = store.withColumn(
+        "digest_prefix", F.substring(F.col(digest_col), 1, prefix_chars)
+    )
+    out.write.mode("overwrite").partitionBy("digest_prefix").parquet(path)
+
+
 def incremental_content_dedup(
     new_docs: DataFrame,
     store: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     digest_col: str = "content_md5",
+    prefix_chars: int = 2,
 ) -> DataFrame:
     """Dedup an incoming batch against the corpus already ingested —
     the continuous-corpus-build form of exact dedup (reference
@@ -320,6 +342,18 @@ def incremental_content_dedup(
     Shuffles: one window on digest + one anti-join on digest. The
     anti-join build side is the digest store — broadcast when small,
     hash-partitioned when not; never text-to-text comparison.
+
+    PARTITIONED-STORE FAST PATH: when ``store`` carries a
+    ``digest_prefix`` column (the :func:`write_digest_store` layout),
+    the batch's distinct prefixes — at most ``16^prefix_chars``
+    values, collected as one bounded driver action on the (small by
+    definition) checkpointed batch — are pushed as a static IN
+    predicate on the store's partition column, so the scan reads only
+    the matching directories (plan-pinned in
+    ``tests/test_physical_plans.py::test_digest_store_partition_pruning``).
+    The store probe then runs large-side-probe/small-side-build: the
+    pruned store is semi-joined against the broadcast batch digests,
+    and only those (bounded) matches feed the final anti-join.
     """
     d = new_docs.withColumn(digest_col, F.md5(F.col(text_col)))
     w = Window.partitionBy(digest_col).orderBy(id_col)
@@ -328,6 +362,23 @@ def incremental_content_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if "digest_prefix" in store.columns:
+        batch_unique = batch_unique.localCheckpoint(eager=True)
+        prefixes = sorted(
+            r[0]
+            for r in batch_unique.select(
+                F.substring(F.col(digest_col), 1, prefix_chars).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        pruned = store.filter(F.col("digest_prefix").isin(prefixes))
+        matches = pruned.join(
+            F.broadcast(batch_unique.select(digest_col).distinct()),
+            digest_col,
+            "left_semi",
+        ).select(digest_col)
+        return batch_unique.join(matches, digest_col, "left_anti")
     seen = store.select(
         F.md5(F.col(text_col)).alias(digest_col)
         if digest_col not in store.columns

@@ -523,6 +523,40 @@ def signature_match_fraction(a: Column, b: Column, num_perm: int) -> Column:
     return matches.cast("double") / F.lit(float(num_perm))
 
 
+def write_signature_store(
+    sigs: DataFrame,
+    path: str,
+    bands: int,
+    num_perm: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> None:
+    """Persist a MinHash signature store in its 100 TB layout:
+    band-EXPLODED (one row per (band, bkey, id, sig)) and
+    ``partitionBy("band")``. Exploding at write time means ingest
+    batches never re-derive band keys for already-seen documents, and
+    the band partition column is what lets a band-subset probe
+    (staged screening — see ``probe_bands``) prune the scan to the
+    matching directories instead of reading the whole store.
+    """
+    rows_per_band = num_perm // bands
+    exploded = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            signature_band_keys(F.col(sig_col), bands, rows_per_band)
+        ).alias("bk"),
+    ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    exploded.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def load_signature_store(spark, path: str) -> DataFrame:
+    """Read a :func:`write_signature_store` layout back. The returned
+    frame is already band-exploded — pass it to
+    :func:`incremental_minhash_dedup` with ``store_exploded=True``."""
+    return spark.read.parquet(path)
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     signature_store: DataFrame,
@@ -534,6 +568,8 @@ def incremental_minhash_dedup(
     bands: int = 3,
     est_threshold: float = 0.5,
     hash_fn: str = "md5",
+    store_exploded: bool = False,
+    probe_bands: list[int] | None = None,
 ) -> DataFrame:
     """Near-dup dedup of an incoming batch against a corpus
     SIGNATURE store — the continuous-corpus-build form of MinHash
@@ -552,9 +588,21 @@ def incremental_minhash_dedup(
     is_dup). Append ``is_dup = false`` rows' signatures to the store.
 
     Scale: signatures computed once per batch doc (lazy barrier);
-    both joins shuffle narrow (band, key) pairs; store side is
-    band-keyed once per batch — at 100 TB keep the store PARTITIONED
-    BY band so the batch join prunes to matching partitions.
+    both joins shuffle narrow (band, key) pairs. At 100 TB keep the
+    store in the :func:`write_signature_store` layout (band-exploded,
+    ``partitionBy("band")``) and pass it with ``store_exploded=True``
+    — the store is then never re-exploded per batch, and a
+    ``probe_bands`` subset (staged screening: cheap 1-band pass
+    first, full-band confirm on its hits only) pushes a static band
+    filter that PRUNES the store scan to the matching partition
+    directories (plan-pinned in
+    ``tests/test_physical_plans.py::test_signature_store_partition_pruning``).
+
+    ``store_exploded``: the store frame already has columns
+    (id, sig, band, bkey) — :func:`load_signature_store` output —
+    instead of one (id, sig) row per document.
+    ``probe_bands``: restrict candidate generation (both store AND
+    batch side) to these band indices; None = all bands.
     """
     rows_per_band = num_perm // bands
     has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
@@ -577,13 +625,27 @@ def incremental_minhash_dedup(
             signature_band_keys(F.col("__sig"), bands, rows_per_band)
         ).alias("bk"),
     ).select("new_id", "new_sig", "bk.band", "bk.bkey")
-    store_b = signature_store.select(
-        F.col(id_col).alias("store_id"),
-        F.col(sig_col).alias("store_sig"),
-        F.explode(
-            signature_band_keys(F.col(sig_col), bands, rows_per_band)
-        ).alias("bk"),
-    ).select("store_id", "store_sig", "bk.band", "bk.bkey")
+    if store_exploded:
+        store_b = signature_store.select(
+            F.col(id_col).alias("store_id"),
+            F.col(sig_col).alias("store_sig"),
+            F.col("band").cast("int").alias("band"),
+            "bkey",
+        )
+    else:
+        store_b = signature_store.select(
+            F.col(id_col).alias("store_id"),
+            F.col(sig_col).alias("store_sig"),
+            F.explode(
+                signature_band_keys(F.col(sig_col), bands, rows_per_band)
+            ).alias("bk"),
+        ).select("store_id", "store_sig", "bk.band", "bk.bkey")
+    if probe_bands is not None:
+        # Static IN filter on the store's PARTITION column — this is
+        # the predicate the partitioned layout exists for: the scan
+        # reads only the probed bands' directories.
+        new_b = new_b.filter(F.col("band").isin(*probe_bands))
+        store_b = store_b.filter(F.col("band").isin(*probe_bands))
 
     est = signature_match_fraction(
         F.col("new_sig"), F.col("other_sig"), num_perm

@@ -191,3 +191,64 @@ def test_mixture_sample_filter_is_map_side(spark, sf_dir):
     so exactly one (the agg shuffle) may appear."""
     plan = formatted(QUERIES["x21_mixture_sample"](spark, sf_dir))
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_digest_store_partition_pruning(spark, sf_dir, tmp_path):
+    """x32's 100 TB layout claim, plan-pinned: against a
+    write_digest_store layout (partitionBy digest_prefix), the batch
+    join must push a static IN on the partition column — the store
+    scan reads only the batch's prefix directories."""
+    from docker_etl_spark.operators.dedupe import (
+        incremental_content_dedup,
+        write_digest_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingested = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "content_md5", F.md5("text")
+    )
+    path = str(tmp_path / "digest_store")
+    write_digest_store(ingested.select("content_md5"), path)
+    store = spark.read.parquet(path)
+    batch = docs.filter(F.col("doc_id") % 20 == 1).limit(8)
+    out = incremental_content_dedup(batch, store)
+    txt = formatted(out)
+    pf_lines = [l for l in txt.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, txt
+    assert any("digest_prefix" in l and " IN " in l for l in pf_lines), pf_lines
+    # and the pruned-path result is still correct: re-delivered
+    # content never survives, genuinely new content does
+    seen_digests = {r[0] for r in ingested.select("content_md5").collect()}
+    for r in out.withColumn("d", F.md5("text")).collect():
+        assert r["d"] not in seen_digests
+
+
+def test_signature_store_partition_pruning(spark, sf_dir, tmp_path):
+    """x45's 100 TB layout claim, plan-pinned: a band-subset probe
+    against the write_signature_store layout (partitionBy band) pushes
+    a static band filter that prunes the store scan."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        load_signature_store,
+        minhash_signature,
+        word_shingles,
+        write_signature_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingested = docs.filter(F.col("doc_id") % 2 == 0).limit(50)
+    sigs = ingested.select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    path = str(tmp_path / "sig_store")
+    write_signature_store(sigs, path, bands=3, num_perm=12)
+    store = load_signature_store(spark, path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(10)
+    out = incremental_minhash_dedup(
+        batch, store, store_exploded=True, probe_bands=[0]
+    )
+    txt = formatted(out)
+    pf_lines = [l for l in txt.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, txt
+    assert any("band" in l and ("IN" in l or "= 0" in l) for l in pf_lines), pf_lines

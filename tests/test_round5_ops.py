@@ -196,6 +196,41 @@ def test_semantic_dedup_auto_subbuckets_giant_cluster(spark):
     assert sum(r.n_dropped for r in sub.values()) >= 5
 
 
+def test_incremental_minhash_exploded_store_matches_plain(spark, sf_dir, tmp_path):
+    """The write_signature_store layout is a pure layout change: with
+    all bands probed, results are bit-identical to handing the
+    operator a plain (id, sig) store."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        load_signature_store,
+        minhash_signature,
+        word_shingles,
+        write_signature_store,
+    )
+    from docker_etl_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingested = docs.filter(F.col("doc_id") % 2 == 0).limit(40)
+    sigs = ingested.select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    path = str(tmp_path / "sig_store")
+    write_signature_store(sigs, path, bands=3, num_perm=12)
+    store = load_signature_store(spark, path)
+    # duplicate one ingested doc into the batch so is_dup fires
+    dup = ingested.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(10).unionByName(dup)
+    a = sorted(
+        map(tuple, incremental_minhash_dedup(batch, store, store_exploded=True).collect())
+    )
+    b = sorted(map(tuple, incremental_minhash_dedup(batch, sigs).collect()))
+    assert a == b
+    assert any(r[3] for r in a)  # the planted duplicate is flagged
+
+
 def test_semantic_dedup_default_cap_is_inert_on_small_clusters(spark):
     """x37-unchanged guarantee: with every cluster under the default
     cap, auto mode returns bit-identical results to cap=None."""
