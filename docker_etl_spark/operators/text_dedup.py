@@ -530,6 +530,7 @@ def write_signature_store(
     num_perm: int,
     id_col: str = "doc_id",
     sig_col: str = "sig",
+    mode: str = "overwrite",
 ) -> None:
     """Persist a MinHash signature store in its 100 TB layout:
     band-EXPLODED (one row per (band, bkey, id, sig)) and
@@ -547,7 +548,7 @@ def write_signature_store(
             signature_band_keys(F.col(sig_col), bands, rows_per_band)
         ).alias("bk"),
     ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    exploded.write.mode("overwrite").partitionBy("band").parquet(path)
+    exploded.write.mode(mode).partitionBy("band").parquet(path)
 
 
 def load_signature_store(spark, path: str) -> DataFrame:

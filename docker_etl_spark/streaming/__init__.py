@@ -5,6 +5,7 @@ from docker_etl_spark.streaming.core import (  # noqa: F401
     drain_available,
     file_stream,
     foreach_batch_with_dead_letter,
+    minhash_dedup_stream,
     streaming_dedupe,
     tumbling_window_agg,
 )

@@ -279,3 +279,88 @@ def corpus_filter_stream(
     return streaming_dedupe(
         prepared, ["content_md5"], ts_col=ts_col, watermark=watermark
     )
+
+
+def minhash_dedup_stream(
+    store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 12,
+    bands: int = 3,
+    est_threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink running the flagship LLM-dedup operator
+    continuously: each micro-batch is near-dup-gated against the
+    CUMULATIVE signature store (every earlier batch), survivors land
+    in ``out_path`` and their signatures append to the store in its
+    partitioned layout — the T3/T4 pattern applied to
+    ``incremental_minhash_dedup`` (a crawl-shard ingestion front that
+    never re-reads or re-shingles ingested text).
+
+    Semantics twin: with batches arriving in id order, the union of
+    per-batch survivors is IDENTICAL to one all-at-once
+    ``incremental_minhash_dedup`` over the whole corpus against an
+    empty store (both compare each doc to exactly the docs before it,
+    with the same estimator and threshold) — pinned by
+    ``tests/test_streaming.py::test_minhash_dedup_stream_matches_batch``.
+
+    State lives in the store parquet, not executor memory: restarts
+    resume from the on-disk signatures, and the watermark problem of
+    unbounded dedup state never arises (T3's eviction concern is
+    traded for the store's O(corpus) disk — the trade the reference's
+    ledger tables make, etl/user_reports_aggregate.py:17-53).
+
+    Wrap with :func:`foreach_batch_with_dead_letter` for T4 capture.
+    """
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        load_signature_store,
+        minhash_signature,
+        word_shingles,
+        write_signature_store,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        try:
+            store = load_signature_store(spark, store_path)
+            exploded = True
+        except Exception:  # first batch: no store yet
+            el = "string" if hash_fn == "md5" else "bigint"
+            store = spark.createDataFrame(
+                [], f"{id_col} long, sig array<{el}>"
+            )
+            exploded = False
+        flags = incremental_minhash_dedup(
+            batch_df,
+            store,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_perm=num_perm,
+            bands=bands,
+            est_threshold=est_threshold,
+            hash_fn=hash_fn,
+            store_exploded=exploded,
+        )
+        survivors = batch_df.join(
+            flags.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_path)
+        has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+        new_sigs = survivors.filter(has).select(
+            F.col(id_col),
+            minhash_signature(
+                word_shingles(text_col, shingle_n), num_perm, hash_fn
+            ).alias("sig"),
+        )
+        write_signature_store(
+            new_sigs, store_path, bands=bands, num_perm=num_perm,
+            id_col=id_col, mode="append",
+        )
+
+    return _sink

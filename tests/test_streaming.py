@@ -200,3 +200,58 @@ def test_stream_static_dim_enrichment(spark, sf_dir, tmp_path):
     want = {r.n_nationkey: r.n_name for r in dim.filter("n_nationkey < 5").collect()}
     assert {k: v[0] for k, v in got.items()} == want
     assert got[3][1] == 30
+
+
+def test_minhash_dedup_stream_matches_batch(spark, tmp_path):
+    """The foreachBatch incremental-minhash composite: micro-batches
+    near-dup-gated against the cumulative on-disk signature store
+    must yield exactly the survivors the one-shot batch operator
+    picks over the whole corpus (both compare each doc against all
+    earlier docs with the same estimator/threshold)."""
+    import time
+
+    from docker_etl_spark.operators.text_dedup import incremental_minhash_dedup
+    from docker_etl_spark.streaming import drain_available, minhash_dedup_stream
+
+    schema = "doc_id bigint, text string"
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    alt = "completely different content about spark shuffles and partition pruning"
+    rows_by_batch = [
+        [(1, base), (2, alt), (3, base + " extra")],          # 3 near-dups 1
+        [(11, base), (12, "unique middle text about nothing much at all here")],
+        [(21, alt + " or so"), (22, base), (23, "short one")],  # <3 shingle words? no: 2 words
+    ]
+    src = str(tmp_path / "mh_src")
+    for b, rows in enumerate(rows_by_batch):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    store_path = str(tmp_path / "mh_store")
+    out_path = str(tmp_path / "mh_out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drain_available(
+        stream,
+        sink=minhash_dedup_stream(store_path, out_path),
+        checkpoint=str(tmp_path / "mh_ckpt"),
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+
+    all_docs = spark.createDataFrame(
+        [r for rows in rows_by_batch for r in rows], schema
+    )
+    empty = spark.createDataFrame([], "doc_id long, sig array<string>")
+    twin = incremental_minhash_dedup(all_docs, empty)
+    want = sorted(r.doc_id for r in twin.filter(~F.col("is_dup")).collect())
+    assert got == want
+    # sanity: dedup actually happened (re-delivered base text dropped)
+    assert 1 in got and 11 not in got and 22 not in got
+    # and the store holds exactly the survivors with enough words to
+    # shingle (doc 23 "short one" has 2 words < shingle_n=3)
+    store_ids = {r.doc_id for r in spark.read.parquet(store_path).collect()}
+    assert store_ids == {d for d in got if d != 23}
