@@ -571,6 +571,7 @@ def incremental_minhash_dedup(
     hash_fn: str = "md5",
     store_exploded: bool = False,
     probe_bands: list[int] | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup dedup of an incoming batch against a corpus
     SIGNATURE store — the continuous-corpus-build form of MinHash
@@ -604,6 +605,16 @@ def incremental_minhash_dedup(
     instead of one (id, sig) row per document.
     ``probe_bands``: restrict candidate generation (both store AND
     batch side) to these band indices; None = all bands.
+    ``max_bucket_size``: the ``lsh_candidate_pairs`` hot-bucket guard
+    applied to the incremental joins — a (band, key) bucket whose
+    combined store+batch population exceeds the cap is dropped from
+    BOTH sides before the equi-joins (one narrow count over the
+    bucket keys; the hot set is tiny by construction and broadcast
+    into anti-joins). Without it one boilerplate bucket of B store
+    docs × b batch docs plans B·b candidate rows — the skew-harness
+    failure mode. Dropped buckets lose recall on exactly the
+    documents that match everything (the standard LSH trade); None
+    disables.
     """
     rows_per_band = num_perm // bands
     has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
@@ -647,6 +658,17 @@ def incremental_minhash_dedup(
         # reads only the probed bands' directories.
         new_b = new_b.filter(F.col("band").isin(*probe_bands))
         store_b = store_b.filter(F.col("band").isin(*probe_bands))
+    if max_bucket_size is not None:
+        hot = (
+            store_b.select("band", "bkey")
+            .unionByName(new_b.select("band", "bkey"))
+            .groupBy("band", "bkey")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bkey")
+        )
+        store_b = store_b.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+        new_b = new_b.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
 
     est = signature_match_fraction(
         F.col("new_sig"), F.col("other_sig"), num_perm
