@@ -43,6 +43,24 @@ def squared_norm(v: Column, exact_int: bool = False) -> Column:
     return (dot_int if exact_int else dot)(v, v)
 
 
+def _norm_prod_double(n1: Column, n2: Column, exact_int: bool) -> Column:
+    """``(n1 * n2)`` as double for a cosine denominator.
+
+    In exact-int mode the product is taken in DECIMAL(38,0): two
+    squared norms can each reach dim·(scale·|x|)², so their int64
+    product overflows past |x| ≈ 3e4/scale at dim 64 — under ANSI
+    mode that fails the whole job (found by skew_check's
+    magnitude-10 fixture). The decimal product is exact to 38 digits
+    and casts to double bit-identically to the long path wherever
+    the long path didn't overflow, so DuckDB oracles (which multiply
+    in int128) keep hash-matching."""
+    if exact_int:
+        return (
+            n1.cast("decimal(38,0)") * n2.cast("decimal(38,0)")
+        ).cast("double")
+    return (n1 * n2).cast("double")
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -99,7 +117,7 @@ def cosine_topk_bruteforce(
     ).filter(F.col("__cn") > 0)
     pairs = F.broadcast(q).crossJoin(c).filter(F.col(query_id) != F.col(corpus_id))
     cos = d(F.col("__qv"), F.col("__cv")).cast("double") / F.sqrt(
-        (F.col("__qn") * F.col("__cn")).cast("double")
+        _norm_prod_double(F.col("__qn"), F.col("__cn"), exact_int)
     )
     scored = pairs.select(query_id, corpus_id, cos.alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
@@ -307,7 +325,7 @@ def cosine_topk_lsh(
     qn = d(F.col("__qv"), F.col("__qv"))
     cn = d(F.col("__cv"), F.col("__cv"))
     cos = d(F.col("__qv"), F.col("__cv")).cast("double") / F.sqrt(
-        (qn * cn).cast("double")
+        _norm_prod_double(qn, cn, exact_int)
     )
     scored = cand.select(query_id, corpus_id, cos.alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
@@ -368,7 +386,7 @@ def ivf_topk(
 
     def nearest_cells(df: DataFrame, idc: str, n_cells: int) -> DataFrame:
         cos = d(F.col(vec_col), F.col("__cent_v")).cast("double") / F.sqrt(
-            (F.col("__n") * F.col("__cent_n")).cast("double")
+            _norm_prod_double(F.col("__n"), F.col("__cent_n"), exact_int)
         )
         scored = df.join(F.broadcast(cent)).select(
             idc, vec_col, "__n", F.col(centroid_id).alias("cell"), cos.alias("__cos")
@@ -391,7 +409,7 @@ def ivf_topk(
         "cell",
     ).filter(F.col(query_id) != F.col(corpus_id))
     cos = d(F.col("__qv"), F.col("__cv")).cast("double") / F.sqrt(
-        (F.col("__qn") * F.col("__cn")).cast("double")
+        _norm_prod_double(F.col("__qn"), F.col("__cn"), exact_int)
     )
     scored = cand.select(query_id, corpus_id, cos.alias("cosine")).dropDuplicates(
         [query_id, corpus_id]
@@ -447,8 +465,10 @@ def embedding_near_duplicates(
     )
     d = dot_int if exact_int else dot
     cos = d(F.col("__va"), F.col("__vb")).cast("double") / F.sqrt(
-        (d(F.col("__va"), F.col("__va")) * d(F.col("__vb"), F.col("__vb"))).cast(
-            "double"
+        _norm_prod_double(
+            d(F.col("__va"), F.col("__va")),
+            d(F.col("__vb"), F.col("__vb")),
+            exact_int,
         )
     )
     return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
@@ -747,7 +767,7 @@ def semantic_dedup(
         & (F.col("a.__id") < F.col("b.__id")),
     )
     cos = dot_int(F.col("a.__vq"), F.col("b.__vq")).cast("double") / F.sqrt(
-        (F.col("a.__n") * F.col("b.__n")).cast("double")
+        _norm_prod_double(F.col("a.__n"), F.col("b.__n"), exact_int=True)
     )
     dropped = (
         pairs.filter(cos >= F.lit(threshold))
@@ -885,7 +905,7 @@ def hard_negative_mining(
         )
     )
     cos = d(F.col("__av"), F.col("__cv")).cast("double") / F.sqrt(
-        (F.col("__an") * F.col("__cn")).cast("double")
+        _norm_prod_double(F.col("__an"), F.col("__cn"), exact_int)
     )
     scored = pairs.select("anchor_id", "negative_id", cos.alias("cosine"))
     w = Window.partitionBy("anchor_id").orderBy(
