@@ -6415,3 +6415,47 @@ def lo02_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").cast("bigint").alias("z_lo"),
         F.max("zkey").cast("bigint").alias("z_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x46 — hashed linear text classifier, fully JVM-side
+# (operators/inference.hashed_linear_scores): the fastText-style
+# hashing-trick quality scorer — token -> md5 bucket -> weight
+# lookup -> exact integer accumulation. The inference fast path that
+# complements i01's Arrow seam: a linear model needs no Python stage
+# at all, so corpus scoring is map-side and shuffle-free.
+# ---------------------------------------------------------------------------
+
+_X46_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, 9),
+           i -> CAST(strpos('0123456789abcdef',
+                            substring(substring(md5(t), 1, 8), i, 1)) - 1
+                     AS BIGINT)
+                * CAST(16 ** (8 - i) AS BIGINT))) % 1024 AS bkt
+  FROM tok
+),
+w AS (SELECT doc_id, ((bkt * 2654435761) % 2001) - 1000 AS wt FROM b)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wt) AS BIGINT) AS score_sum,
+       CAST(SUM(wt) AS DOUBLE) / (1000.0 * COUNT(*)) AS mean_score
+FROM w GROUP BY doc_id
+"""
+
+
+@register("x46_hashed_classifier", oracle=_X46_ORACLE)
+def x46_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear-classifier scores over hashed unigrams
+    (1024 buckets, deterministic stand-in weights): one md5 + one
+    weight lookup per token, exact bigint accumulation, one IEEE
+    division at the edge — zero joins, zero explodes, zero Python."""
+    from docker_etl_spark.operators.inference import hashed_linear_scores
+
+    d = load_docs_spread(spark, sf_dir)
+    return hashed_linear_scores(d, text_col="text", id_cols=("doc_id",))

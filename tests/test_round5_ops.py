@@ -245,3 +245,54 @@ def test_semantic_dedup_default_cap_is_inert_on_small_clusters(spark):
         )
     )
     assert auto == off
+
+
+# ---------------------------------------------------------------------
+# hashed linear classifier (JVM-side inference fast path)
+# ---------------------------------------------------------------------
+
+
+def test_hashed_linear_scores_explicit_weights(spark):
+    """With every bucket weighted 0.5 the score must be exactly
+    0.5/token regardless of which buckets tokens hash into — pins the
+    weight-array literal path and the exact integer accumulation."""
+    from docker_etl_spark.operators.inference import hashed_linear_scores
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_scores(
+            df, n_buckets=64, weights=[0.5] * 64
+        ).collect()
+    }
+    assert out[1].n_tokens == 3 and out[1].score_sum == 1500
+    assert out[1].mean_score == pytest.approx(0.5)
+    assert out[2].n_tokens == 5 and out[2].score_sum == 2500
+
+
+def test_hashed_linear_scores_rejects_bad_weights(spark):
+    from docker_etl_spark.operators.inference import hashed_linear_scores
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hashed_linear_scores(df, n_buckets=8, weights=[1.0] * 9)
+
+
+def test_hashed_classifier_plan_is_map_side(spark, sf_dir):
+    """x46: scoring must add NO exchange beyond the input spread and
+    no Python stage — the whole classifier is one map-side pass."""
+    import contextlib
+    import io
+
+    from docker_etl_spark.queries import QUERIES
+
+    df = QUERIES["x46_hashed_classifier"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    assert txt.count("Exchange") <= 1  # the spread repartition only
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
