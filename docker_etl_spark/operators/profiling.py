@@ -239,3 +239,49 @@ def expect_freshness(
         .cast("bigint")
         .alias("n_violations"),
     )
+
+
+def kanon_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    entity_col: str,
+    min_entities: int,
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate with k-anonymity small-cell suppression — the
+    publish-safety guard every reference dashboard applies implicitly
+    by sampling (graphics_dashboard.sql's 1% + per-client dedup) made
+    explicit: no published row may describe fewer than
+    ``min_entities`` distinct entities. Suppressed groups are NOT
+    dropped — they collapse into one rollup row with NULL keys, so
+    column totals survive suppression (the property auditors check).
+
+    Two passes, both key-grouped: (1) per-group distinct-entity
+    counts + sums; (2) the suppressed groups' rows re-aggregated as
+    one bucket via a key semi-join (exact distinct count across the
+    collapsed groups — summing per-group distincts would overcount
+    entities spanning groups). The semi-join's right side is the
+    small-group key list; Spark broadcasts it when small, shuffles
+    when a pathological key space makes it big.
+
+    Returns keys + (n_entities bigint, sums...); suppressed rollup
+    row appears only when at least one group was suppressed.
+    """
+    sum_cols = list(sum_cols or [])
+    aggs = [F.count_distinct(F.col(entity_col)).cast("bigint").alias("n_entities")] + [
+        F.sum(c).alias(c) for c in sum_cols
+    ]
+    g = df.groupBy(*keys).agg(*aggs)
+    ok = g.filter(F.col("n_entities") >= min_entities)
+    small_keys = g.filter(F.col("n_entities") < min_entities).select(*keys)
+    rollup = (
+        df.join(small_keys, keys, "left_semi")
+        .agg(*aggs)
+        .select(
+            *[F.lit(None).cast(dict(g.dtypes)[k]).alias(k) for k in keys],
+            "n_entities",
+            *sum_cols,
+        )
+        .filter(F.col("n_entities") > 0)
+    )
+    return ok.unionByName(rollup)

@@ -915,3 +915,170 @@ def hard_negative_mining(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def write_vector_store(
+    vecs: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an embedding signature store in its 100 TB layout: one
+    row per (table, bucket, id, quantized vector), ``partitionBy`` on
+    the LSH table index — the embedding twin of
+    ``text_dedup.write_signature_store``. Bucket keys are computed
+    ONCE at write time (ingest batches never re-hash stored vectors),
+    and a table-subset probe (``probe_tables``) prunes the scan to
+    the matching partition directories.
+
+    ``vecs[vec_col]`` must already be int-quantized
+    (floor(x·scale) bigint arrays) so bucketing and any later cosine
+    verification are engine-exact.
+    """
+    keys = signlsh_table_buckets(
+        F.col(vec_col), dim, n_planes, n_tables, seed, exact_int=True
+    )
+    exploded = vecs.select(
+        F.col(id_col), F.col(vec_col), F.explode(keys).alias("tb")
+    ).select(
+        id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
+    exploded.write.mode(mode).partitionBy("tbl").parquet(path)
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    vector_store: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    store_exploded: bool = False,
+    probe_tables: list[int] | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup dedup of an incoming EMBEDDING batch against a vector
+    store — ``text_dedup.incremental_minhash_dedup``'s semantics for
+    the embedding modality (the continuous-corpus-build form of
+    :func:`embedding_near_duplicates`): candidates come from
+    multi-table sign-LSH bucket equi-joins (batch × store and batch ×
+    earlier-in-batch), similarity is the exact-int cosine, and the
+    batch row is a duplicate when its best candidate reaches
+    ``threshold``.
+
+    Returns one row per batch vector: (id, n_candidates, max_cos,
+    is_dup). Append ``is_dup = false`` rows to the store via
+    :func:`write_vector_store` (``mode="append"``).
+
+    Scale: bucket keys shuffle as narrow (tbl, bkt) pairs; with the
+    store in :func:`write_vector_store`'s layout pass
+    ``store_exploded=True`` (no re-hashing) and optionally
+    ``probe_tables`` for staged screening — the static table filter
+    prunes the store scan to matching partitions.
+    ``max_bucket_size`` drops pathological buckets from both sides
+    (the LSH recall trade; the hot set is tiny and broadcast).
+    Zero-norm vectors never pair (cosine undefined).
+    """
+    keys = signlsh_table_buckets(
+        F.col(vec_col), dim, n_planes, n_tables, seed, exact_int=True
+    )
+    nrm = dot_int(F.col(vec_col), F.col(vec_col))
+    new_b = (
+        _spread(new_vecs)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(vec_col).alias("new_vec"),
+            nrm.alias("new_n"),
+            F.explode(keys).alias("tb"),
+        )
+        .filter(F.col("new_n") > 0)
+        .select("new_id", "new_vec", "new_n", "tb.tbl", "tb.bkt")
+    )
+    if store_exploded:
+        store_b = vector_store.select(
+            F.col(id_col).alias("store_id"),
+            F.col(vec_col).alias("store_vec"),
+            nrm.alias("store_n"),
+            F.col("tbl").cast("int").alias("tbl"),
+            "bkt",
+        ).filter(F.col("store_n") > 0)
+    else:
+        store_b = (
+            vector_store.select(
+                F.col(id_col).alias("store_id"),
+                F.col(vec_col).alias("store_vec"),
+                nrm.alias("store_n"),
+                F.explode(keys).alias("tb"),
+            )
+            .filter(F.col("store_n") > 0)
+            .select("store_id", "store_vec", "store_n", "tb.tbl", "tb.bkt")
+        )
+    if probe_tables is not None:
+        new_b = new_b.filter(F.col("tbl").isin(*probe_tables))
+        store_b = store_b.filter(F.col("tbl").isin(*probe_tables))
+    if max_bucket_size is not None:
+        hot = (
+            store_b.select("tbl", "bkt")
+            .unionByName(new_b.select("tbl", "bkt"))
+            .groupBy("tbl", "bkt")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("tbl", "bkt")
+        )
+        store_b = store_b.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
+        new_b = new_b.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
+
+    def cosine(v_other: str, n_other: str) -> Column:
+        return dot_int(F.col("new_vec"), F.col(v_other)).cast("double") / F.sqrt(
+            _norm_prod_double(F.col("new_n"), F.col(n_other), exact_int=True)
+        )
+
+    vs_store = (
+        new_b.join(store_b, ["tbl", "bkt"])
+        .dropDuplicates(["new_id", "store_id"])
+        .select("new_id", cosine("store_vec", "store_n").alias("cos"))
+    )
+    vs_batch = (
+        new_b.alias("a")
+        .join(
+            new_b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.new_id") > F.col("b.new_id")),
+        )
+        .select(
+            F.col("a.new_id").alias("new_id"),
+            F.col("b.new_id").alias("other_id"),
+            F.col("a.new_vec").alias("new_vec"),
+            F.col("a.new_n").alias("new_n"),
+            F.col("b.new_vec").alias("b_vec"),
+            F.col("b.new_n").alias("b_n"),
+        )
+        .dropDuplicates(["new_id", "other_id"])
+        .select("new_id", cosine("b_vec", "b_n").alias("cos"))
+    )
+    cands = vs_store.unionByName(vs_batch)
+    agg = cands.groupBy("new_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.max("cos").alias("max_cos"),
+    )
+    return (
+        new_vecs.select(F.col(id_col))
+        .join(agg.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("max_cos"), F.lit(0.0)).alias("max_cos"),
+            (F.coalesce(F.col("max_cos"), F.lit(0.0)) >= threshold).alias("is_dup"),
+        )
+    )

@@ -6459,3 +6459,163 @@ def x46_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_docs_spread(spark, sf_dir)
     return hashed_linear_scores(d, text_col="text", id_cols=("doc_id",))
+
+
+# ---------------------------------------------------------------------------
+# x47 — incremental embedding dedup vs a vector store
+# (operators/similarity.incremental_embedding_dedup): x45's
+# continuous-corpus-build admission gate for the embedding modality.
+# Store = even vec_ids; batch = odd vec_ids + planted near-copies of
+# even ids < 10 (one component nudged, id + 1_000_001) so the
+# batch-vs-store leg provably fires; batch-internal candidates come
+# from the earlier-id self-join. All int64 until the final division.
+# ---------------------------------------------------------------------------
+
+_X47_THRESHOLD = 0.9
+
+_X47_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(dv, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v
+  FROM base
+),
+store AS (SELECT vec_id, v FROM q WHERE vec_id % 2 = 0),
+newv AS (
+  SELECT vec_id, v FROM q WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 1000001,
+         list_transform(range(1, 65),
+           i -> CAST(FLOOR((dv[i] + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) * 1000)
+                     AS BIGINT))
+  FROM base WHERE vec_id % 2 = 0 AND vec_id < 10
+),
+tabs AS (SELECT unnest(range(0, 2)) AS tbl),
+nb AS (
+  SELECT vec_id, v, tbl, {_signlsh_bucket_case_sql(64, 8, 2, 42)} AS bkt
+  FROM newv, tabs
+),
+sb AS (
+  SELECT vec_id, v, tbl, {_signlsh_bucket_case_sql(64, 8, 2, 42)} AS bkt
+  FROM store, tabs
+),
+cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, s.vec_id AS other_id,
+         n.v AS nv, s.v AS ov
+  FROM nb n JOIN sb s ON n.tbl = s.tbl AND n.bkt = s.bkt
+  UNION
+  SELECT DISTINCT a.vec_id, b.vec_id, a.v, b.v
+  FROM nb a JOIN nb b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id > b.vec_id
+),
+scored AS (
+  SELECT new_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> nv[i] * ov[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(nv, x -> x * x))
+                       * list_sum(list_transform(ov, x -> x * x)) AS DOUBLE)) AS cos
+  FROM cand
+),
+agg AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates, MAX(cos) AS max_cos
+  FROM scored GROUP BY new_id
+)
+SELECT n.vec_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.max_cos, 0.0) AS max_cos,
+       COALESCE(a.max_cos, 0.0) >= {_X47_THRESHOLD} AS is_dup
+FROM (SELECT vec_id FROM newv) n LEFT JOIN agg a ON a.new_id = n.vec_id
+"""
+
+
+@register("x47_incremental_embedding_dedup", oracle=_X47_ORACLE)
+def x47_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-vector-store near-dup admission over embeddings:
+    sign-LSH bucket equi-joins generate candidates (batch x store and
+    batch x earlier-in-batch), the exact-int cosine scores them, and
+    the planted near-copies of stored vectors are flagged. The x45
+    incremental pattern for the embedding modality."""
+    from docker_etl_spark.operators.similarity import incremental_embedding_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", dvec.alias("dv"))
+    quant = F.expr(_QUANTIZE_SQL.format(src="dv"))
+    store = base.filter(F.col("vec_id") % 2 == 0).select("vec_id", quant.alias("vec"))
+    planted = base.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 10)).select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.transform(
+            "dv", lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("dv"),
+    ).select("vec_id", quant.alias("vec"))
+    batch = (
+        base.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", quant.alias("vec"))
+        .unionByName(planted)
+    )
+    return incremental_embedding_dedup(
+        batch, store, dim=64, threshold=_X47_THRESHOLD,
+        n_planes=8, n_tables=2, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pd01 — k-anonymity small-cell suppression
+# (operators/profiling.kanon_aggregate): the publish-safety guard the
+# reference dashboards apply implicitly via sampling + per-client
+# dedup (graphics_dashboard.sql:28-39,164-169), made explicit — no
+# published row describes < 50 distinct users; suppressed cells
+# collapse into one NULL-keyed rollup so totals survive. At sf0.01
+# the fixture splits 112 published / 38 suppressed groups, so both
+# arms are exercised.
+# ---------------------------------------------------------------------------
+
+_PD01_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(dayofmonth(ts) AS INT) AS dom, user_id,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+g AS (
+  SELECT event_type, dom,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities,
+         SUM(v) AS v
+  FROM base GROUP BY 1, 2
+),
+small AS (SELECT event_type, dom FROM g WHERE n_entities < 50),
+roll AS (
+  SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS INT) AS dom,
+         CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_entities,
+         SUM(b.v) AS v
+  FROM base b SEMI JOIN small s
+    ON b.event_type = s.event_type AND b.dom = s.dom
+)
+SELECT event_type, dom, n_entities, CAST(v AS DOUBLE) AS v_sum
+FROM g WHERE n_entities >= 50
+UNION ALL
+SELECT event_type, dom, n_entities, CAST(v AS DOUBLE) AS v_sum
+FROM roll WHERE n_entities > 0
+"""
+
+
+@register("pd01_kanon_publish", oracle=_PD01_ORACLE)
+def pd01_kanon_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day-of-month) user counts + value sums with
+    k=50 small-cell suppression: under-threshold cells fold into one
+    NULL-keyed rollup (exact distinct count across the collapsed
+    cells via a key semi-join — never a sum of per-cell distincts)."""
+    from docker_etl_spark.operators.profiling import kanon_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.dayofmonth("ts").cast("int").alias("dom"),
+        "user_id",
+        _dec("value").alias("v"),
+    )
+    out = kanon_aggregate(base, ["event_type", "dom"], "user_id", 50, ["v"])
+    return out.select(
+        "event_type", "dom", "n_entities", F.col("v").cast("double").alias("v_sum")
+    )

@@ -294,5 +294,120 @@ def test_hashed_classifier_plan_is_map_side(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     txt = buf.getvalue()
-    assert txt.count("Exchange") <= 1  # the spread repartition only
+    import re
+
+    # one Exchange NODE (the spread repartition); formatted() prints
+    # each node once in the tree ("Exchange (2)") and once in details
+    n_exchanges = len(re.findall(r"Exchange \(\d+\)", txt))
+    assert n_exchanges <= 1, txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_incremental_embedding_exploded_store_matches_plain(spark, sf_dir, tmp_path):
+    """write_vector_store layout is a pure layout change: all-tables
+    probe against the partitioned store equals the plain (id, vec)
+    store bit-for-bit, and a planted near-copy is flagged."""
+    from docker_etl_spark.operators.similarity import (
+        incremental_embedding_dedup,
+        write_vector_store,
+    )
+    from docker_etl_spark.sources.io import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    store = em.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", quant.alias("vec")
+    ).limit(60).localCheckpoint(eager=True)
+    dup = store.limit(1).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "vec"
+    )
+    batch = (
+        em.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", quant.alias("vec"))
+        .limit(20)
+        .unionByName(dup)
+    )
+    path = str(tmp_path / "vec_store")
+    write_vector_store(store, path, dim=64, n_planes=8, n_tables=2)
+    loaded = spark.read.parquet(path)
+    a = sorted(
+        map(
+            tuple,
+            incremental_embedding_dedup(
+                batch, loaded, dim=64, store_exploded=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(tuple, incremental_embedding_dedup(batch, store, dim=64).collect())
+    )
+    assert a == b
+    assert any(r[3] for r in a)  # the exact planted copy is flagged
+
+
+def test_vector_store_partition_pruning(spark, sf_dir, tmp_path):
+    """A table-subset probe against the partitioned vector store must
+    push a static filter on the tbl partition column."""
+    import contextlib
+    import io
+
+    from docker_etl_spark.operators.similarity import (
+        incremental_embedding_dedup,
+        write_vector_store,
+    )
+    from docker_etl_spark.sources.io import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    store = em.filter(F.col("vec_id") % 2 == 0).select("vec_id", quant.alias("vec")).limit(40)
+    path = str(tmp_path / "vec_store")
+    write_vector_store(store, path, dim=64, n_planes=8, n_tables=2)
+    loaded = spark.read.parquet(path)
+    batch = em.filter(F.col("vec_id") % 2 == 1).select("vec_id", quant.alias("vec")).limit(10)
+    out = incremental_embedding_dedup(
+        batch, loaded, dim=64, store_exploded=True, probe_tables=[0]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    pf_lines = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    assert pf_lines
+    assert any("tbl" in l and ("IN" in l or "= 0" in l) for l in pf_lines), pf_lines
+
+
+def test_kanon_aggregate_suppresses_and_preserves_totals(spark):
+    """Groups under k collapse into one NULL-keyed rollup; entity
+    counts are exact across collapsed groups (entities spanning
+    groups counted once) and value totals survive suppression."""
+    from docker_etl_spark.operators.profiling import kanon_aggregate
+
+    rows = []
+    # big group: 5 entities
+    for u in range(5):
+        rows.append(("a", u, 10))
+    # two small groups sharing entity 100 across both
+    rows += [("b", 100, 1), ("b", 101, 2), ("c", 100, 4)]
+    df = spark.createDataFrame(rows, "k string, user long, v long")
+    out = kanon_aggregate(df, ["k"], "user", 3, ["v"])
+    got = {r.k: r for r in out.collect()}
+    assert got["a"].n_entities == 5 and got["a"].v == 50
+    assert set(got) == {"a", None}
+    # entity 100 appears in both suppressed groups but counts once
+    assert got[None].n_entities == 2 and got[None].v == 7
+    # totals preserved
+    assert sum(r.v for r in got.values()) == 57
+
+
+def test_kanon_aggregate_no_rollup_row_when_nothing_suppressed(spark):
+    from docker_etl_spark.operators.profiling import kanon_aggregate
+
+    df = spark.createDataFrame(
+        [("a", u, 1) for u in range(4)] + [("b", u, 1) for u in range(4)],
+        "k string, user long, v long",
+    )
+    out = kanon_aggregate(df, ["k"], "user", 3, ["v"]).collect()
+    assert sorted(r.k for r in out) == ["a", "b"]
