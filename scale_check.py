@@ -83,11 +83,20 @@ def build_scaled(spark, out_dir: str, replicas: int) -> None:
     )
 
 
+def force_eval(df) -> None:
+    """Full evaluation via the noop sink — bench.py's method. NEVER
+    time with .count(): Catalyst prunes columns the count doesn't
+    need, which can delete an operator's entire expensive stage
+    (x37's pair-cosine vanished under count() — the round-4 lesson,
+    .claude/skills/verify/SKILL.md)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def time_query(spark, name: str, sf_dir: str, passes: int = 2) -> float:
     best = float("inf")
     for _ in range(passes):
         t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).count()
+        force_eval(QUERIES[name](spark, sf_dir))
         best = min(best, time.monotonic() - t0)
     return best
 
@@ -108,10 +117,12 @@ def time_semantic_capped(spark, sf_dir: str, passes: int = 2) -> float:
     best = float("inf")
     for _ in range(passes):
         t0 = time.monotonic()
-        semantic_dedup(
-            em, vec_col="dv", id_col="vec_id", k=4, iterations=2,
-            threshold=0.9, max_cluster_size=1000,
-        ).count()
+        force_eval(
+            semantic_dedup(
+                em, vec_col="dv", id_col="vec_id", k=4, iterations=2,
+                threshold=0.9, max_cluster_size=1000,
+            )
+        )
         best = min(best, time.monotonic() - t0)
     return best
 
