@@ -665,6 +665,7 @@ def semantic_dedup(
     salt_buckets: int = 8,
     max_cluster_size: int | None = 100_000,
     lsh_seed: int = 42,
+    sub_bucket_planes: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster embeddings with the integer-exact
@@ -724,7 +725,10 @@ def semantic_dedup(
             if int(r["n"]) > max_cluster_size
         }
         if oversized:
-            n_planes = max(
+            # plane count: auto-sized so expected bucket ~= the cap,
+            # or pinned via sub_bucket_planes (differential-oracle
+            # mode — a static SQL replay needs a fixed plane matrix)
+            n_planes = sub_bucket_planes or max(
                 1,
                 math.ceil(math.log2(max(oversized.values()) / max_cluster_size)),
             )

@@ -6619,3 +6619,105 @@ def pd01_kanon_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "dom", "n_entities", F.col("v").cast("double").alias("v_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# x48 — SemDeDup with the oversized-cluster sub-bucketing ENGAGED
+# (operators/similarity.semantic_dedup(max_cluster_size=...,
+# sub_bucket_planes=...)): x37 verifies the inert path; this query
+# drops the cap to 20 so at sf0.01 every cluster is oversized and the
+# in-cell sign-LSH sub-bucketing runs under the differential oracle.
+# The plane count is PINNED (sub_bucket_planes=2) because a static
+# SQL replay needs a fixed plane matrix; production leaves it None
+# (auto-sized from the biggest cluster).
+# ---------------------------------------------------------------------------
+
+
+def _signlsh_bucket_sql_single(dim: int, n_planes: int, seed: int) -> str:
+    """DuckDB fragment for the engine's in-cell sub-bucket: same
+    quantized planes, sign bits ORed into one int (column ``v``)."""
+    from docker_etl_spark.operators.similarity import (
+        quantize_planes,
+        random_hyperplanes,
+    )
+
+    planes = quantize_planes(random_hyperplanes(dim, n_planes, seed))
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> v[i] * ([{','.join(map(str, row))}])[i])) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+
+
+_X48_CAP = 20
+
+_X48_ORACLE = _kmeans_ctes(_X37_SRC) + f""",
+sizes AS (SELECT cid, COUNT(*) AS cn FROM assign2 GROUP BY cid),
+subbed AS (
+  SELECT a.id, a.v, a.cid,
+         CASE WHEN s.cn > {_X48_CAP}
+              THEN {_signlsh_bucket_sql_single(64, 2, 42)}
+              ELSE 0 END AS sb
+  FROM assign2 a JOIN sizes s USING (cid)
+),
+norms AS (
+  SELECT id, v, cid, sb,
+         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS n
+  FROM subbed
+),
+pairs AS (
+  SELECT a.cid, b.id AS id_b
+  FROM norms a JOIN norms b
+    ON a.cid = b.cid AND a.sb = b.sb AND a.id < b.id
+   AND a.n > 0 AND b.n > 0
+  WHERE CAST(list_sum(list_transform(range(1, 65),
+                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / sqrt(CAST(a.n * b.n AS DOUBLE)) >= {_X37_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT cid, id_b AS id FROM pairs)
+SELECT a.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.id IS NULL THEN a.id ELSE 0 END) AS BIGINT)
+           AS survivor_id_sum
+FROM assign2 a LEFT JOIN dropped d ON a.cid = d.cid AND a.id = d.id
+GROUP BY a.cid
+"""
+
+
+@register("x48_semantic_dedup_subbucketed", oracle=_X48_ORACLE)
+def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x37's SemDeDup with the oversized-cluster guard forced on
+    (cap 20, 2 pinned planes): every sf0.01 cluster exceeds the cap,
+    so pairs form only within (cluster, sign-LSH sub-bucket) — the
+    100 TB skew remedy itself running under the hash-matched
+    differential contract, not just unit tests."""
+    from docker_etl_spark.operators.similarity import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", dvec.alias("dv"))
+    planted = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            dvec, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("dv"),
+    )
+    aug = base.unionByName(planted)
+    out = semantic_dedup(
+        aug,
+        vec_col="dv",
+        id_col="vec_id",
+        k=_X23_K,
+        iterations=2,
+        threshold=_X37_THRESHOLD,
+        max_cluster_size=_X48_CAP,
+        sub_bucket_planes=2,
+    )
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "n_dropped",
+        "survivor_id_sum",
+    )

@@ -3,6 +3,7 @@
 from docker_etl_spark.streaming.core import (  # noqa: F401
     corpus_filter_stream,
     drain_available,
+    embedding_dedup_stream,
     file_stream,
     foreach_batch_with_dead_letter,
     minhash_dedup_stream,

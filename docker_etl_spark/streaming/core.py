@@ -364,3 +364,76 @@ def minhash_dedup_stream(
         )
 
     return _sink
+
+
+def embedding_dedup_stream(
+    store_path: str,
+    out_path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    quant_scale: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for continuous EMBEDDING dedup — the
+    modality twin of :func:`minhash_dedup_stream`: each micro-batch
+    of vectors is near-dup-gated against the cumulative vector store
+    (sign-LSH bucket joins + exact-int cosine), survivors land in
+    ``out_path`` and their quantized vectors append to the store in
+    ``write_vector_store``'s partitioned layout. Same state story:
+    on-disk store, no executor-memory dedup state, restart-safe.
+    """
+    from docker_etl_spark.operators.similarity import (
+        incremental_embedding_dedup,
+        write_vector_store,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        quant = F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
+        )
+        batch_q = batch_df.select(F.col(id_col), quant.alias("vec"))
+        try:
+            store = spark.read.parquet(store_path)
+            exploded = True
+        except Exception:  # first batch: no store yet
+            store = spark.createDataFrame(
+                [], f"{id_col} long, vec array<bigint>"
+            )
+            exploded = False
+        flags = incremental_embedding_dedup(
+            batch_q,
+            store,
+            dim=dim,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+            id_col=id_col,
+            vec_col="vec",
+            store_exploded=exploded,
+        )
+        keep = flags.filter(~F.col("is_dup")).select(id_col)
+        survivors = batch_df.join(keep, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("append").parquet(out_path)
+        write_vector_store(
+            survivors.select(F.col(id_col), quant.alias("vec")),
+            store_path,
+            dim=dim,
+            id_col=id_col,
+            vec_col="vec",
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+            mode="append",
+        )
+
+    return _sink

@@ -255,3 +255,59 @@ def test_minhash_dedup_stream_matches_batch(spark, tmp_path):
     # shingle (doc 23 "short one" has 2 words < shingle_n=3)
     store_ids = {r.doc_id for r in spark.read.parquet(store_path).collect()}
     assert store_ids == {d for d in got if d != 23}
+
+
+def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
+    """The embedding-modality foreachBatch composite: micro-batches
+    gated against the cumulative vector store must yield the same
+    survivors as the one-shot batch operator over the whole corpus."""
+    import random as _r
+    import time
+
+    from docker_etl_spark.operators.similarity import incremental_embedding_dedup
+    from docker_etl_spark.streaming import drain_available, embedding_dedup_stream
+
+    rng = _r.Random(3)
+
+    def vec(seed_dim):
+        return [rng.uniform(-1, 1) for _ in range(8)]
+
+    v1, v2, v3 = vec(0), vec(1), vec(2)
+    schema = "vec_id long, embedding array<double>"
+    rows_by_batch = [
+        [(1, v1), (2, v2)],
+        [(11, v1), (12, vec(3))],          # 11 duplicates stored v1
+        [(21, v3), (22, v3), (23, vec(4))],  # 22 duplicates in-batch 21
+    ]
+    src = str(tmp_path / "emb_src")
+    for rows in rows_by_batch:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    store_path = str(tmp_path / "emb_store")
+    out_path = str(tmp_path / "emb_out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    drain_available(
+        stream,
+        sink=embedding_dedup_stream(store_path, out_path, dim=8),
+        checkpoint=str(tmp_path / "emb_ckpt"),
+    )
+    got = sorted(r.vec_id for r in spark.read.parquet(out_path).collect())
+
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    all_q = spark.createDataFrame(
+        [r for rows in rows_by_batch for r in rows], schema
+    ).select("vec_id", quant.alias("vec"))
+    empty = spark.createDataFrame([], "vec_id long, vec array<bigint>")
+    twin = incremental_embedding_dedup(all_q, empty, dim=8)
+    want = sorted(r.vec_id for r in twin.filter(~F.col("is_dup")).collect())
+    assert got == want
+    assert 1 in got and 11 not in got and 21 in got and 22 not in got
+    store_ids = {r.vec_id for r in spark.read.parquet(store_path).collect()}
+    assert store_ids == set(got)
