@@ -6675,13 +6675,23 @@ pairs AS (
                                      i -> a.v[i] * b.v[i])) AS DOUBLE)
         / sqrt(CAST(a.n * b.n AS DOUBLE)) >= {_X37_THRESHOLD}
 ),
-dropped AS (SELECT DISTINCT cid, id_b AS id FROM pairs)
+dropped AS (SELECT DISTINCT cid, id_b AS id FROM pairs),
+census AS (
+  SELECT cid,
+         CAST(COUNT(DISTINCT sb) AS BIGINT) AS n_subbuckets,
+         CAST(SUM(sb * id) AS BIGINT) AS bucket_checksum
+  FROM subbed GROUP BY cid
+)
 SELECT a.cid AS cluster_id,
        COUNT(*) AS n_members,
        CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
        CAST(SUM(CASE WHEN d.id IS NULL THEN a.id ELSE 0 END) AS BIGINT)
-           AS survivor_id_sum
-FROM assign2 a LEFT JOIN dropped d ON a.cid = d.cid AND a.id = d.id
+           AS survivor_id_sum,
+       MIN(c.n_subbuckets) AS n_subbuckets,
+       MIN(c.bucket_checksum) AS bucket_checksum
+FROM assign2 a
+LEFT JOIN dropped d ON a.cid = d.cid AND a.id = d.id
+JOIN census c ON c.cid = a.cid
 GROUP BY a.cid
 """
 
@@ -6692,8 +6702,18 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
     (cap 20, 2 pinned planes): every sf0.01 cluster exceeds the cap,
     so pairs form only within (cluster, sign-LSH sub-bucket) — the
     100 TB skew remedy itself running under the hash-matched
-    differential contract, not just unit tests."""
-    from docker_etl_spark.operators.similarity import semantic_dedup
+    differential contract, not just unit tests. Because the fixture's
+    only threshold-crossing pairs (the planted twins) never split
+    across sub-buckets, drops alone cannot distinguish a bucketing
+    bug — so the output ALSO carries a per-cluster sub-bucket census
+    (distinct buckets + sum(bucket·id) checksum) that pins every
+    vector's in-cell bucket value against the oracle."""
+    from docker_etl_spark.operators.similarity import (
+        kmeans_assign_quantized,
+        random_hyperplanes,
+        semantic_dedup,
+        signlsh_bucket,
+    )
 
     em = load_table(spark, sf_dir, "embeddings")
     dvec = F.transform("embedding", lambda x: x.cast("double"))
@@ -6715,9 +6735,24 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
         max_cluster_size=_X48_CAP,
         sub_bucket_planes=2,
     )
+    assigned, _ = kmeans_assign_quantized(aug, "dv", "vec_id", _X23_K, 2, 1000)
+    sizes = assigned.groupBy("__cluster").agg(F.count("*").alias("cn"))
+    bkt = signlsh_bucket(
+        F.col("__vq"), random_hyperplanes(64, 2, 42), exact_int=True
+    )
+    subbed = assigned.join(F.broadcast(sizes), "__cluster").withColumn(
+        "sb",
+        F.when(F.col("cn") > _X48_CAP, bkt).otherwise(F.lit(0)).cast("bigint"),
+    )
+    census = subbed.groupBy(
+        F.col("__cluster").cast("bigint").alias("cluster_id")
+    ).agg(
+        F.count_distinct("sb").cast("bigint").alias("n_subbuckets"),
+        F.sum(F.col("sb") * F.col("__id")).cast("bigint").alias("bucket_checksum"),
+    )
     return out.select(
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         "n_members",
         "n_dropped",
         "survivor_id_sum",
-    )
+    ).join(census, "cluster_id")

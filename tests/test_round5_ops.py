@@ -411,3 +411,74 @@ def test_kanon_aggregate_no_rollup_row_when_nothing_suppressed(spark):
     )
     out = kanon_aggregate(df, ["k"], "user", 3, ["v"]).collect()
     assert sorted(r.k for r in out) == ["a", "b"]
+
+
+def test_incremental_minhash_redelivery_all_flagged(spark, sf_dir):
+    """Idempotence property of the admission gate: re-delivering
+    EXACT copies of stored documents must flag every one (identical
+    text -> identical signature -> same band keys -> candidate with
+    match fraction 1.0)."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+        word_shingles,
+    )
+    from docker_etl_spark.sources.io import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .limit(30)
+        .localCheckpoint(eager=True)
+    )
+    store = docs.select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    redelivered = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    out = incremental_minhash_dedup(redelivered, store)
+    assert out.count() == 30
+    assert out.filter(~F.col("is_dup")).count() == 0
+    assert out.agg(F.min("max_est")).collect()[0][0] == 1.0
+
+
+def test_incremental_embedding_redelivery_all_flagged(spark, sf_dir):
+    """Same idempotence property for the embedding gate: identical
+    vectors share every sign bit in every table -> cosine 1."""
+    from docker_etl_spark.operators.similarity import incremental_embedding_dedup
+    from docker_etl_spark.sources.io import load_table
+
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", quant.alias("vec"))
+        .limit(30)
+        .localCheckpoint(eager=True)
+    )
+    redelivered = vecs.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "vec")
+    out = incremental_embedding_dedup(redelivered, vecs, dim=64)
+    assert out.count() == 30
+    assert out.filter(~F.col("is_dup")).count() == 0
+
+
+def test_kanon_published_rows_never_under_k(spark):
+    """Safety property on a pseudo-random fixture: every published
+    (non-rollup) row has >= k entities, and the rollup absorbs the
+    rest without losing value mass."""
+    import random as _r
+
+    from docker_etl_spark.operators.profiling import kanon_aggregate
+
+    rng = _r.Random(5)
+    rows = [
+        (f"g{rng.randrange(12)}", rng.randrange(40), rng.randrange(100))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, user long, v long")
+    out = kanon_aggregate(df, ["k"], "user", 8, ["v"]).collect()
+    published = [r for r in out if r.k is not None]
+    assert all(r.n_entities >= 8 for r in published)
+    assert sum(r.v for r in out) == sum(v for _, _, v in rows)
