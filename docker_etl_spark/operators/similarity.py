@@ -666,6 +666,7 @@ def semantic_dedup(
     max_cluster_size: int | None = 100_000,
     lsh_seed: int = 42,
     sub_bucket_planes: int | None = None,
+    star_bucket_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster embeddings with the integer-exact
@@ -700,6 +701,17 @@ def semantic_dedup(
     share every sign bit, so true duplicates are never missed).
     Normal-size clusters keep the exact all-pairs semantics;
     ``max_cluster_size=None`` disables probe and sub-bucketing.
+
+    ``star_bucket_cap`` arms the THIRD tier: sign-LSH cannot split a
+    direction-tight bucket (near-identical vectors share every sign
+    bit), so a (cluster, sub-bucket) population still past this cap
+    switches from all-pairs to leader/star dedup — members compare
+    only against the bucket's min-id hub, O(|bucket|) instead of
+    |bucket|². Measured necessity: on the 30x derived corpus the
+    sub-bucketed-but-starless pair stage still ran ~quadratic (342 s)
+    because the replica clusters are direction-tight; with the star
+    tier the same corpus is ~rows-linear (see BASELINE.md). One-sided
+    like tier two: only ever keeps more than the exact pass.
 
     ``salt_buckets``: when k is far below the cluster's core count
     (small coarse quantizers), the pair join has only k distinct
@@ -738,9 +750,40 @@ def semantic_dedup(
                 F.col("__cluster").isin(*sorted(oversized)), bkt
             ).otherwise(F.lit(0)).cast("bigint")
     norm = dot_int(F.col("__vq"), F.col("__vq"))
-    vecs = assigned.select(
-        "__cluster", "__id", "__vq", norm.alias("__n"), sub.alias("__sub")
-    ).filter(F.col("__n") > 0)
+    vecs = (
+        assigned.select(
+            "__cluster", "__id", "__vq", norm.alias("__n"), sub.alias("__sub")
+        )
+        .filter(F.col("__n") > 0)
+        .localCheckpoint(eager=False)  # 3+ consumers below — one eval
+    )
+    star_members = None
+    star_hubs = None
+    if star_bucket_cap is not None:
+        # Third tier: sign-LSH cannot split a DIRECTION-TIGHT bucket
+        # (near-identical vectors share every sign bit — colliding is
+        # what LSH is for), so a bucket still past the cap switches
+        # from all-pairs to leader/star dedup: members compare only
+        # to the bucket's min-id hub — O(|bucket|), not |bucket|².
+        # One-sided like the sub-bucketing: a member whose only
+        # near-twin is another non-hub member survives (recall trade,
+        # documented); exact twins of the hub always drop.
+        stats = vecs.groupBy("__cluster", "__sub").agg(
+            F.count("*").alias("__bn"), F.min("__id").alias("__hub")
+        )
+        vs = vecs.join(F.broadcast(stats), ["__cluster", "__sub"])
+        star_members = vs.filter(
+            (F.col("__bn") > star_bucket_cap) & (F.col("__id") > F.col("__hub"))
+        )
+        star_hubs = vs.filter(
+            (F.col("__bn") > star_bucket_cap) & (F.col("__id") == F.col("__hub"))
+        ).select(
+            "__cluster",
+            "__sub",
+            F.col("__vq").alias("__hvq"),
+            F.col("__n").alias("__hn"),
+        )
+        vecs = vs.filter(F.col("__bn") <= star_bucket_cap).drop("__bn", "__hub")
     # EXPLICIT numbered repartition on the join keys: the per-pair
     # cosine is CPU-heavy (interpreted HOF dot) on a tiny-by-bytes
     # shuffle, exactly the shape AQE's size-based coalescing folds
@@ -773,15 +816,21 @@ def semantic_dedup(
     cos = dot_int(F.col("a.__vq"), F.col("b.__vq")).cast("double") / F.sqrt(
         _norm_prod_double(F.col("a.__n"), F.col("b.__n"), exact_int=True)
     )
-    dropped = (
-        pairs.filter(cos >= F.lit(threshold))
-        .select(
-            F.col("b.__cluster").alias("__cluster"),
-            F.col("b.__id").alias("__id"),
-        )
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
+    pair_drops = pairs.filter(cos >= F.lit(threshold)).select(
+        F.col("b.__cluster").alias("__cluster"),
+        F.col("b.__id").alias("__id"),
     )
+    if star_members is not None:
+        star_cos = dot_int(F.col("__hvq"), F.col("__vq")).cast(
+            "double"
+        ) / F.sqrt(_norm_prod_double(F.col("__hn"), F.col("__n"), exact_int=True))
+        star_drops = (
+            star_members.join(F.broadcast(star_hubs), ["__cluster", "__sub"])
+            .filter(star_cos >= F.lit(threshold))
+            .select("__cluster", "__id")
+        )
+        pair_drops = pair_drops.unionByName(star_drops)
+    dropped = pair_drops.distinct().withColumn("__dropped", F.lit(True))
     marked = assigned.join(dropped, ["__cluster", "__id"], "left")
     return marked.groupBy(F.col("__cluster").alias("cluster_id")).agg(
         F.count("*").cast("long").alias("n_members"),

@@ -123,7 +123,7 @@ def time_semantic_capped(spark, sf_dir: str, passes: int = 2) -> float:
         force_eval(
             semantic_dedup(
                 em, vec_col="dv", id_col="vec_id", k=4, iterations=2,
-                threshold=0.9, max_cluster_size=250,
+                threshold=0.9, max_cluster_size=250, star_bucket_cap=250,
             )
         )
         best = min(best, time.monotonic() - t0)

@@ -482,3 +482,37 @@ def test_kanon_published_rows_never_under_k(spark):
     published = [r for r in out if r.k is not None]
     assert all(r.n_entities >= 8 for r in published)
     assert sum(r.v for r in out) == sum(v for _, _, v in rows)
+
+
+def test_semantic_dedup_star_tier_on_tight_bucket(spark):
+    """Direction-tight giant bucket: the star tier must engage
+    (O(n) hub comparisons), drop the hub's near-twins, and stay
+    one-sided vs the exact pass."""
+    from docker_etl_spark.operators.similarity import semantic_dedup
+
+    df = _skewed_embeddings(spark, n_big=60, n_small=5)
+    exact = {
+        r.cluster_id: r
+        for r in semantic_dedup(
+            df, k=2, threshold=0.999, max_cluster_size=None
+        ).collect()
+    }
+    star = {
+        r.cluster_id: r
+        for r in semantic_dedup(
+            df,
+            k=2,
+            threshold=0.999,
+            max_cluster_size=16,
+            star_bucket_cap=16,
+        ).collect()
+    }
+    assert set(star) == set(exact)
+    for cid in exact:
+        assert star[cid].n_members == exact[cid].n_members
+        assert star[cid].n_dropped <= exact[cid].n_dropped
+        assert star[cid].survivor_id_sum >= exact[cid].survivor_id_sum
+    # the hub of the giant bucket is vec 0 (min id); its exact twin
+    # (id 1000) must still be dropped by the hub comparison
+    dropped_total = sum(r.n_dropped for r in star.values())
+    assert dropped_total >= 1
