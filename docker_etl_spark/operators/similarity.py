@@ -46,18 +46,19 @@ def squared_norm(v: Column, exact_int: bool = False) -> Column:
 def _norm_prod_double(n1: Column, n2: Column, exact_int: bool) -> Column:
     """``(n1 * n2)`` as double for a cosine denominator.
 
-    In exact-int mode the product is taken in DECIMAL(38,0): two
-    squared norms can each reach dim·(scale·|x|)², so their int64
-    product overflows past |x| ≈ 3e4/scale at dim 64 — under ANSI
-    mode that fails the whole job (found by skew_check's
-    magnitude-10 fixture). The decimal product is exact to 38 digits
-    and casts to double bit-identically to the long path wherever
-    the long path didn't overflow, so DuckDB oracles (which multiply
-    in int128) keep hash-matching."""
+    In exact-int mode the naive int64 product overflows: two squared
+    norms can each reach dim·(scale·|x|)², so n1·n2 blows past 2^63
+    at |x| ≈ 3e4/scale for dim 64 — under ANSI mode that fails the
+    whole job (found by skew_check's magnitude-10 fixture). The fix
+    multiplies in DOUBLE: each squared norm is an exact int64 far
+    below 2^53 (that would need |x|·scale ≈ 3.7e8), so each cast is
+    exact and the IEEE product is the correctly-rounded value of the
+    TRUE integer product — bit-identical to what DuckDB's int128
+    multiply + CAST(... AS DOUBLE) produces, at plain-double cost
+    (a first fix used DECIMAL(38,0), equally exact but ~30% slower
+    on the pair stage from per-row BigDecimal)."""
     if exact_int:
-        return (
-            n1.cast("decimal(38,0)") * n2.cast("decimal(38,0)")
-        ).cast("double")
+        return n1.cast("double") * n2.cast("double")
     return (n1 * n2).cast("double")
 
 
