@@ -668,6 +668,7 @@ def semantic_dedup(
     lsh_seed: int = 42,
     sub_bucket_planes: int | None = None,
     star_bucket_cap: int | None = None,
+    precomputed_assignment: tuple[DataFrame, list[list[int]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster embeddings with the integer-exact
@@ -724,9 +725,15 @@ def semantic_dedup(
 
     Returns (cluster_id, n_members, n_dropped, survivor_id_sum).
     """
-    assigned, centroids = kmeans_assign_quantized(
-        df, vec_col, id_col, k, iterations, quant_scale
-    )
+    if precomputed_assignment is not None:
+        # Composite queries that also consume the cluster assignment
+        # (e.g. a census alongside the dedup) pass it in so Lloyd
+        # training runs once, not once per consumer.
+        assigned, centroids = precomputed_assignment
+    else:
+        assigned, centroids = kmeans_assign_quantized(
+            df, vec_col, id_col, k, iterations, quant_scale
+        )
     sub = F.lit(0).cast("bigint")
     if max_cluster_size is not None:
         sizes = assigned.groupBy("__cluster").agg(

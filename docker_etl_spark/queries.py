@@ -6725,6 +6725,8 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("dv"),
     )
     aug = base.unionByName(planted)
+    assigned, cents = kmeans_assign_quantized(aug, "dv", "vec_id", _X23_K, 2, 1000)
+    assigned = assigned.localCheckpoint(eager=False)  # dedup + census share it
     out = semantic_dedup(
         aug,
         vec_col="dv",
@@ -6734,8 +6736,8 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
         threshold=_X37_THRESHOLD,
         max_cluster_size=_X48_CAP,
         sub_bucket_planes=2,
+        precomputed_assignment=(assigned, cents),
     )
-    assigned, _ = kmeans_assign_quantized(aug, "dv", "vec_id", _X23_K, 2, 1000)
     sizes = assigned.groupBy("__cluster").agg(F.count("*").alias("cn"))
     bkt = signlsh_bucket(
         F.col("__vq"), random_hyperplanes(64, 2, 42), exact_int=True
