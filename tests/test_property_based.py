@@ -276,3 +276,26 @@ def test_canonicalize_url_matches_python_model(spark, specs):
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
     assert got == want
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.integers(1, 4),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, filter_type, seed):
+    """Arbitrary uint8 arrays survive encode -> decode bit-exactly
+    for every shape, channel count, and scanline filter (pure
+    stdlib codec — no Spark session needed)."""
+    import numpy as np
+
+    from docker_etl_spark.operators import _png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    back = _png.decode_png(_png.encode_png(img, filter_type=filter_type))
+    assert back.shape == (h, w, c)
+    assert np.array_equal(back, img)

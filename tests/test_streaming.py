@@ -311,3 +311,54 @@ def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
     assert 1 in got and 11 not in got and 21 in got and 22 not in got
     store_ids = {r.vec_id for r in spark.read.parquet(store_path).collect()}
     assert store_ids == set(got)
+
+
+def test_minhash_dedup_stream_with_dead_letter(spark, tmp_path):
+    """T4 composition: the incremental-dedup sink wrapped in
+    foreach_batch_with_dead_letter — a poisoned micro-batch lands in
+    the dead-letter path while healthy batches keep flowing through
+    the store-append dedup."""
+    import time
+
+    from docker_etl_spark.streaming import (
+        drain_available,
+        foreach_batch_with_dead_letter,
+        minhash_dedup_stream,
+    )
+
+    schema = "doc_id bigint, text string"
+    good = "the quick brown fox jumps over the lazy dog by the river"
+    rows_by_batch = [
+        [(1, good), (2, "some other perfectly normal document text here")],
+        [(11, None)],          # poison: null text breaks shingling
+        [(21, good)],          # dup of batch-0 doc 1
+    ]
+    src = str(tmp_path / "dl_mh_src")
+    for rows in rows_by_batch:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    store, out, dlq = (
+        str(tmp_path / p) for p in ("dl_store", "dl_out", "dl_dlq")
+    )
+    inner = minhash_dedup_stream(store, out)
+
+    def sink(df, bid):
+        if df.filter(F.col("text").isNull()).count() > 0:
+            raise RuntimeError("null text payload")
+        inner(df, bid)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    drain_available(
+        stream,
+        sink=foreach_batch_with_dead_letter(sink, dlq),
+        checkpoint=str(tmp_path / "dl_ckpt"),
+    )
+    survivors = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    dead = [r.doc_id for r in spark.read.parquet(dlq).collect()]
+    assert survivors == [1, 2]      # 21 deduped against the store
+    assert dead == [11]             # poison captured, query survived
