@@ -6758,3 +6758,145 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
         "n_dropped",
         "survivor_id_sum",
     ).join(census, "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# x49 — SemDeDup tier 3 (leader/star fallback) under the driver gate:
+# x48's configuration plus star_bucket_cap=30, chosen so the sf0.01
+# sub-buckets (18-62 members) split into BOTH arms — 7 buckets keep
+# exact all-pairs, 9 switch to hub-only comparisons. The oracle
+# replays the mixed-arm semantics (bucket census gates each arm) and
+# the output carries the per-cluster count of star-engaged buckets,
+# so the differential pins arm SELECTION as well as the drops.
+# ---------------------------------------------------------------------------
+
+_X49_STAR_CAP = 30
+
+_X49_ORACLE = _kmeans_ctes(_X37_SRC) + f""",
+sizes AS (SELECT cid, COUNT(*) AS cn FROM assign2 GROUP BY cid),
+subbed AS (
+  SELECT a.id, a.v, a.cid,
+         CASE WHEN s.cn > {_X48_CAP}
+              THEN {_signlsh_bucket_sql_single(64, 2, 42)}
+              ELSE 0 END AS sb
+  FROM assign2 a JOIN sizes s USING (cid)
+),
+norms0 AS (
+  SELECT id, v, cid, sb,
+         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS n
+  FROM subbed
+),
+bstats AS (
+  SELECT cid, sb, COUNT(*) AS bn, MIN(id) AS hub
+  FROM norms0 WHERE n > 0 GROUP BY cid, sb
+),
+norms AS (
+  SELECT n0.*, b.bn, b.hub
+  FROM norms0 n0 JOIN bstats b ON b.cid = n0.cid AND b.sb = n0.sb
+),
+pairs AS (
+  SELECT a.cid, b.id AS id_b
+  FROM norms a JOIN norms b
+    ON a.cid = b.cid AND a.sb = b.sb AND a.id < b.id
+   AND a.n > 0 AND b.n > 0 AND b.bn <= {_X49_STAR_CAP}
+  WHERE CAST(list_sum(list_transform(range(1, 65),
+                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) >= {_X37_THRESHOLD}
+  UNION
+  SELECT m.cid, m.id
+  FROM norms m JOIN norms h
+    ON h.cid = m.cid AND h.sb = m.sb AND h.id = m.hub
+   AND m.id > m.hub AND m.bn > {_X49_STAR_CAP}
+   AND m.n > 0 AND h.n > 0
+  WHERE CAST(list_sum(list_transform(range(1, 65),
+                                     i -> h.v[i] * m.v[i])) AS DOUBLE)
+        / sqrt(CAST(h.n AS DOUBLE) * CAST(m.n AS DOUBLE)) >= {_X37_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT cid, id_b AS id FROM pairs),
+starcnt AS (
+  SELECT cid,
+         CAST(SUM(CASE WHEN bn > {_X49_STAR_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_star_buckets
+  FROM bstats GROUP BY cid
+)
+SELECT a.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.id IS NULL THEN a.id ELSE 0 END) AS BIGINT)
+           AS survivor_id_sum,
+       MIN(sc.n_star_buckets) AS n_star_buckets
+FROM assign2 a
+LEFT JOIN dropped d ON a.cid = d.cid AND a.id = d.id
+JOIN starcnt sc ON sc.cid = a.cid
+GROUP BY a.cid
+"""
+
+
+@register("x49_semantic_dedup_star", oracle=_X49_ORACLE)
+def x49_semantic_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with BOTH scale tiers engaged and mixed: sub-buckets
+    at or under 30 members keep exact all-pairs, larger ones compare
+    members only to their min-id hub (the O(n) leader fallback the
+    100x sweep showed is what makes dense mega-buckets tractable).
+    n_star_buckets pins per cluster how many buckets took the star
+    arm — the differential verifies arm selection, not just drops."""
+    from docker_etl_spark.operators.similarity import (
+        dot_int,
+        kmeans_assign_quantized,
+        random_hyperplanes,
+        semantic_dedup,
+        signlsh_bucket,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", dvec.alias("dv"))
+    planted = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            dvec, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("dv"),
+    )
+    aug = base.unionByName(planted)
+    assigned, cents = kmeans_assign_quantized(aug, "dv", "vec_id", _X23_K, 2, 1000)
+    assigned = assigned.localCheckpoint(eager=False)
+    out = semantic_dedup(
+        aug,
+        vec_col="dv",
+        id_col="vec_id",
+        k=_X23_K,
+        iterations=2,
+        threshold=_X37_THRESHOLD,
+        max_cluster_size=_X48_CAP,
+        sub_bucket_planes=2,
+        star_bucket_cap=_X49_STAR_CAP,
+        precomputed_assignment=(assigned, cents),
+    )
+    sizes = assigned.groupBy("__cluster").agg(F.count("*").alias("cn"))
+    bkt = signlsh_bucket(
+        F.col("__vq"), random_hyperplanes(64, 2, 42), exact_int=True
+    )
+    vv = (
+        assigned.join(F.broadcast(sizes), "__cluster")
+        .withColumn(
+            "sb",
+            F.when(F.col("cn") > _X48_CAP, bkt).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .filter(dot_int(F.col("__vq"), F.col("__vq")) > 0)
+    )
+    starcnt = (
+        vv.groupBy("__cluster", "sb")
+        .agg(F.count("*").alias("bn"))
+        .groupBy(F.col("__cluster").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.sum(F.when(F.col("bn") > _X49_STAR_CAP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_star_buckets")
+        )
+    )
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "n_dropped",
+        "survivor_id_sum",
+    ).join(starcnt, "cluster_id")
