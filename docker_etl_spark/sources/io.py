@@ -293,3 +293,56 @@ def conform_to_schema(df: DataFrame, declared: StructType) -> DataFrame:
                 _conform_value(F.col(f.name), f.dataType, cur.dataType).alias(f.name)
             )
     return df.select(*cols)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    zorder: tuple[str, str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+    bits: int = 16,
+) -> int:
+    """Layout maintenance — the OPTIMIZE / Z-ORDER twin for plain
+    parquet: rewrite a (typically small-file-fragmented) table into
+    ``ceil(rows / target_rows_per_file)`` right-sized files,
+    optionally Z-order-clustered on two columns so min/max file
+    stats prune range predicates on EITHER dimension.
+
+    The reference's batched-insert limits (S4,
+    fxci_etl/loaders/bigquery.py:26-28) solve the write-side version
+    of this problem; at 100 TB the read side needs the compaction
+    pass too — streaming sinks and incremental appends fragment a
+    table into thousands of micro-files whose per-file overhead and
+    useless min/max spans dominate scan cost.
+
+    Plan shape: one bounded ``count()`` probe sizes the file count;
+    with ``zorder`` the rewrite is
+    ``repartitionByRange(n, zkey).sortWithinPartitions(zkey)`` — a
+    single range shuffle, fully distributed (the lo02 census's
+    production path); without it a plain ``repartition(n)``.
+    Returns the target file count.
+    """
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from docker_etl_spark.functions.scalars import zorder_key
+
+    df = spark.read.parquet(in_path)
+    n_rows = df.count()
+    n_files = max(1, _math.ceil(n_rows / target_rows_per_file))
+    if zorder is not None:
+        zk = zorder_key(zorder[0], zorder[1], bits=bits)
+        out = (
+            df.withColumn("__zkey", zk)
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    ).parquet(out_path)
+    return n_files

@@ -516,3 +516,65 @@ def test_semantic_dedup_star_tier_on_tight_bucket(spark):
     # (id 1000) must still be dropped by the hub comparison
     dropped_total = sum(r.n_dropped for r in star.values())
     assert dropped_total >= 1
+
+
+# ---------------------------------------------------------------------
+# compact_parquet layout maintenance
+# ---------------------------------------------------------------------
+
+
+def test_compact_parquet_zorder_clusters_files(spark, sf_dir, tmp_path):
+    """A fragmented table compacts into few files whose REAL on-disk
+    layout is Z-order-clustered: measured with input_file_name(),
+    each compacted file spans far fewer distinct day-of-year values
+    than the table holds — the min/max-stats pruning win."""
+    from docker_etl_spark.sources.io import compact_parquet, load_table
+
+    src = str(tmp_path / "fragmented")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 512).alias("ck"),
+        F.dayofyear(F.col("o_orderdate").cast("date")).alias("dy"),
+    )
+    o.repartition(40).write.parquet(src)  # fragment: 40 micro-files
+    n_in = len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 30
+
+    dst = str(tmp_path / "compacted")
+    n_rows = o.count()
+    n_files = compact_parquet(
+        spark, src, dst, zorder=("ck", "dy"), target_rows_per_file=n_rows // 4, bits=9
+    )
+    n_out = len([f for f in __import__("os").listdir(dst) if f.endswith(".parquet")])
+    # range partitions are sample-sized, and maxRecordsPerFile may
+    # split an over-full one — allow slack, but compaction must be real
+    assert n_files <= n_out <= n_files + 2
+    assert n_out < n_in / 4
+
+    back = spark.read.parquet(dst)
+    assert back.count() == n_rows
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count_distinct("dy").alias("days"))
+        .collect()
+    )
+    total_days = back.select("dy").distinct().count()
+    # clustered layout: every file spans a fraction of the day space
+    assert all(r.days < total_days * 0.72 for r in per_file), [
+        (r.days, total_days) for r in per_file
+    ]
+
+
+def test_compact_parquet_plain_repartition(spark, sf_dir, tmp_path):
+    from docker_etl_spark.sources.io import compact_parquet, load_table
+
+    src = str(tmp_path / "frag2")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(25).write.parquet(src)
+    dst = str(tmp_path / "comp2")
+    compact_parquet(spark, src, dst, target_rows_per_file=10**9)
+    out_files = [
+        f for f in __import__("os").listdir(dst) if f.endswith(".parquet")
+    ]
+    assert len(out_files) == 1
+    assert spark.read.parquet(dst).count() == ev.count()
