@@ -266,6 +266,12 @@ def kanon_aggregate(
 
     Returns keys + (n_entities bigint, sums...); suppressed rollup
     row appears only when at least one group was suppressed.
+
+    CAVEAT: the rollup row uses NULL key values, so a corpus whose
+    key columns legitimately contain NULLs would make a genuine
+    NULL-keyed group indistinguishable from the rollup — coalesce
+    such keys to a sentinel before calling (the fixture tables'
+    grouping keys are non-null).
     """
     sum_cols = list(sum_cols or [])
     aggs = [F.count_distinct(F.col(entity_col)).cast("bigint").alias("n_entities")] + [

@@ -6900,3 +6900,62 @@ def x49_semantic_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         "survivor_id_sum",
     ).join(starcnt, "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# x50 — curriculum ordering buckets: documents ranked by a composite
+# quality score and cut into 4 curriculum stages (train easy→hard or
+# high→low quality — the data-ordering knob of a training pipeline).
+# ntile gives equal-population stages; per-stage stats prove the
+# ordering is monotone in the score. Integer-exact score so the
+# bucket boundaries are engine-portable.
+# ---------------------------------------------------------------------------
+
+_X50_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) * 1000
+           + CAST(length(text) % 997 AS BIGINT) AS q_score
+  FROM documents
+),
+t AS (
+  SELECT doc_id, q_score,
+         CAST(NTILE(4) OVER (ORDER BY q_score DESC, doc_id ASC) AS BIGINT)
+             AS stage
+  FROM s
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(q_score) AS BIGINT) AS min_score,
+       CAST(MAX(q_score) AS BIGINT) AS max_score,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM t GROUP BY stage
+"""
+
+
+@register("x50_curriculum_buckets", oracle=_X50_ORACLE)
+def x50_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population curriculum stages over a deterministic
+    integer quality score (token count dominant, length-hash
+    tiebreak), highest-quality stage first. The global ntile is the
+    fixture form; at 100 TB the same cut comes from approx
+    percentile boundaries broadcast as a threshold dim (the x43
+    adaptive-floor pattern) — no global sort."""
+    d = load_docs_spread(spark, sf_dir)
+    from docker_etl_spark.operators.corpus import doc_tokens
+
+    s = d.select(
+        "doc_id",
+        (
+            F.size(doc_tokens("text")).cast("bigint") * 1000
+            + (F.length("text") % 997).cast("bigint")
+        ).alias("q_score"),
+    )
+    w = Window.orderBy(F.desc("q_score"), F.asc("doc_id"))
+    t = s.withColumn("stage", F.ntile(4).over(w).cast("bigint"))
+    return t.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("q_score").cast("bigint").alias("min_score"),
+        F.max("q_score").cast("bigint").alias("max_score"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
