@@ -6959,3 +6959,74 @@ def x50_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q_score").cast("bigint").alias("max_score"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x51 — mixture epoch plan: given per-source available tokens and
+# target mixture weights, compute each source's target tokens and
+# the repetition factor (epochs) its data needs — the planning twin
+# of the executing samplers (x21 rate mixture, x35 budget cap, x38
+# temperature mixture). Data-constrained scaling makes epochs>1 the
+# normal case for rare sources; surfacing the factor per source is
+# the knob a training run reads. ceil-to-int epochs and integer
+# token math keep the plan engine-portable.
+# ---------------------------------------------------------------------------
+
+_X51_TARGET_TOKENS = 40_000
+
+_X51_ORACLE = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+             AS available_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(available_tokens) AS t FROM avail),
+plan AS (
+  SELECT a.source, a.n_docs, a.available_tokens,
+         CAST(FLOOR({_X51_TARGET_TOKENS} * a.available_tokens
+                    / CAST(t.t AS DOUBLE)) AS BIGINT) AS target_tokens
+  FROM avail a, tot t
+)
+SELECT source, n_docs, available_tokens, target_tokens,
+       CAST(CEIL(target_tokens / CAST(available_tokens AS DOUBLE)) AS BIGINT)
+           AS epochs
+FROM plan
+"""
+
+
+@register("x51_mixture_epoch_plan", oracle=_X51_ORACLE)
+def x51_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture plan at a 40k-token target with
+    proportional-to-available weights: available tokens (one scan +
+    one k-row agg), floor-int target allocation, ceil-int epochs.
+    Output is a SOURCES-sized dim — broadcastable into whichever
+    sampler executes the plan."""
+    d = load_docs_spread(spark, sf_dir)
+    from docker_etl_spark.operators.corpus import doc_tokens
+
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(doc_tokens("text"))).cast("bigint").alias("available_tokens"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    tot = F.sum("available_tokens").over(Window.partitionBy())
+    plan = avail.withColumn(
+        "target_tokens",
+        F.floor(
+            F.lit(_X51_TARGET_TOKENS)
+            * F.col("available_tokens")
+            / tot.cast("double")
+        ).cast("bigint"),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        "target_tokens",
+        F.ceil(
+            F.col("target_tokens") / F.col("available_tokens").cast("double")
+        )
+        .cast("bigint")
+        .alias("epochs"),
+    )
