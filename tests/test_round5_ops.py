@@ -578,3 +578,48 @@ def test_compact_parquet_plain_repartition(spark, sf_dir, tmp_path):
     ]
     assert len(out_files) == 1
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_probe_bands_flags_are_subset_of_full(spark, sf_dir, tmp_path):
+    """Staged-screening contract: a 1-band probe may only UNDER-flag
+    relative to the full-band pass (its candidate set is a subset and
+    the estimator is computed from full signatures either way)."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        load_signature_store,
+        minhash_signature,
+        word_shingles,
+        write_signature_store,
+    )
+    from docker_etl_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingested = docs.filter(F.col("doc_id") % 2 == 0).limit(50)
+    sigs = ingested.select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    path = str(tmp_path / "probe_store")
+    write_signature_store(sigs, path, bands=3, num_perm=12)
+    store = load_signature_store(spark, path)
+    dup = ingested.limit(2).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(15).unionByName(dup)
+    full = {
+        r.doc_id: r
+        for r in incremental_minhash_dedup(batch, store, store_exploded=True).collect()
+    }
+    probe = {
+        r.doc_id: r
+        for r in incremental_minhash_dedup(
+            batch, store, store_exploded=True, probe_bands=[0]
+        ).collect()
+    }
+    assert set(probe) == set(full)
+    for d in full:
+        assert probe[d].n_candidates <= full[d].n_candidates
+        assert not probe[d].is_dup or full[d].is_dup  # probe ⊆ full
+    # exact redelivered copies share every band, so even the 1-band
+    # probe flags them
+    assert all(probe[d].is_dup for d in probe if d >= 700_000)
