@@ -35,6 +35,9 @@ KERNELS = [
     "x37_semantic_dedup",
     "x41_dedup_clusters_twophase",
     "x45_incremental_minhash_dedup",
+    "x47_incremental_embedding_dedup",
+    "x48_semantic_dedup_subbucketed",
+    "x49_semantic_dedup_star",
 ]
 
 
