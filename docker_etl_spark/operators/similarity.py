@@ -667,7 +667,7 @@ def semantic_dedup(
     max_cluster_size: int | None = 100_000,
     lsh_seed: int = 42,
     sub_bucket_planes: int | None = None,
-    star_bucket_cap: int | None = None,
+    star_bucket_cap: int | None | str = "auto",
     precomputed_assignment: tuple[DataFrame, list[list[int]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
@@ -710,10 +710,15 @@ def semantic_dedup(
     switches from all-pairs to leader/star dedup — members compare
     only against the bucket's min-id hub, O(|bucket|) instead of
     |bucket|². Measured necessity: on the 30x derived corpus the
-    sub-bucketed-but-starless pair stage still ran ~quadratic (342 s)
-    because the replica clusters are direction-tight; with the star
-    tier the same corpus is ~rows-linear (see BASELINE.md). One-sided
-    like tier two: only ever keeps more than the exact pass.
+    sub-bucketed-but-starless pair stage still ran ~quadratic (342 s
+    at 30x, 2169 s at 100x) because the replica clusters are
+    direction-tight; with the star tier the same corpus is
+    ~rows-linear at every scale (see BASELINE.md). One-sided like
+    tier two: only ever keeps more than the exact pass. DEFAULT is
+    ``"auto"`` — the star cap follows ``max_cluster_size``, so the
+    default configuration is robustly linear for BOTH oversize modes
+    (coarse quantizer AND genuine density); pass ``None`` to keep
+    exact all-pairs inside every sub-bucket regardless of size.
 
     ``salt_buckets``: when k is far below the cluster's core count
     (small coarse quantizers), the pair join has only k distinct
@@ -765,6 +770,8 @@ def semantic_dedup(
         .filter(F.col("__n") > 0)
         .localCheckpoint(eager=False)  # 3+ consumers below — one eval
     )
+    if star_bucket_cap == "auto":
+        star_bucket_cap = max_cluster_size
     star_members = None
     star_hubs = None
     if star_bucket_cap is not None:

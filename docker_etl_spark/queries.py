@@ -6736,6 +6736,7 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
         threshold=_X37_THRESHOLD,
         max_cluster_size=_X48_CAP,
         sub_bucket_planes=2,
+        star_bucket_cap=None,  # tier 2 ONLY — x49 verifies tier 3
         precomputed_assignment=(assigned, cents),
     )
     sizes = assigned.groupBy("__cluster").agg(F.count("*").alias("cn"))

@@ -183,7 +183,7 @@ def test_semantic_dedup_auto_subbuckets_giant_cluster(spark):
     sub = {
         r.cluster_id: r
         for r in semantic_dedup(
-            df, k=2, threshold=0.999, max_cluster_size=16
+            df, k=2, threshold=0.999, max_cluster_size=16, star_bucket_cap=None
         ).collect()
     }
     assert set(sub) == set(exact)

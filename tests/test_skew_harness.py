@@ -138,7 +138,8 @@ def test_semantic_dedup_subbucket_engages_on_giant_cluster(spark, zipf_embedding
     cap = 64
     assert max(sizes.values()) > cap, sizes  # the skew is real
     out = semantic_dedup(
-        zipf_embeddings, k=4, threshold=0.9999, max_cluster_size=cap
+        zipf_embeddings, k=4, threshold=0.9999, max_cluster_size=cap,
+        star_bucket_cap=None,  # pin tier-2 semantics (tier 3 tested separately)
     )
     assert out.agg(F.sum("n_dropped")).collect()[0][0] >= 5
 
