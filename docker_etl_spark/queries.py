@@ -7031,3 +7031,131 @@ def x51_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x52 — dedup-quality evaluation harness: plant near-dup twins (each
+# doc_id < 40 re-emitted with its LAST token dropped, id + 2_000_000),
+# run the production MinHash+LSH pipeline over the augmented corpus,
+# and score it — planted-pair recall plus the count of organic pairs.
+# The approximation detectors (LSH banding, jaccard verify) are
+# usually shipped on faith; this makes their quality a MEASURED,
+# oracle-replayable quantity the pipeline can regression-test.
+# ---------------------------------------------------------------------------
+
+_X52_ORACLE = """
+WITH base AS (SELECT doc_id, text FROM documents),
+planted AS (
+  SELECT doc_id AS id_a, doc_id + 2000000 AS id_b,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      len(string_split(text, ' ')) - 1), ' ') AS ptext
+  FROM base
+  WHERE doc_id < 40 AND len(string_split(text, ' ')) >= 4
+),
+aug AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT id_b, ptext FROM planted
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM tok WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id, s,
+         [list_min(list_transform(s, x -> md5(x || 'p0'))),
+          list_min(list_transform(s, x -> md5(x || 'p1'))),
+          list_min(list_transform(s, x -> md5(x || 'p2'))),
+          list_min(list_transform(s, x -> md5(x || 'p3'))),
+          list_min(list_transform(s, x -> md5(x || 'p4'))),
+          list_min(list_transform(s, x -> md5(x || 'p5'))),
+          list_min(list_transform(s, x -> md5(x || 'p6'))),
+          list_min(list_transform(s, x -> md5(x || 'p7'))),
+          list_min(list_transform(s, x -> md5(x || 'p8'))),
+          list_min(list_transform(s, x -> md5(x || 'p9'))),
+          list_min(list_transform(s, x -> md5(x || 'p10'))),
+          list_min(list_transform(s, x -> md5(x || 'p11')))] AS g
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sig, unnest([0, 1, 2]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+stats AS (
+  SELECT CAST(COUNT(p.id_a) AS BIGINT) AS n_recovered,
+         CAST(SUM(CASE WHEN p.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_other_pairs
+  FROM verified v LEFT JOIN planted p ON v.id_a = p.id_a AND v.id_b = p.id_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM planted) AS n_planted,
+       s.n_recovered,
+       s.n_recovered / CAST((SELECT COUNT(*) FROM planted) AS DOUBLE) AS recall,
+       s.n_other_pairs
+FROM stats s
+"""
+
+
+@register("x52_dedup_recall_eval", oracle=_X52_ORACLE)
+def x52_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-twin recall of the x05 MinHash+LSH configuration:
+    40 near-dup pairs planted (one token dropped), the pipeline run
+    on the augmented corpus, recall + organic-pair count reported as
+    one row. Broadcast 1-row aggregates on both sides of the final
+    combine — no shuffles beyond the pipeline's own."""
+    from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    planted = d.filter((F.col("doc_id") < 40) & (F.size(toks) >= 4)).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2_000_000).alias("id_b"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("ptext"),
+    ).localCheckpoint(eager=False)
+    aug = d.unionByName(
+        planted.select(F.col("id_b").alias("doc_id"), F.col("ptext").alias("text"))
+    )
+    pairs = minhash_near_duplicates(
+        aug, num_perm=12, bands=3, threshold=0.5, hash_fn="md5"
+    )
+    marked = pairs.join(
+        F.broadcast(planted.select("id_a", "id_b").withColumn("__p", F.lit(True))),
+        ["id_a", "id_b"],
+        "left",
+    )
+    stats = marked.agg(
+        F.sum(F.when(F.col("__p"), 1).otherwise(0)).cast("bigint").alias("n_recovered"),
+        F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_other_pairs"),
+    )
+    n_planted = planted.agg(F.count("*").cast("bigint").alias("n_planted"))
+    return (
+        F.broadcast(n_planted)
+        .crossJoin(stats)
+        .select(
+            "n_planted",
+            F.coalesce(F.col("n_recovered"), F.lit(0)).cast("bigint").alias("n_recovered"),
+            (
+                F.coalesce(F.col("n_recovered"), F.lit(0)).cast("double")
+                / F.col("n_planted").cast("double")
+            ).alias("recall"),
+            F.coalesce(F.col("n_other_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_other_pairs"),
+        )
+    )
