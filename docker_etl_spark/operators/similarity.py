@@ -669,6 +669,7 @@ def semantic_dedup(
     sub_bucket_planes: int | None = None,
     star_bucket_cap: int | None | str = "auto",
     precomputed_assignment: tuple[DataFrame, list[list[int]]] | None = None,
+    warn_scale_unsafe: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster embeddings with the integer-exact
@@ -699,10 +700,17 @@ def semantic_dedup(
     (cluster, sub-bucket). The giant cell's pairwise cost drops from
     |cluster|² to ~|cluster|²/2^planes — back inside the linear
     envelope — at the price of SemDeDup's usual approximation
-    (near-twins split across buckets are kept; EXACT twins always
-    share every sign bit, so true duplicates are never missed).
-    Normal-size clusters keep the exact all-pairs semantics;
-    ``max_cluster_size=None`` disables probe and sub-bucketing.
+    (near-twins split across buckets are kept). With
+    ``star_bucket_cap=None`` (sub-bucketing only) exact twins are
+    never missed: they share every sign bit, so they always land in
+    the same sub-bucket and all-pairs comparison catches them. The
+    DEFAULT ``star_bucket_cap="auto"`` path trades that guarantee
+    away inside over-cap buckets: the tier-3 leader/star arm compares
+    members only to the bucket's min-id hub, so two identical
+    non-hub members both survive whenever their cosine to the hub is
+    below threshold. Normal-size clusters keep the exact all-pairs
+    semantics; ``max_cluster_size=None`` disables probe and
+    sub-bucketing.
 
     ``star_bucket_cap`` arms the THIRD tier: sign-LSH cannot split a
     direction-tight bucket (near-identical vectors share every sign
@@ -739,11 +747,24 @@ def semantic_dedup(
         assigned, centroids = kmeans_assign_quantized(
             df, vec_col, id_col, k, iterations, quant_scale
         )
+        # Three consumers evaluate the assignment (the size probe, the
+        # pair-stage vecs, the final marked join); the k-way distance
+        # expression is the expensive part of each pass, so barrier it
+        # once. Callers passing precomputed_assignment checkpoint on
+        # their side.
+        assigned = assigned.localCheckpoint(eager=False)
+    if sub_bucket_planes is not None and sub_bucket_planes < 1:
+        raise ValueError(
+            f"sub_bucket_planes must be >= 1 when set (got {sub_bucket_planes}); "
+            "pass None to auto-size from the biggest oversized cluster"
+        )
     sub = F.lit(0).cast("bigint")
+    max_cluster_n: int | None = None
     if max_cluster_size is not None:
         sizes = assigned.groupBy("__cluster").agg(
             F.count("*").alias("n")
         ).collect()  # k rows — bounded library-collect class
+        max_cluster_n = max((int(r["n"]) for r in sizes), default=0)
         oversized = {
             int(r["__cluster"]): int(r["n"])
             for r in sizes
@@ -753,10 +774,15 @@ def semantic_dedup(
             # plane count: auto-sized so expected bucket ~= the cap,
             # or pinned via sub_bucket_planes (differential-oracle
             # mode — a static SQL replay needs a fixed plane matrix)
-            n_planes = sub_bucket_planes or max(
-                1,
-                math.ceil(math.log2(max(oversized.values()) / max_cluster_size)),
-            )
+            if sub_bucket_planes is not None:
+                n_planes = sub_bucket_planes
+            else:
+                n_planes = max(
+                    1,
+                    math.ceil(
+                        math.log2(max(oversized.values()) / max_cluster_size)
+                    ),
+                )
             planes = random_hyperplanes(len(centroids[0]), n_planes, lsh_seed)
             bkt = signlsh_bucket(F.col("__vq"), planes, exact_int=True)
             sub = F.when(
@@ -772,9 +798,39 @@ def semantic_dedup(
     )
     if star_bucket_cap == "auto":
         star_bucket_cap = max_cluster_size
+    if (
+        warn_scale_unsafe
+        and sub_bucket_planes is not None
+        and star_bucket_cap is None
+    ):
+        # The measured trap (BASELINE.md): a pinned plane count with
+        # no star fallback is quadratic by construction on
+        # direction-tight oversize — 374x wall at 100x rows where the
+        # tier-3 default is ~1.3x. Legitimate pinning (differential-
+        # oracle replays) passes warn_scale_unsafe=False.
+        import warnings
+
+        warnings.warn(
+            "semantic_dedup: sub_bucket_planes is pinned and "
+            "star_bucket_cap is None — the pair stage is quadratic on "
+            "direction-tight oversized clusters (measured 374x wall at "
+            "100x rows vs ~1.3x with the tier-3 star fallback). Use "
+            "star_bucket_cap='auto' in production, or pass "
+            "warn_scale_unsafe=False if the pinned config is a "
+            "deliberate small-fixture replay.",
+            stacklevel=2,
+        )
     star_members = None
     star_hubs = None
-    if star_bucket_cap is not None:
+    if star_bucket_cap is not None and (
+        max_cluster_n is None or max_cluster_n > star_bucket_cap
+    ):
+        # The k-row size probe already proved every (cluster, sub)
+        # bucket population <= max_cluster_n; when that bound sits at
+        # or under the star cap, no bucket can trip the tier and the
+        # stats aggregate + broadcast join below would be a guaranteed
+        # no-op — skip them (the common small-skew case pays zero for
+        # the tier machinery).
         # Third tier: sign-LSH cannot split a DIRECTION-TIGHT bucket
         # (near-identical vectors share every sign bit — colliding is
         # what LSH is for), so a bucket still past the cap switches

@@ -6738,6 +6738,10 @@ def x48_semantic_dedup_subbucketed(spark: SparkSession, sf_dir: str) -> DataFram
         sub_bucket_planes=2,
         star_bucket_cap=None,  # tier 2 ONLY — x49 verifies tier 3
         precomputed_assignment=(assigned, cents),
+        # deliberate small-fixture replay of the quadratic-at-scale
+        # config (the oracle needs a fixed plane matrix); the runtime
+        # warning exists precisely for anyone cargo-culting this
+        warn_scale_unsafe=False,
     )
     sizes = assigned.groupBy("__cluster").agg(F.count("*").alias("cn"))
     bkt = signlsh_bucket(
