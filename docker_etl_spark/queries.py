@@ -6240,6 +6240,93 @@ def x45_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# x53 — x45's incremental store dedup on the xxhash64 FAST path (the
+# production hash: native long hashing instead of 12 md5 string
+# digests per doc — x45 is the rows-linear CPU envelope and the md5
+# permutations are its cost). xxhash64 values are engine-specific, so
+# the oracle is hash-INDEPENDENT in x09's style: ground truth = docs
+# with an exact-shingle-Jaccard >= threshold twin among store docs or
+# earlier batch docs, brute-forced in SQL. Matching it asserts the
+# banding has complete recall AND the position-match estimator agrees
+# with exact Jaccard on every is_dup decision at this corpus — safe
+# because the corpus is maximally separated (verified empirically at
+# sf0.001/0.01/0.1: every true pair has J >= 0.9, NO pair lands in
+# (0.35, 0.9), so the 12/3 banding cannot miss and the estimator
+# cannot false-positive). Output carries only the hash-independent
+# columns (doc_id, is_dup).
+# ---------------------------------------------------------------------------
+
+_X53_ORACLE = """
+WITH newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000001, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 20
+),
+storedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+shn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newdocs)
+  WHERE len(w) >= 3
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM storedocs)
+  WHERE len(w) >= 3
+),
+truth AS (
+  SELECT n.doc_id FROM shn n JOIN shs s
+    ON CAST(len(list_intersect(n.s, s.s)) AS DOUBLE)
+       / (len(n.s) + len(s.s) - len(list_intersect(n.s, s.s))) >= 0.5
+  UNION
+  SELECT a.doc_id FROM shn a JOIN shn b
+    ON a.doc_id > b.doc_id
+   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+)
+SELECT d.doc_id, t.doc_id IS NOT NULL AS is_dup
+FROM newdocs d LEFT JOIN truth t ON t.doc_id = d.doc_id
+"""
+
+
+@register("x53_incremental_minhash_fast", oracle=_X53_ORACLE)
+def x53_incremental_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45's batch-vs-signature-store admission on the xxhash64 fast
+    path: same 12-perm/3-band shape as x45 so the comparison is
+    apples-to-apples — the only change is native long hashes instead
+    of md5 string digests, the per-row CPU that made x45 the
+    rows-linear envelope. The store holds array<bigint> signatures."""
+    from docker_etl_spark.operators._util import spread_for_compute
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store = spread_for_compute(
+        d.filter(F.col("doc_id") % 2 == 0).filter(
+            F.size(F.split("text", " ")) >= 3
+        )
+    ).select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "xxhash64").alias("sig"),
+    ).localCheckpoint(eager=False)
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").unionByName(
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).select(
+            (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
+        )
+    )
+    return incremental_minhash_dedup(
+        new, store, num_perm=12, bands=3, est_threshold=0.5, hash_fn="xxhash64"
+    ).select("doc_id", "is_dup")
+
+
+# ---------------------------------------------------------------------------
 # cd02 — incremental COUNT(DISTINCT) via mergeable HLL sketches:
 # per-day sketches (materializable binary columns) union-merged to
 # weekly estimates WITHOUT re-scanning raw events — the MAU recipe

@@ -35,6 +35,7 @@ KERNELS = [
     "x37_semantic_dedup",
     "x41_dedup_clusters_twophase",
     "x45_incremental_minhash_dedup",
+    "x53_incremental_minhash_fast",
     "x47_incremental_embedding_dedup",
     "x48_semantic_dedup_subbucketed",
     "x49_semantic_dedup_star",
