@@ -311,11 +311,18 @@ def write_digest_store(
     the reference's incremental-aggregate pattern
     (etl/user_reports_aggregate.py:17-53) applied to the dedup
     ledger. md5 is uniform, so partitions stay balanced by
-    construction."""
+    construction.
+
+    Mutations hold the single-writer lease (``sources/stores.py``) —
+    the store is bare parquet, so concurrency safety is enforced at
+    the writer, not assumed."""
+    from docker_etl_spark.sources.stores import store_writer_lock
+
     out = store.withColumn(
         "digest_prefix", F.substring(F.col(digest_col), 1, prefix_chars)
     )
-    out.write.mode("overwrite").partitionBy("digest_prefix").parquet(path)
+    with store_writer_lock(path, owner="write_digest_store"):
+        out.write.mode("overwrite").partitionBy("digest_prefix").parquet(path)
 
 
 def incremental_content_dedup(

@@ -1063,7 +1063,13 @@ def write_vector_store(
     ``vecs[vec_col]`` must already be int-quantized
     (floor(x·scale) bigint arrays) so bucketing and any later cosine
     verification are engine-exact.
+
+    Mutations hold the single-writer lease (``sources/stores.py``) —
+    the store is bare parquet, so concurrency safety is enforced at
+    the writer, not assumed.
     """
+    from docker_etl_spark.sources.stores import store_writer_lock
+
     keys = signlsh_table_buckets(
         F.col(vec_col), dim, n_planes, n_tables, seed, exact_int=True
     )
@@ -1072,7 +1078,8 @@ def write_vector_store(
     ).select(
         id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
     )
-    exploded.write.mode(mode).partitionBy("tbl").parquet(path)
+    with store_writer_lock(path, owner="write_vector_store"):
+        exploded.write.mode(mode).partitionBy("tbl").parquet(path)
 
 
 def incremental_embedding_dedup(

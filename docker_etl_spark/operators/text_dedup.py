@@ -539,7 +539,13 @@ def write_signature_store(
     the band partition column is what lets a band-subset probe
     (staged screening — see ``probe_bands``) prune the scan to the
     matching directories instead of reading the whole store.
+
+    Mutations hold the single-writer lease (``sources/stores.py``) —
+    the store is bare parquet, so concurrency safety is enforced at
+    the writer, not assumed.
     """
+    from docker_etl_spark.sources.stores import store_writer_lock
+
     rows_per_band = num_perm // bands
     exploded = sigs.select(
         F.col(id_col),
@@ -548,7 +554,8 @@ def write_signature_store(
             signature_band_keys(F.col(sig_col), bands, rows_per_band)
         ).alias("bk"),
     ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    exploded.write.mode(mode).partitionBy("band").parquet(path)
+    with store_writer_lock(path, owner="write_signature_store"):
+        exploded.write.mode(mode).partitionBy("band").parquet(path)
 
 
 def load_signature_store(spark, path: str) -> DataFrame:

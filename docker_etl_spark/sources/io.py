@@ -164,9 +164,14 @@ def write_table(
         mozaggregator2bq/bin/pg_dump_to_parquet.py:84 repartition(1));
         uses coalesce to avoid a shuffle.
     write:
-        Dry-run gate (D6): when False, log the plan instead of
-        executing the write but still force a count so the SELECT
-        side runs (mirrors bqhelpers.py:580-593 behaviour).
+        Dry-run gate (D6): when False, log the optimized plan and
+        output schema instead of executing the write — ZERO Spark
+        jobs, mirroring BigQuery's dry_run (bqhelpers.py:580-593),
+        which validates and cost-estimates WITHOUT running the query.
+        (Earlier rounds logged ``df.count()`` here: a full evaluation
+        of the frame just to print a row count while explicitly not
+        writing — at 100 TB a dry-run that costs a full pass defeats
+        its purpose.)
     bucket_by:
         ``(n_buckets, [cols])`` — hash-bucketed layout (the engine's
         analogue of the reference's BigQuery clustering): two fact
@@ -178,13 +183,17 @@ def write_table(
         (sort-merge join without the sort).
     """
     if not write:
+        # Analysis + optimization only — never an action.
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
         log.info(
-            "dry-run: would write %s rows to %s (mode=%s, fmt=%s, partitionBy=%s)",
-            df.count(),
+            "dry-run: would write to %s (mode=%s, fmt=%s, partitionBy=%s); "
+            "schema=%s; optimized plan:\n%s",
             path,
             mode,
             fmt,
             partition_by,
+            df.schema.simpleString(),
+            plan,
         )
         return
     out = df.coalesce(1) if single_file else df
@@ -316,7 +325,9 @@ def compact_parquet(
     table into thousands of micro-files whose per-file overhead and
     useless min/max spans dominate scan cost.
 
-    Plan shape: one bounded ``count()`` probe sizes the file count;
+    Plan shape: sizing comes from parquet FOOTER metadata
+    (``sources/stores.parquet_row_count`` — a per-file footer read,
+    no scan, no job; only a non-local path falls back to ``count()``);
     with ``zorder`` the rewrite is
     ``repartitionByRange(n, zkey).sortWithinPartitions(zkey)`` — a
     single range shuffle, fully distributed (the lo02 census's
@@ -328,9 +339,12 @@ def compact_parquet(
     from pyspark.sql import functions as F
 
     from docker_etl_spark.functions.scalars import zorder_key
+    from docker_etl_spark.sources.stores import parquet_row_count
 
     df = spark.read.parquet(in_path)
-    n_rows = df.count()
+    n_rows = parquet_row_count(in_path)
+    if n_rows is None:
+        n_rows = df.count()
     n_files = max(1, _math.ceil(n_rows / target_rows_per_file))
     if zorder is not None:
         zk = zorder_key(zorder[0], zorder[1], bits=bits)

@@ -291,6 +291,7 @@ def minhash_dedup_stream(
     bands: int = 3,
     est_threshold: float = 0.5,
     hash_fn: str = "md5",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink running the flagship LLM-dedup operator
     continuously: each micro-batch is near-dup-gated against the
@@ -300,18 +301,36 @@ def minhash_dedup_stream(
     ``incremental_minhash_dedup`` (a crawl-shard ingestion front that
     never re-reads or re-shingles ingested text).
 
-    Semantics twin: with batches arriving in id order, the union of
-    per-batch survivors is IDENTICAL to one all-at-once
-    ``incremental_minhash_dedup`` over the whole corpus against an
-    empty store (both compare each doc to exactly the docs before it,
-    with the same estimator and threshold) — pinned by
-    ``tests/test_streaming.py::test_minhash_dedup_stream_matches_batch``.
+    Semantics: each doc is compared against all earlier SURVIVORS
+    (plus all earlier docs within its own batch) — the store holds
+    survivors' signatures only. On the planted fixture that equals
+    one all-at-once ``incremental_minhash_dedup`` run (pinned by
+    ``tests/test_streaming.py::test_minhash_dedup_stream_matches_batch``),
+    but near-dup similarity is not transitive, so results are
+    batch-boundary-dependent in one corner: a doc whose only
+    >=threshold twin was itself dropped as a duplicate in an EARLIER
+    batch survives here, while the one-shot run's in-batch arm (which
+    also compares against dropped docs) flags it.
 
     State lives in the store parquet, not executor memory: restarts
     resume from the on-disk signatures, and the watermark problem of
     unbounded dedup state never arises (T3's eviction concern is
     traded for the store's O(corpus) disk — the trade the reference's
     ledger tables make, etl/user_reports_aggregate.py:17-53).
+
+    Delivery contract: the survivors write is IDEMPOTENT per batch —
+    rows land under ``out_path/__batch_id=N`` via dynamic partition
+    overwrite, so a redelivered batch replaces its own partition
+    instead of duplicating rows. The store append after it is NOT
+    atomic with that write; on redelivery the same signatures may
+    append twice, which is results-neutral (the candidate joins
+    dropDuplicates on (new_id, store_id), so duplicate store rows
+    change no decision) and reclaimed by compaction. ``compact_every``
+    runs :func:`~docker_etl_spark.sources.stores.compact_partitioned_store`
+    on the signature store every N batches (streaming appends leave
+    one file per batch per band — exactly the fragmentation compaction
+    exists for), preserving the band partition layout so the
+    partition-pruned probe plans are unchanged.
 
     Wrap with :func:`foreach_batch_with_dead_letter` for T4 capture.
     """
@@ -322,14 +341,22 @@ def minhash_dedup_stream(
         word_shingles,
         write_signature_store,
     )
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        parquet_path_exists,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        try:
+        # Narrow first-batch test (ADVICE r5): only a genuinely absent
+        # store means "empty"; a transient/corrupt read error must
+        # propagate and fail the batch (the streaming query retries)
+        # instead of silently admitting duplicates.
+        if parquet_path_exists(spark, store_path):
             store = load_signature_store(spark, store_path)
             exploded = True
-        except Exception:  # first batch: no store yet
+        else:  # first batch: no store yet
             el = "string" if hash_fn == "md5" else "bigint"
             store = spark.createDataFrame(
                 [], f"{id_col} long, sig array<{el}>"
@@ -350,7 +377,12 @@ def minhash_dedup_stream(
         survivors = batch_df.join(
             flags.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
         ).localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(out_path)
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
         has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
         new_sigs = survivors.filter(has).select(
             F.col(id_col),
@@ -362,6 +394,8 @@ def minhash_dedup_stream(
             new_sigs, store_path, bands=bands, num_perm=num_perm,
             id_col=id_col, mode="append",
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitioned_store(spark, store_path, ("band",))
 
     return _sink
 
@@ -377,18 +411,28 @@ def embedding_dedup_stream(
     n_tables: int = 2,
     seed: int = 42,
     quant_scale: int = 1000,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink for continuous EMBEDDING dedup — the
     modality twin of :func:`minhash_dedup_stream`: each micro-batch
     of vectors is near-dup-gated against the cumulative vector store
     (sign-LSH bucket joins + exact-int cosine), survivors land in
     ``out_path`` and their quantized vectors append to the store in
-    ``write_vector_store``'s partitioned layout. Same state story:
-    on-disk store, no executor-memory dedup state, restart-safe.
+    ``write_vector_store``'s partitioned layout. Same state story
+    (on-disk store, no executor-memory dedup state, restart-safe),
+    same delivery contract (idempotent per-batch out partition;
+    results-neutral store re-append on redelivery), same
+    batch-boundary corner (docs are gated against earlier SURVIVORS
+    only — see :func:`minhash_dedup_stream`), and the same
+    ``compact_every`` maintenance hook (tbl-partition-preserving).
     """
     from docker_etl_spark.operators.similarity import (
         incremental_embedding_dedup,
         write_vector_store,
+    )
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        parquet_path_exists,
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -399,10 +443,11 @@ def embedding_dedup_stream(
             lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
         )
         batch_q = batch_df.select(F.col(id_col), quant.alias("vec"))
-        try:
+        # Narrow first-batch test — see minhash_dedup_stream.
+        if parquet_path_exists(spark, store_path):
             store = spark.read.parquet(store_path)
             exploded = True
-        except Exception:  # first batch: no store yet
+        else:  # first batch: no store yet
             store = spark.createDataFrame(
                 [], f"{id_col} long, vec array<bigint>"
             )
@@ -423,7 +468,12 @@ def embedding_dedup_stream(
         survivors = batch_df.join(keep, id_col, "left_semi").localCheckpoint(
             eager=True
         )
-        survivors.write.mode("append").parquet(out_path)
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
         write_vector_store(
             survivors.select(F.col(id_col), quant.alias("vec")),
             store_path,
@@ -435,5 +485,7 @@ def embedding_dedup_stream(
             seed=seed,
             mode="append",
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitioned_store(spark, store_path, ("tbl",))
 
     return _sink

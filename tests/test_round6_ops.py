@@ -71,3 +71,237 @@ def test_semantic_dedup_tier_skip_when_probe_bounds_buckets(spark):
     assert sorted(map(tuple, skipped.collect())) == sorted(
         map(tuple, ran.collect())
     )
+
+
+# ---------------------------------------------------------------------
+# scan-free dry-run (D6)
+# ---------------------------------------------------------------------
+
+
+def _job_count(spark) -> int:
+    """Monotone job counter: the DAGScheduler's next job id."""
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
+def test_dry_run_triggers_zero_spark_jobs(spark, sf_dir, tmp_path):
+    """write=False must log the plan WITHOUT evaluating the frame —
+    the old df.count() dry-run was a full pass at 100 TB."""
+    from docker_etl_spark.sources.io import load_table, write_table
+
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    before = _job_count(spark)
+    write_table(df, str(tmp_path / "dry"), write=False)
+    assert _job_count(spark) == before
+    import os
+
+    assert not os.path.exists(tmp_path / "dry")
+
+
+# ---------------------------------------------------------------------
+# single-writer lease on the incremental stores
+# ---------------------------------------------------------------------
+
+
+def test_store_writer_lock_blocks_second_writer(tmp_path):
+    from docker_etl_spark.sources.stores import (
+        ConcurrentWriteError,
+        store_writer_lock,
+    )
+
+    path = str(tmp_path / "some_store")
+    with store_writer_lock(path, owner="w1"):
+        with pytest.raises(ConcurrentWriteError, match="locked by another"):
+            with store_writer_lock(path, owner="w2"):
+                pass
+    # released: a new writer acquires cleanly
+    with store_writer_lock(path, owner="w3"):
+        pass
+
+
+def test_store_writer_lock_stale_break_and_broken_lease(tmp_path):
+    """A crashed writer's old lease can be broken via stale_after_sec;
+    the original writer then fails LOUDLY on release (its mutations
+    may have interleaved) instead of reporting success."""
+    import os
+    import time
+
+    from docker_etl_spark.sources.stores import (
+        ConcurrentWriteError,
+        store_writer_lock,
+    )
+
+    path = str(tmp_path / "store2")
+    lock = path + ".__writer_lock"
+    with pytest.raises(ConcurrentWriteError, match="broken mid-write"):
+        with store_writer_lock(path, owner="old"):
+            # age the lease, then a second writer breaks it
+            past = time.time() - 3600
+            os.utime(lock, (past, past))
+            with store_writer_lock(path, owner="breaker", stale_after_sec=60):
+                pass
+    # without stale_after_sec an old lease still blocks
+    with store_writer_lock(path, owner="w1"):
+        os.utime(lock, (time.time() - 3600,) * 2)
+        with pytest.raises(ConcurrentWriteError):
+            with store_writer_lock(path, owner="w2"):
+                pass
+
+
+def test_write_signature_store_holds_lease(spark, sf_dir, tmp_path):
+    """The store writers acquire the lease — a concurrent holder makes
+    the append fail loudly instead of interleaving."""
+    from docker_etl_spark.operators.text_dedup import (
+        minhash_signature,
+        word_shingles,
+        write_signature_store,
+    )
+    from docker_etl_spark.sources.io import load_table
+    from docker_etl_spark.sources.stores import (
+        ConcurrentWriteError,
+        store_writer_lock,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    sigs = docs.select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    path = str(tmp_path / "locked_store")
+    with store_writer_lock(path, owner="other-job"):
+        with pytest.raises(ConcurrentWriteError):
+            write_signature_store(sigs, path, bands=3, num_perm=12)
+    write_signature_store(sigs, path, bands=3, num_perm=12)  # lease freed
+
+
+# ---------------------------------------------------------------------
+# store compaction (partition-layout-preserving)
+# ---------------------------------------------------------------------
+
+
+def test_compact_partitioned_store_bounds_files_same_results(
+    spark, sf_dir, tmp_path
+):
+    """Fragment a signature store with many small appends (the
+    streaming pattern), compact, and require: dedup results
+    bit-identical, file count bounded, PartitionFilters still prune."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        load_signature_store,
+        minhash_signature,
+        word_shingles,
+        write_signature_store,
+    )
+    from docker_etl_spark.sources.io import load_table
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        parquet_file_count,
+        parquet_row_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "frag_store")
+    for i in range(4):  # 4 fragmented appends
+        chunk = docs.filter(F.col("doc_id") % 8 == 2 * i)
+        sigs = chunk.select(
+            "doc_id",
+            minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+        )
+        write_signature_store(
+            sigs, path, bands=3, num_perm=12,
+            mode="overwrite" if i == 0 else "append",
+        )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(30)
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                incremental_minhash_dedup(
+                    batch, load_signature_store(spark, path), store_exploded=True
+                ).collect(),
+            )
+        )
+
+    before_rows = parquet_row_count(path)
+    before_files = parquet_file_count(path)
+    before = run()
+    stats = compact_partitioned_store(spark, path, ("band",))
+    assert parquet_row_count(path) == before_rows == stats["rows"]
+    # 3 band partitions -> at most one right-sized file each
+    assert parquet_file_count(path) <= 3 < before_files
+    assert run() == before
+    # partition pruning survives the rewrite
+    from tests.test_physical_plans import formatted
+
+    pruned = incremental_minhash_dedup(
+        batch, load_signature_store(spark, path),
+        store_exploded=True, probe_bands=[0],
+    )
+    pf = [
+        l for l in formatted(pruned).splitlines() if "PartitionFilters" in l
+    ]
+    assert pf and any("band" in l for l in pf), pf
+
+
+# ---------------------------------------------------------------------
+# streaming sink redelivery idempotence
+# ---------------------------------------------------------------------
+
+
+def test_minhash_stream_out_is_idempotent_per_batch(spark, sf_dir, tmp_path):
+    """Redelivering a batch (same batch_id) must REPLACE its out
+    partition, not append duplicates — the at-least-once window the
+    r5 ADVICE flagged."""
+    from docker_etl_spark.sources.io import load_table
+    from docker_etl_spark.streaming import minhash_dedup_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    store = str(tmp_path / "re_store")
+    out = str(tmp_path / "re_out")
+    sink = minhash_dedup_stream(store, out)
+    sink(docs, 0)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    sink(docs, 0)  # redelivery
+    second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == second  # no duplication
+    # store re-append is results-neutral: a later batch of the same
+    # docs is still fully flagged as duplicates
+    sink(docs.withColumn("doc_id", F.col("doc_id") + 10_000), 1)
+    third = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert third == second  # every redelivered doc deduped
+
+
+def test_minhash_stream_compacts_store_every_n_batches(
+    spark, sf_dir, tmp_path
+):
+    """compact_every=2 must leave the store compacted after batch 1
+    with unchanged dedup behaviour."""
+    from docker_etl_spark.sources.io import load_table
+    from docker_etl_spark.sources.stores import parquet_file_count
+    from docker_etl_spark.streaming import minhash_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "cs_store")
+    out = str(tmp_path / "cs_out")
+    sink = minhash_dedup_stream(store, out, compact_every=2)
+    sink(docs.filter(F.col("doc_id") % 4 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 4 == 1), 1)  # triggers compaction
+    assert parquet_file_count(store) <= 3  # one file per band partition
+    # compacted store still dedups: redeliver batch-0 docs as new ids
+    dup = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    )
+    sink(dup, 2)
+    batch2 = [
+        r.doc_id
+        for r in spark.read.parquet(out).filter("__batch_id = 2").collect()
+    ]
+    assert batch2 == []  # all flagged against the compacted store
