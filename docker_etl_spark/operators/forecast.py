@@ -233,6 +233,118 @@ def fit_predict_segments(
     return norm.groupBy(*segment_cols).applyInPandas(fit, schema=out_schema)
 
 
+def _hw_update_sql(alpha: float, beta: float, gamma: float, season: int) -> dict:
+    """SQL fragments for one additive Holt-Winters update, shared by
+    the JVM fold and (structurally) the DuckDB oracle. ``l_new`` is
+    textually duplicated inside ``b``/``s`` (SQL lambdas have no let-
+    binding); identical expression text → identical IEEE evaluation,
+    which is what makes the recipe oracle-pairable. Complement
+    coefficients are PRE-RENDERED literals (``1-alpha`` computed once
+    in Python), so both engines parse the same decimal strings."""
+    a, b_, g = repr(float(alpha)), repr(float(beta)), repr(float(gamma))
+    ca, cb, cg = (
+        repr(1.0 - float(alpha)),
+        repr(1.0 - float(beta)),
+        repr(1.0 - float(gamma)),
+    )
+    l_new = f"{a} * (y - element_at(acc.s, 1)) + {ca} * (acc.l + acc.b)"
+    return {
+        "l": l_new,
+        "b": f"{b_} * (({l_new}) - acc.l) + {cb} * acc.b",
+        "s": (
+            f"concat(slice(acc.s, 2, {season - 1}), "
+            f"array({g} * (y - ({l_new})) + {cg} * element_at(acc.s, 1)))"
+        ),
+    }
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    segment_cols: Sequence[str],
+    date_col: str = "ds",
+    value_col: str = "y",
+    horizon_days: int = 14,
+    alpha: float = 0.5,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    season: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per
+    segment, as a PURE JVM expression fold — the engine-native
+    forecasting backend next to :func:`fit_predict_segments`'s pandas
+    models (reference analogue: the Prophet per-segment fit,
+    kpi_forecasting/models/prophet_forecast.py:45-60, re-expressed as
+    a deterministic closed recipe instead of an MCMC fit).
+
+    Recipe (fixed, fully specified — that is what makes it
+    ORACLE-PAIRABLE, f10): per segment order the series by date, then
+
+    - init from the first two seasons: ``l0 = mean(y[0:m])``,
+      ``b0 = (mean(y[m:2m]) - l0) / m``, ``s0[i] = y[i] - l0``;
+    - fold every observation through the standard additive update
+      ``l' = α(y - s_head) + (1-α)(l + b)``,
+      ``b' = β(l' - l) + (1-β)b``,
+      ``s'  = rotate(s) + [γ(y - l') + (1-γ)s_head]`` (the seasonal
+      vector is a rotating queue, so no time index is threaded);
+    - forecast ``h = 1..horizon``:
+      ``yhat = l + h·b + s[(h-1) mod m]`` dated ``last_ds + h``.
+
+    Execution shape: one groupBy collects each segment's series into
+    a row (same per-segment-fits-in-memory contract as the pandas
+    path — a segment is a time series, thousands of points at most),
+    then everything is ``aggregate``/``transform`` HOFs — zero Python
+    stages, zero extra shuffles beyond the one groupBy, and the fold
+    is whole-stage-codegen-able. Parallelism is across segments,
+    exactly like the reference's per-segment Prophet scheduling.
+
+    Segments shorter than two seasons are dropped (no init basis);
+    count them upstream if that needs surfacing. All arithmetic is
+    IEEE double in a pinned evaluation order, so any engine replaying
+    the recipe (the DuckDB recursive-CTE oracle does) reproduces every
+    bit. Returns (``*segment_cols``, ds, yhat) forecast rows only.
+    """
+    segs = [str(c) for c in segment_cols]
+    m = int(season)
+    norm = df.select(
+        *segs,
+        F.col(date_col).cast("date").alias("__ds"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    series = (
+        norm.groupBy(*segs)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__ds"), F.col("__y")))
+            ).alias("pts")
+        )
+        .withColumn("ys", F.expr("transform(pts, p -> p.__y)"))
+        .withColumn("last_ds", F.expr("element_at(pts, -1).__ds"))
+        .filter(F.size("ys") >= 2 * m)
+    )
+    # init means as explicit left folds (DuckDB's list_reduce matches
+    # aggregate's (((0+y1)+y2)+...) order bit-for-bit)
+    fold_sum = "aggregate(slice(ys, {start}, {m}), cast(0 as double), (a, x) -> a + x)"
+    l0 = f"({fold_sum.format(start=1, m=m)} / {m})"
+    b0 = f"(({fold_sum.format(start=m + 1, m=m)} / {m} - {l0}) / {m})"
+    s0 = f"transform(slice(ys, 1, {m}), x -> x - {l0})"
+    upd = _hw_update_sql(alpha, beta, gamma, m)
+    state = (
+        f"aggregate(ys, named_struct('l', {l0}, 'b', {b0}, 's', {s0}), "
+        f"(acc, y) -> named_struct('l', {upd['l']}, 'b', {upd['b']}, "
+        f"'s', {upd['s']}))"
+    )
+    fc = (
+        f"transform(sequence(1, {int(horizon_days)}), h -> named_struct("
+        f"'ds', date_add(last_ds, h), "
+        f"'yhat', __hw.l + h * __hw.b + element_at(__hw.s, ((h - 1) % {m}) + 1)))"
+    )
+    return (
+        series.withColumn("__hw", F.expr(state))
+        .select(*segs, F.explode(F.expr(fc)).alias("__f"))
+        .select(*segs, F.col("__f.ds").alias("ds"), F.col("__f.yhat").alias("yhat"))
+    )
+
+
 def combine_observed_forecast(
     observed: DataFrame,
     forecast: DataFrame,

@@ -2506,6 +2506,79 @@ def f09_forecast_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# f10 — Holt-Winters per-segment forecasting as a JVM expression fold
+# (operators/forecast.holt_winters_forecast): the ORACLE-PAIRED
+# sibling of f09 (whose numpy polyfit model is rows-only by design).
+# The recipe is a fixed, fully-specified additive triple smoothing —
+# deterministic IEEE double arithmetic in a pinned evaluation order —
+# so DuckDB replays it bit-for-bit with a recursive CTE carrying
+# (l, b, seasonal-queue) state. Fixture: daily event COUNTS per
+# event_type (integer-exact inputs), 14-day horizon, m=7.
+# ---------------------------------------------------------------------------
+
+_F10_A, _F10_CA = "0.5", "0.5"
+_F10_B, _F10_CB = "0.1", "0.9"
+_F10_G, _F10_CG = "0.2", "0.8"
+_F10_LNEW = f"{_F10_A} * (ys[t + 1] - s[1]) + {_F10_CA} * (l + b)"
+
+_F10_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS seg, CAST(ts AS DATE) AS ds,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT seg, list(y ORDER BY ds) AS ys, MAX(ds) AS last_ds,
+         COUNT(*) AS n
+  FROM daily GROUP BY seg
+),
+init AS (
+  SELECT seg, ys, last_ds, n,
+         list_reduce(ys[1:7], (a, x) -> a + x) / 7 AS l0
+  FROM series WHERE n >= 14
+),
+hw AS (
+  SELECT seg, ys, last_ds, n, 0 AS t,
+         l0 AS l,
+         (list_reduce(ys[8:14], (a, x) -> a + x) / 7 - l0) / 7 AS b,
+         list_transform(ys[1:7], x -> x - l0) AS s
+  FROM init
+  UNION ALL
+  SELECT seg, ys, last_ds, n, t + 1,
+         {_F10_LNEW},
+         {_F10_B} * (({_F10_LNEW}) - l) + {_F10_CB} * b,
+         list_concat(s[2:7],
+           [{_F10_G} * (ys[t + 1] - ({_F10_LNEW})) + {_F10_CG} * s[1]])
+  FROM hw WHERE t < n
+),
+fin AS (SELECT * FROM hw WHERE t = n)
+SELECT seg AS event_type,
+       last_ds + CAST(h.h AS INTEGER) AS ds,
+       l + h.h * b + s[((h.h - 1) % 7) + 1] AS yhat
+FROM fin, (SELECT unnest(range(1, 15)) AS h) h
+"""
+
+
+@register("f10_holt_winters_forecast", oracle=_F10_ORACLE)
+def f10_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters per event_type over daily event counts —
+    the JVM-fold forecasting backend under the full differential
+    contract (every smoothed level/trend/seasonal bit replayed by the
+    oracle's recursive CTE). See holt_winters_forecast for the 100 TB
+    shape (one groupBy; parallel across segments; zero Python)."""
+    from docker_etl_spark.operators.forecast import holt_winters_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("ds")
+    ).agg(F.count("*").cast("double").alias("y"))
+    return holt_winters_forecast(
+        daily, ["event_type"], horizon_days=14,
+        alpha=0.5, beta=0.1, gamma=0.2, season=7,
+    )
+
+
 # The stub decode is sha256-deterministic, so the oracle can replay
 # it: luma = int(sha256(utf8)[:4 bytes]) / 2^32 * 255, checksummed as
 # exact integers (SUM of floor(luma * 1e6) — order-independent,

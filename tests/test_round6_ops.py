@@ -74,6 +74,71 @@ def test_semantic_dedup_tier_skip_when_probe_bounds_buckets(spark):
 
 
 # ---------------------------------------------------------------------
+# Holt-Winters JVM fold (f10)
+# ---------------------------------------------------------------------
+
+
+def _hw_reference(ys, horizon, alpha, beta, gamma, m):
+    """The recipe as a plain Python loop — same IEEE ops in the same
+    order as the JVM fold, so equality must be EXACT."""
+    l = sum(ys[:m]) / m
+    b = (sum(ys[m : 2 * m]) / m - l) / m
+    s = [y - l for y in ys[:m]]
+    for y in ys:
+        head = s[0]
+        l_new = alpha * (y - head) + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        s = s[1:] + [gamma * (y - l_new) + (1 - gamma) * head]
+        l = l_new
+    return [l + h * b + s[(h - 1) % m] for h in range(1, horizon + 1)]
+
+
+def test_holt_winters_fold_matches_reference_bitexact(spark):
+    import datetime as dt
+
+    from docker_etl_spark.operators.forecast import holt_winters_forecast
+
+    ys = [
+        10.0, 12.5, 9.25, 14.0, 11.75, 8.5, 13.0,
+        10.5, 13.25, 9.75, 14.5, 12.0, 9.0, 13.5,
+        11.0, 13.75, 10.25, 15.0, 12.5, 9.5, 14.0,
+        11.5, 14.25, 10.75, 15.5, 13.0,
+    ]
+    rows = [
+        ("a", dt.date(2024, 1, 1) + dt.timedelta(days=i), y)
+        for i, y in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "seg string, ds date, y double")
+    out = holt_winters_forecast(
+        df, ["seg"], horizon_days=10, alpha=0.5, beta=0.1, gamma=0.2, season=7
+    )
+    got = {r.ds: r.yhat for r in out.collect()}
+    want = _hw_reference(ys, 10, 0.5, 0.1, 0.2, 7)
+    for h, w in enumerate(want, start=1):
+        d = dt.date(2024, 1, 1) + dt.timedelta(days=len(ys) - 1 + h)
+        assert got[d] == w  # exact, not approx
+
+    # plan shape: zero Python stages, exactly one shuffle (the groupBy)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_holt_winters_drops_short_segments(spark):
+    import datetime as dt
+
+    from docker_etl_spark.operators.forecast import holt_winters_forecast
+
+    rows = [
+        ("short", dt.date(2024, 1, 1) + dt.timedelta(days=i), float(i))
+        for i in range(10)  # < 2 seasons
+    ]
+    df = spark.createDataFrame(rows, "seg string, ds date, y double")
+    assert holt_winters_forecast(df, ["seg"]).count() == 0
+
+
+# ---------------------------------------------------------------------
 # scan-free dry-run (D6)
 # ---------------------------------------------------------------------
 
