@@ -13,6 +13,14 @@ from docker_etl_spark.sources.io import TESTDATA_TABLES
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf001: heavy-kernel differential tier at driver scale (sf0.01); "
+        'deselect with -m "not sf001" while iterating',
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(
