@@ -1155,6 +1155,12 @@ def incremental_embedding_dedup(
     if probe_tables is not None:
         new_b = new_b.filter(F.col("tbl").isin(*probe_tables))
         store_b = store_b.filter(F.col("tbl").isin(*probe_tables))
+    # Batch side feeds up to five consumers (hot count, anti-join,
+    # store join, both self-join sides) — barrier it once so the
+    # bucket hashing runs once per batch row. The store side is never
+    # cached (at 100 TB it is the corpus); see
+    # text_dedup.incremental_minhash_dedup for the same discipline.
+    new_b = new_b.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (
             store_b.select("tbl", "bkt")
@@ -1165,7 +1171,9 @@ def incremental_embedding_dedup(
             .select("tbl", "bkt")
         )
         store_b = store_b.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
-        new_b = new_b.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
+        new_b = new_b.join(
+            F.broadcast(hot), ["tbl", "bkt"], "left_anti"
+        ).localCheckpoint(eager=False)
 
     def cosine(v_other: str, n_other: str) -> Column:
         return dot_int(F.col("new_vec"), F.col(v_other)).cast("double") / F.sqrt(

@@ -665,6 +665,14 @@ def incremental_minhash_dedup(
         # reads only the probed bands' directories.
         new_b = new_b.filter(F.col("band").isin(*probe_bands))
         store_b = store_b.filter(F.col("band").isin(*probe_bands))
+    # The batch band-frame feeds up to FIVE consumers (hot-bucket
+    # count, its own anti-join, the store join, and both sides of the
+    # in-batch self-join); without a barrier each re-derives the band
+    # md5 keys from the signature checkpoint. The batch is small by
+    # definition (it is the incremental delta), so caching its narrow
+    # (id, sig, band, bkey) rows is always safe — the STORE side is
+    # deliberately NOT cached (at 100 TB it is the corpus).
+    new_b = new_b.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (
             store_b.select("band", "bkey")
@@ -675,7 +683,9 @@ def incremental_minhash_dedup(
             .select("band", "bkey")
         )
         store_b = store_b.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
-        new_b = new_b.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+        new_b = new_b.join(
+            F.broadcast(hot), ["band", "bkey"], "left_anti"
+        ).localCheckpoint(eager=False)  # 3 joins consume the guarded batch
 
     est = signature_match_fraction(
         F.col("new_sig"), F.col("other_sig"), num_perm
