@@ -11,13 +11,21 @@ Decode dispatch is PER PAYLOAD, best capability first:
 
 1. PIL, when importable (the production fast path — absent here);
 2. the pure-stdlib PNG codec (:mod:`docker_etl_spark.operators._png`,
-   zlib + struct) for payloads carrying the PNG signature — a REAL
-   pixel decode with no dependency, so the kernel is
-   capability-tested in this container;
+   zlib + struct) for payloads carrying the PNG signature, and the
+   pure-stdlib baseline-JFIF codec
+   (:mod:`docker_etl_spark.operators._jpeg`, Huffman + IDCT) for
+   baseline JPEGs — REAL pixel decodes with no dependency, so the
+   kernel is capability-tested in this container on the two dominant
+   raster formats;
 3. a clearly-marked deterministic fake (``decoder='stub'``,
-   sha256-derived) for everything else, keeping the Spark-side
-   plumbing (schema, partitioning, UDF signature, Arrow batch shape)
-   exercised on arbitrary bytes — never silently wrong.
+   sha256-derived) for everything else (progressive JPEG, webp,
+   video…), keeping the Spark-side plumbing (schema, partitioning,
+   UDF signature, Arrow batch shape) exercised on arbitrary bytes —
+   never silently wrong.
+
+:func:`detect_media_format` is the JVM-side (magic-byte) container
+census — grouping on it next to ``decoder`` makes per-format stub
+rates a visible, queryable number for any corpus (m01 surfaces it).
 """
 
 from __future__ import annotations
@@ -28,10 +36,10 @@ from collections.abc import Iterator, Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docker_etl_spark.operators import _png
+from docker_etl_spark.operators import _jpeg, _png
 
 try:  # pragma: no cover - optional dependency
     from PIL import Image  # type: ignore  # noqa: F401
@@ -77,6 +85,11 @@ def _pixel_stats(payload: bytes, width: int, height: int) -> tuple[float, str]:
             return _png.mean_luma(_png.decode_png(b)), "png-stdlib"
         except _png.PngFormatError:
             pass
+    if b[:2] == _jpeg.JPEG_MAGIC:
+        try:
+            return _png.mean_luma(_jpeg.decode_jpeg(b)), "jpeg-stdlib"
+        except _jpeg.JpegFormatError:
+            pass  # progressive/arithmetic/truncated -> stub
     return _stub_pixel_stats(b, width, height)
 
 
@@ -154,6 +167,15 @@ def resize_images(
                 return _png.encode_png(arr[ys][:, xs]), "png-stdlib"
             except _png.PngFormatError:
                 pass
+        if b[:2] == _jpeg.JPEG_MAGIC:
+            try:
+                arr = _jpeg.decode_jpeg(b)
+                h, w = arr.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                return _jpeg.encode_jpeg(arr[ys][:, xs]), "jpeg-stdlib"
+            except _jpeg.JpegFormatError:
+                pass
         return b, "stub"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -203,6 +225,27 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def detect_media_format(content: Column | str) -> Column:
+    """Container-format census by magic bytes — a pure JVM expression
+    (hex-prefix compare on the binary column), so the per-corpus
+    format mix is one map-side aggregation over 100 TB, never a
+    Python stage. Formats whose signatures cannot appear in valid
+    UTF-8 (png's \\x89, jpeg's \\xFF\\xD8) are exact; gif's ASCII
+    signature is detected byte-for-byte. Returns
+    'png' | 'jpeg' | 'gif' | 'unknown'."""
+    c = F.col(content) if isinstance(content, str) else content
+    b8 = F.hex(F.substring(c, 1, 8))
+    return (
+        F.when(b8 == "89504E470D0A1A0A", F.lit("png"))
+        .when(F.substring(b8, 1, 4) == "FFD8", F.lit("jpeg"))
+        .when(
+            F.substring(b8, 1, 12).isin("474946383761", "474946383961"),
+            F.lit("gif"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
 
 
 def media_table_from_documents(

@@ -2590,14 +2590,17 @@ WITH v AS (
            i -> CAST(strpos('0123456789abcdef',
                             substring(substring(sha256(text), 1, 8), i, 1)) - 1
                      AS BIGINT)
-                * CAST(16 ** (8 - i) AS BIGINT))) AS iv
+                * CAST(16 ** (8 - i) AS BIGINT))) AS iv,
+         CASE WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' THEN 'gif'
+              ELSE 'unknown' END AS format
   FROM documents
 )
 SELECT 'stub' AS decoder,
+       format,
        CAST(COUNT(*) AS BIGINT) AS n_media,
        CAST(SUM(CAST(FLOOR(iv / 4294967296.0 * 255.0 * 1000000.0) AS BIGINT))
             AS BIGINT) AS luma_checksum
-FROM v
+FROM v GROUP BY format
 """
 
 
@@ -2616,16 +2619,24 @@ def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning) is real; only the pixel decode is faked — and the
     fake is sha256-exact, so the whole Arrow round-trip is now
     ORACLE-CHECKED (byte fidelity through encode → Arrow → kernel
-    digest must match DuckDB hashing the same utf-8 text)."""
+    digest must match DuckDB hashing the same utf-8 text). Output
+    carries the (decoder, format) MIX — the magic-byte container
+    census next to which codec actually handled each payload — so a
+    corpus's stub rate is a visible per-format number, not a silent
+    fallback (stdlib PNG and baseline-JPEG payloads decode for real;
+    everything else is labelled)."""
     from docker_etl_spark.operators.multimodal import (
         decode_image_features,
+        detect_media_format,
         media_table_from_documents,
     )
 
     d = load_table(spark, sf_dir, "documents")
     media = media_table_from_documents(d, kind="image")
-    feats = decode_image_features(media)
-    return feats.groupBy("decoder").agg(
+    feats = decode_image_features(media).withColumn(
+        "format", detect_media_format("content")
+    )
+    return feats.groupBy("decoder", "format").agg(
         F.count("*").cast("bigint").alias("n_media"),
         F.sum(F.floor(F.col("mean_luma") * 1e6).cast("bigint"))
         .cast("bigint")

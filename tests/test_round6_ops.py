@@ -313,6 +313,173 @@ def test_compact_partitioned_store_bounds_files_same_results(
 
 
 # ---------------------------------------------------------------------
+# stdlib baseline-JFIF codec + multimodal dispatch
+# ---------------------------------------------------------------------
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(x * 3, 0, 255),
+            np.clip(y * 4, 0, 255),
+            np.clip(255 - x * 2, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+import numpy as np  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"subsampling": "444", "quality": 95},
+        {"subsampling": "420", "quality": 95},
+        {"subsampling": "444", "quality": 95, "restart_interval": 2},
+        {"subsampling": "420", "quality": 90, "restart_interval": 3},
+    ],
+)
+def test_jpeg_roundtrip_gradient(kw):
+    """Real pixels through encode → decode: smooth content must come
+    back within normal lossy tolerance at high quality (this also
+    exercises the decoder's interleaved-MCU upsample and restart
+    paths via the encoder options)."""
+    from docker_etl_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    arr = _gradient_rgb(40, 56)
+    dec = decode_jpeg(encode_jpeg(arr, **kw))
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 16
+
+
+def test_jpeg_flat_color_exact_and_gray():
+    """Flat fields are DC-only: decode must be EXACT (including the
+    YCbCr round-trip, whose forward/backward matrices are independent
+    formulas — a systematic transform bug cannot cancel out here)."""
+    from docker_etl_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    c = np.zeros((16, 16, 3), np.uint8)
+    c[:] = (200, 50, 100)
+    dec = decode_jpeg(encode_jpeg(c, quality=95))
+    assert np.abs(dec.astype(int) - c.astype(int)).max() <= 1
+    y, _ = np.mgrid[0:40, 0:56]
+    g = np.clip(y * 6, 0, 255).astype(np.uint8)[:, :, None]
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (3, 5, 3), (9, 17, 3)])
+@pytest.mark.parametrize("ss", ["444", "420"])
+def test_jpeg_odd_and_tiny_dimensions(shape, ss):
+    from docker_etl_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    a = (np.indices(shape[:2]).sum(0) * 17 % 256).astype(np.uint8)
+    a = np.stack([a] * shape[2], axis=-1)
+    dec = decode_jpeg(encode_jpeg(a, subsampling=ss, quality=95))
+    assert dec.shape == a.shape
+    assert np.abs(dec.astype(int) - a.astype(int)).max() <= 6
+
+
+def test_jpeg_rejects_garbage_and_unsupported():
+    from docker_etl_spark.operators._jpeg import JpegFormatError, decode_jpeg, encode_jpeg
+
+    for bad in (b"", b"\x89PNG", b"not a jpeg", b"\xff\xd8\xff\xdb\x00"):
+        with pytest.raises(JpegFormatError):
+            decode_jpeg(bad)
+    # truncated entropy data must raise, not return wrong pixels
+    good = encode_jpeg(_gradient_rgb(24, 24), quality=90)
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(good[: len(good) // 2])
+    # progressive SOF2 marker refused explicitly
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(JpegFormatError, match="SOF"):
+        decode_jpeg(bytes(prog))
+
+
+def test_decode_image_features_real_jpeg_capability(spark):
+    """A REAL JPEG payload through the Spark kernel: decoder column
+    says jpeg-stdlib and mean_luma matches the numpy ground truth of
+    the decoded pixels."""
+    from docker_etl_spark.operators._jpeg import decode_jpeg, encode_jpeg
+    from docker_etl_spark.operators._png import mean_luma
+    from docker_etl_spark.operators.multimodal import decode_image_features
+
+    arr = _gradient_rgb(32, 48)
+    payload = encode_jpeg(arr, subsampling="420", quality=90)
+    want = mean_luma(decode_jpeg(payload))
+    rows = [
+        (1, bytearray(payload), {"kind": "image", "width": 48, "height": 32,
+                                 "n_frames": 1, "sample_rate": 0}),
+        (2, bytearray(b"opaque"), {"kind": "image", "width": 1, "height": 1,
+                                   "n_frames": 1, "sample_rate": 0}),
+    ]
+    from docker_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_image_features(df).collect()}
+    assert got[1].decoder == "jpeg-stdlib"
+    assert abs(got[1].mean_luma - want) < 1e-9
+    assert got[2].decoder == "stub"
+
+
+def test_resize_images_real_jpeg_capability(spark):
+    from docker_etl_spark.operators._jpeg import decode_jpeg, encode_jpeg
+    from docker_etl_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    payload = encode_jpeg(_gradient_rgb(32, 48), quality=95)
+    rows = [
+        (1, bytearray(payload), {"kind": "image", "width": 48, "height": 32,
+                                 "n_frames": 1, "sample_rate": 0}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, 12, 10).collect()[0]
+    assert out.resized_by == "jpeg-stdlib"
+    resized = decode_jpeg(bytes(out.content))
+    assert resized.shape == (10, 12, 3)
+    assert out.meta["width"] == 12 and out.meta["height"] == 10
+
+
+def test_detect_media_format_census(spark):
+    """Magic-byte census is a JVM expression and labels the four
+    classes correctly."""
+    from docker_etl_spark.operators._jpeg import encode_jpeg
+    from docker_etl_spark.operators._png import encode_png
+    from docker_etl_spark.operators.multimodal import detect_media_format
+
+    png = encode_png(np.zeros((2, 2, 3), np.uint8))
+    jpg = encode_jpeg(np.zeros((2, 2, 3), np.uint8))
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(jpg)),
+        (3, bytearray(b"GIF89a....")),
+        (4, bytearray(b"who knows")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r.id: r.fmt
+        for r in df.select(
+            "id", detect_media_format("content").alias("fmt")
+        ).collect()
+    }
+    assert got == {1: "png", 2: "jpeg", 3: "gif", 4: "unknown"}
+    plan = (
+        df.select(detect_media_format("content"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan  # census never leaves the JVM
+
+
+# ---------------------------------------------------------------------
 # streaming sink redelivery idempotence
 # ---------------------------------------------------------------------
 
