@@ -537,3 +537,34 @@ def test_minhash_stream_compacts_store_every_n_batches(
         for r in spark.read.parquet(out).filter("__batch_id = 2").collect()
     ]
     assert batch2 == []  # all flagged against the compacted store
+
+
+def test_embedding_stream_idempotent_and_compacts(spark, sf_dir, tmp_path):
+    """The embedding sink shares the delivery contract: redelivered
+    batch replaces its out partition; compact_every preserves the tbl
+    partition layout and dedup behaviour."""
+    from docker_etl_spark.sources.io import load_table
+    from docker_etl_spark.sources.stores import parquet_file_count
+    from docker_etl_spark.streaming import embedding_dedup_stream
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    store = str(tmp_path / "es_store")
+    out = str(tmp_path / "es_out")
+    sink = embedding_dedup_stream(
+        store, out, dim=64, threshold=0.99, compact_every=2
+    )
+    b0 = em.filter(F.col("vec_id") % 3 == 0)
+    sink(b0, 0)
+    first = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    sink(b0, 0)  # redelivery replaces, store re-append results-neutral
+    assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == first
+    sink(em.filter(F.col("vec_id") % 3 == 1), 1)  # triggers compaction
+    assert parquet_file_count(store) <= 2  # one file per tbl partition
+    # exact copies of batch-0 vectors at new ids: all flagged
+    dup = b0.withColumn("vec_id", F.col("vec_id") + 70_000)
+    sink(dup, 2)
+    assert (
+        spark.read.parquet(out).filter("__batch_id = 2").count() == 0
+    )
