@@ -892,3 +892,165 @@ def dedup_repeated_chunks(
             / n_chunks.cast("double")
         ).alias("removed_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact substring dedup (windowed-hash variant)
+# ---------------------------------------------------------------------------
+
+
+def _sliding_starts(toks: Column, k: int) -> Column:
+    """1-based start positions of every k-token sliding window
+    (stride 1); empty for documents shorter than k tokens."""
+    return F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+
+
+def _remove_spans(base: DataFrame, hits: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared reassembly for span-removal ops: ``base`` carries
+    (id, __toks); ``hits`` carries (id, pos) span starts to cut.
+    A token survives iff no removed span [s, s+k) covers it. Per-doc
+    state is the sorted start list — O(n_tokens) bounded by document
+    length, never corpus size, so the per-doc mask is a map-side HOF."""
+    cov = hits.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("__starts")
+    )
+    starts = F.coalesce(F.col("__starts"), F.expr("cast(array() as array<int>)"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("__toks")),
+        lambda p: ~F.exists(starts, lambda s: (p >= s) & (p < s + F.lit(k))),
+    )
+    n = F.size("__toks")
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at(F.col("__toks"), p)), " "
+            ).alias("clean_text"),
+            n.cast("long").alias("n_tokens"),
+            (n - F.size(kept)).cast("long").alias("n_removed"),
+            ((n - F.size(kept)).cast("double") / n.cast("double")).alias(
+                "removed_frac"
+            ),
+        )
+    )
+
+
+def cross_doc_span_dedup(
+    docs: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-document exact substring dedup: any k-token window whose
+    text occurs in >= ``min_docs`` distinct documents is a duplicated
+    span; the minimum-id document containing the window text is its
+    owner and keeps it, every other document has the covering tokens
+    cut. The windowed-hash variant of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") — exact-match spans, not near-dups, the gap
+    MinHash/SimHash (x05/x10) and chunk-hash passage dedup (x34/x40)
+    all leave open: those operate at document or fixed-chunk
+    granularity, this removes arbitrary-alignment repeated substrings
+    while both source documents otherwise survive.
+
+    Scale shape: stride-1 windows emit ~one narrow row per corpus
+    token — (xxhash64, id, pos), the documented cost of exact
+    substring coverage (the suffix array's O(n) memory turned into
+    an O(n)-row shuffle Spark can spill). Two shuffles on the 8-byte
+    window hash (partial-agg'd groupBy computing df + owner together,
+    then the hit join) and one groupBy on ``id_col``; the reassembly
+    mask is a map-side HOF. Hot windows (boilerplate present in
+    millions of docs) fan the hit join out linearly in true
+    occurrence count — that is the spec, AQE skew-join splits the
+    hot hash keys; run :func:`strip_boilerplate` first to shrink
+    that tail. Reference analogue: the reference dedups at row
+    granularity only (SURVEY §2.6 W1/W2, e.g.
+    jobs/search-alert/search_alert/main.py dedup passes); span-level
+    dedup is the training-corpus extension.
+
+    Returns (id, clean_text, n_tokens, n_removed, removed_frac).
+    """
+    base = docs.select(F.col(id_col), doc_tokens(text_col).alias("__toks"))
+    wins = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(_sliding_starts(F.col("__toks"), k)).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.array_join(F.slice("__toks", F.col("pos"), k), " ")).alias(
+            "__wkey"
+        ),
+    )
+    dup = (
+        wins.groupBy("__wkey")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__df"),
+            F.min(F.col(id_col)).alias("__owner"),
+        )
+        .filter(F.col("__df") >= min_docs)
+        .select("__wkey", "__owner")
+    )
+    hits = (
+        wins.join(dup, "__wkey")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(F.col(id_col), "pos")
+    )
+    return _remove_spans(base, hits, k, id_col)
+
+
+def scrub_benchmark_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level eval decontamination: cut every k-token window of a
+    training document whose text appears ANYWHERE in the benchmark
+    set — the removal counterpart of :func:`contamination_check`
+    (which only scores overlap). The published n-gram
+    decontamination recipe (GPT-3 appendix C-style k-gram scrub):
+    documents survive, only the leaked spans are excised.
+
+    The benchmark window set is distinct-ed and BROADCAST (eval sets
+    are tiny next to a 100 TB corpus); the corpus side is one
+    map-side explode + broadcast semi-join + per-doc groupBy — no
+    corpus-wide shuffle on window text.
+
+    Returns (id, clean_text, n_tokens, n_removed, removed_frac).
+    """
+    base = docs.select(F.col(id_col), doc_tokens(text_col).alias("__toks"))
+    b_toks = benchmark.select(doc_tokens(text_col).alias("__toks"))
+    b_wins = (
+        b_toks.select(
+            F.explode(
+                F.transform(
+                    _sliding_starts(F.col("__toks"), k),
+                    lambda s: F.xxhash64(
+                        F.array_join(F.slice("__toks", s, k), " ")
+                    ),
+                )
+            ).alias("__wkey")
+        )
+        .distinct()
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(_sliding_starts(F.col("__toks"), k)).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.array_join(F.slice("__toks", F.col("pos"), k), " ")).alias(
+            "__wkey"
+        ),
+    )
+    hits = wins.join(F.broadcast(b_wins), "__wkey", "left_semi").select(
+        F.col(id_col), "pos"
+    )
+    return _remove_spans(base, hits, k, id_col)

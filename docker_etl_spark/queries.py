@@ -7334,3 +7334,138 @@ def x52_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_other_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x54 — CROSS-document exact substring dedup
+# (operators/corpus.cross_doc_span_dedup): the windowed-hash variant
+# of suffix-array substring dedup (Lee et al. 2022). Any 6-token
+# window occurring in >= 2 distinct documents is owned by the min-id
+# document; every other document has the covering tokens excised.
+# The engine groups on xxhash64(window_text); the oracle groups on
+# window text itself, so a hash-match additionally certifies zero
+# xxhash64 collisions on this corpus. Complements x05/x10 (document
+# granularity) and x34/x40 (fixed-chunk granularity) with
+# arbitrary-alignment span granularity.
+# ---------------------------------------------------------------------------
+
+_X54_K = 6
+
+_X54_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) >= {_X54_K}
+                     THEN range(1, len(w) - {_X54_K} + 2)
+                     ELSE CAST([] AS BIGINT[]) END) AS pos
+  FROM tok
+),
+wk AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(w, pos, pos + {_X54_K} - 1), ' ') AS wt
+  FROM wins
+),
+dup AS (
+  SELECT wt, min(doc_id) AS owner FROM wk
+  GROUP BY wt HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT wk.doc_id, wk.pos FROM wk JOIN dup ON wk.wt = dup.wt
+  WHERE wk.doc_id <> dup.owner
+),
+cov AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM hits GROUP BY doc_id),
+mask AS (
+  SELECT t.doc_id, t.w,
+         list_filter(range(1, len(t.w) + 1),
+           p -> len(list_filter(coalesce(c.starts, CAST([] AS BIGINT[])),
+                                s -> p >= s AND p < s + {_X54_K})) = 0) AS kept
+  FROM tok t LEFT JOIN cov c USING (doc_id))
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, p -> w[p]), ' '), '')
+           AS clean_text,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(w) - len(kept) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+           AS removed_frac
+FROM mask
+"""
+
+
+@register("x54_cross_doc_span_dedup", oracle=_X54_ORACLE)
+def x54_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring dedup over the documents table
+    (6-token windows, min-id owner keeps each duplicated span)."""
+    from docker_etl_spark.operators.corpus import cross_doc_span_dedup
+
+    d = load_docs_spread(spark, sf_dir)
+    return cross_doc_span_dedup(d, k=_X54_K)
+
+
+# ---------------------------------------------------------------------------
+# x55 — span-level eval decontamination
+# (operators/corpus.scrub_benchmark_spans): x17 SCORES benchmark
+# overlap; this one REMOVES it — every 4-token window of a corpus
+# document whose text appears anywhere in the benchmark set
+# (doc_id % 41 == 0, x17's convention) is excised, the GPT-3
+# appendix-C n-gram scrub. Benchmark window set broadcast; corpus
+# side never wide-shuffles on window text.
+# ---------------------------------------------------------------------------
+
+_X55_K = 4
+
+_X55_ORACLE = f"""
+WITH bench AS (
+  SELECT string_split(lower(text), ' ') AS w FROM documents
+  WHERE doc_id % 41 = 0
+),
+corpus AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE doc_id % 41 <> 0
+),
+bw AS (
+  SELECT DISTINCT array_to_string(list_slice(w, pos, pos + {_X55_K} - 1), ' ') AS wt
+  FROM (SELECT w,
+               unnest(CASE WHEN len(w) >= {_X55_K}
+                           THEN range(1, len(w) - {_X55_K} + 2)
+                           ELSE CAST([] AS BIGINT[]) END) AS pos
+        FROM bench)
+),
+wk AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(w, pos, pos + {_X55_K} - 1), ' ') AS wt
+  FROM (SELECT doc_id, w,
+               unnest(CASE WHEN len(w) >= {_X55_K}
+                           THEN range(1, len(w) - {_X55_K} + 2)
+                           ELSE CAST([] AS BIGINT[]) END) AS pos
+        FROM corpus)
+),
+hits AS (SELECT wk.doc_id, wk.pos FROM wk JOIN bw USING (wt)),
+cov AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM hits GROUP BY doc_id),
+mask AS (
+  SELECT t.doc_id, t.w,
+         list_filter(range(1, len(t.w) + 1),
+           p -> len(list_filter(coalesce(c.starts, CAST([] AS BIGINT[])),
+                                s -> p >= s AND p < s + {_X55_K})) = 0) AS kept
+  FROM corpus t LEFT JOIN cov c USING (doc_id))
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, p -> w[p]), ' '), '')
+           AS clean_text,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(w) - len(kept) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+           AS removed_frac
+FROM mask
+"""
+
+
+@register("x55_benchmark_span_scrub", oracle=_X55_ORACLE)
+def x55_benchmark_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: 4-token windows leaked
+    from the benchmark set (doc_id % 41 == 0) are cut from every
+    other document."""
+    from docker_etl_spark.operators.corpus import scrub_benchmark_spans
+
+    d = load_docs_spread(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    corpus = d.filter(F.col("doc_id") % 41 != 0)
+    return scrub_benchmark_spans(corpus, bench, k=_X55_K)

@@ -568,3 +568,79 @@ def test_embedding_stream_idempotent_and_compacts(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(out).filter("__batch_id = 2").count() == 0
     )
+
+
+# ---------------------------------------------------------------------
+# cross-document span dedup + benchmark span scrub (x54 / x55)
+# ---------------------------------------------------------------------
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_doc_span_dedup_owner_keeps_span(spark):
+    """A k-token window shared by two docs is cut from the non-owner
+    only; the min-id owner and unrelated docs are untouched."""
+    from docker_etl_spark.operators.corpus import cross_doc_span_dedup
+
+    d = _span_docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z"),
+            (3, "p q r"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in cross_doc_span_dedup(d, k=3).collect()
+    }
+    assert got[1]["clean_text"] == "a b c d e f"
+    assert got[1]["n_removed"] == 0
+    # doc 2: hits at pos 3 ("a b c") and 4 ("b c d") -> tokens 3-6 cut
+    assert got[2]["clean_text"] == "x y z"
+    assert got[2]["n_removed"] == 4
+    assert got[2]["n_tokens"] == 7
+    assert abs(got[2]["removed_frac"] - 4 / 7) < 1e-12
+    assert got[3]["clean_text"] == "p q r"
+    assert got[3]["n_removed"] == 0
+
+
+def test_cross_doc_span_dedup_short_docs_pass_through(spark):
+    """Documents shorter than k tokens emit no windows and survive
+    verbatim (the sequence() count-down corner)."""
+    from docker_etl_spark.operators.corpus import cross_doc_span_dedup
+
+    d = _span_docs(spark, [(1, "a b"), (2, "a b"), (3, "a b c d")])
+    got = {r["doc_id"]: r["clean_text"] for r in cross_doc_span_dedup(d, k=3).collect()}
+    # the two 2-token twins are below window size: span dedup leaves
+    # them alone (document-level dedup is x03's job, not this op's)
+    assert got[1] == "a b" and got[2] == "a b"
+    assert got[3] == "a b c d"
+
+
+def test_scrub_benchmark_spans_cuts_leaked_windows_only(spark):
+    """Every corpus window whose text appears in the benchmark set is
+    excised; clean docs are untouched. The benchmark join must be a
+    broadcast semi-join (eval sets are tiny at 100 TB corpus scale)."""
+    from docker_etl_spark.operators.corpus import scrub_benchmark_spans
+
+    bench = _span_docs(spark, [(100, "the quick brown fox")])
+    corpus = _span_docs(
+        spark,
+        [
+            (1, "hello the quick brown fox jumps"),
+            (2, "nothing in common here at all"),
+        ],
+    )
+    out = scrub_benchmark_spans(corpus, bench, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # hits at pos 2 ("the quick brown") and 3 ("quick brown fox")
+    # -> tokens 2-5 cut
+    assert got[1]["clean_text"] == "hello jumps"
+    assert got[1]["n_removed"] == 4
+    assert got[2]["clean_text"] == "nothing in common here at all"
+    assert got[2]["n_removed"] == 0
