@@ -1054,3 +1054,115 @@ def scrub_benchmark_spans(
         F.col(id_col), "pos"
     )
     return _remove_spans(base, hits, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection toward a target set)
+# ---------------------------------------------------------------------------
+
+
+def _feature_buckets(toks: Column, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature buckets of a token array — the
+    DSIR feature map. Each feature hashes through the engine's
+    portable md5 bucket recipe (first 8 hex chars -> bigint ->
+    pmod), one array expression per row, no explode until the
+    caller asks for one."""
+    feats = F.concat(toks, ngram_array(toks, 2))
+    return F.transform(
+        feats,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ),
+    )
+
+
+def dsir_select(
+    source: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 2048,
+    k: int = 200,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    pick the ``k`` source documents whose hashed-n-gram distribution
+    looks most like a small high-quality ``target`` set. Both
+    distributions are bag-of-hashed-(uni+bi)gram models with add-1
+    smoothing over ``n_buckets`` buckets; a document's importance
+    weight is sum over its features of
+    ``ln((tc_b + 1)(S + m) / ((sc_b + 1)(T + m)))`` — quantized
+    per-BUCKET to ``round(scale * ln(...))`` so the per-document
+    accumulation is exact integer math (the x22/x46 recipe: one ln
+    per bucket at the dim edge, never per row; the only floating
+    step is bucket-count-determined, partition-order-free).
+
+    Scale shape: the corpus side is one explode to narrow
+    (id, bucket) rows with map-side partial aggregation into the
+    ≤ ``n_buckets``-row count dims; the weight dim is
+    vocabulary-bounded and BROADCAST into the scoring join, so
+    scoring is map-side + one groupBy(id). Selection is a global
+    top-k — TakeOrderedAndProject, no full sort. At 100 TB the only
+    corpus-sized shuffles carry (id, bucket-weight) pairs.
+
+    Ties break on ``id_col`` so selection is deterministic.
+
+    Returns the selected rows: (id, n_feats, score_sum, sel_rank).
+    """
+    from pyspark.sql import Window
+
+    m = n_buckets
+
+    def feats_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                _feature_buckets(doc_tokens(text_col), n_buckets)
+            ).alias("__bkt"),
+        )
+
+    src_feats = feats_of(source)
+    tgt_counts = (
+        feats_of(target).groupBy("__bkt").agg(F.count("*").alias("__tc"))
+    )
+    src_counts = src_feats.groupBy("__bkt").agg(F.count("*").alias("__sc"))
+    tgt_total = tgt_counts.agg(F.sum("__tc").alias("__T"))
+    src_total = src_counts.agg(F.sum("__sc").alias("__S"))
+    # every bucket a source doc references exists in src_counts, so
+    # the weight dim only needs src buckets; target-only buckets are
+    # unreachable from the scoring side.
+    weights = (
+        src_counts.join(tgt_counts, "__bkt", "left")
+        .join(F.broadcast(tgt_total))
+        .join(F.broadcast(src_total))
+        .select(
+            "__bkt",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__tc"), F.lit(0)) + 1)
+                        * (F.col("__S") + m)
+                    ).cast("double")
+                    / ((F.col("__sc") + 1) * (F.col("__T") + m)).cast(
+                        "double"
+                    )
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("__lw"),
+        )
+    )
+    scored = (
+        src_feats.join(F.broadcast(weights), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("__lw").alias("score_sum"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score_sum"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_sum"), F.col(id_col))
+    return topk.withColumn("sel_rank", F.row_number().over(w).cast("long"))

@@ -7469,3 +7469,73 @@ def x55_benchmark_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 41 == 0)
     corpus = d.filter(F.col("doc_id") % 41 != 0)
     return scrub_benchmark_spans(corpus, bench, k=_X55_K)
+
+
+# ---------------------------------------------------------------------------
+# x56 — DSIR importance resampling (operators/corpus.dsir_select):
+# pick the 200 source docs (doc_id % 31 != 0) whose hashed
+# uni+bigram distribution is closest to the target set
+# (doc_id % 31 == 0) by add-1-smoothed log-likelihood ratio. The
+# per-bucket weight is the ONLY floating step (one ln per bucket,
+# quantized round(1e6*ln) at the dim edge); per-doc accumulation is
+# exact integer math, so the hash comparison is partition-order-free
+# and the cross-engine risk is confined to a 1-ulp ln boundary
+# straddle on fixed inputs — verified stable at all three SFs.
+# ---------------------------------------------------------------------------
+
+_X56_M = 2048
+_X56_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+feat AS (
+  SELECT doc_id % 31 = 0 AS is_tgt, doc_id,
+         unnest(list_concat(w,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS t
+  FROM base
+),
+b AS (
+  SELECT is_tgt, doc_id,
+         list_sum(list_transform(range(1, 9),
+           i -> CAST(strpos('0123456789abcdef',
+                            substring(substring(md5(t), 1, 8), i, 1)) - 1
+                     AS BIGINT)
+                * CAST(16 ** (8 - i) AS BIGINT))) % {_X56_M} AS bkt
+  FROM feat
+),
+tc AS (SELECT bkt, count(*) AS tc FROM b WHERE is_tgt GROUP BY bkt),
+sc AS (SELECT bkt, count(*) AS sc FROM b WHERE NOT is_tgt GROUP BY bkt),
+tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tc) AS T,
+               (SELECT coalesce(sum(sc), 0) FROM sc) AS S),
+wts AS (
+  SELECT sc.bkt,
+         CAST(round(ln(CAST((coalesce(tc.tc, 0) + 1) * (tot.S + {_X56_M})
+                            AS DOUBLE)
+                       / CAST((sc.sc + 1) * (tot.T + {_X56_M}) AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lw
+  FROM sc LEFT JOIN tc USING (bkt), tot
+),
+scored AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(w.lw) AS BIGINT) AS score_sum
+  FROM b JOIN wts w USING (bkt) WHERE NOT b.is_tgt GROUP BY b.doc_id
+)
+SELECT doc_id, n_feats, score_sum,
+       CAST(row_number() OVER (ORDER BY score_sum DESC, doc_id)
+            AS BIGINT) AS sel_rank
+FROM scored ORDER BY score_sum DESC, doc_id LIMIT 200
+"""
+
+
+@register("x56_dsir_select", oracle=_X56_ORACLE)
+def x56_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: top-200 source docs by hashed-n-gram
+    importance weight toward the doc_id%31==0 target slice."""
+    from docker_etl_spark.operators.corpus import dsir_select
+
+    d = load_docs_spread(spark, sf_dir)
+    return dsir_select(
+        d.filter(F.col("doc_id") % 31 != 0),
+        d.filter(F.col("doc_id") % 31 == 0),
+        n_buckets=_X56_M,
+    )

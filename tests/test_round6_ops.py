@@ -644,3 +644,34 @@ def test_scrub_benchmark_spans_cuts_leaked_windows_only(spark):
     assert got[1]["n_removed"] == 4
     assert got[2]["clean_text"] == "nothing in common here at all"
     assert got[2]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------
+# DSIR importance resampling (x56)
+# ---------------------------------------------------------------------
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """A source doc written in the target set's vocabulary must
+    outscore sources with disjoint vocabulary; ranks are dense from 1
+    and ties break on doc_id."""
+    from docker_etl_spark.operators.corpus import dsir_select
+
+    target = _span_docs(
+        spark,
+        [(100, "alpha beta gamma delta alpha beta"), (101, "alpha gamma beta")],
+    )
+    source = _span_docs(
+        spark,
+        [
+            (1, "zig zag zog zug zeg"),
+            (2, "alpha beta gamma alpha beta"),
+            (3, "mumble frotz quux xyzzy plugh"),
+        ],
+    )
+    got = dsir_select(source, target, n_buckets=64, k=3).collect()
+    assert [r["sel_rank"] for r in got] == [1, 2, 3]
+    assert got[0]["doc_id"] == 2
+    assert got[0]["score_sum"] > got[1]["score_sum"]
+    # target-vocab doc scores positive, disjoint-vocab docs negative
+    assert got[0]["score_sum"] > 0 > got[1]["score_sum"]
