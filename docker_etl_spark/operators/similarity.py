@@ -1221,3 +1221,56 @@ def incremental_embedding_dedup(
             (F.coalesce(F.col("max_cos"), F.lit(0.0)) >= threshold).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid-retrieval rank fusion
+# ---------------------------------------------------------------------------
+
+
+def reciprocal_rank_fusion(
+    arms: "list[tuple[str, DataFrame]]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval arms: ``score(d) = sum over arms of 1/(rrf_k + rank)``,
+    the standard recipe for fusing lexical (BM25) and vector (ANN)
+    retrieval into one hybrid ranking without score calibration.
+
+    ``arms`` is an ordered list of (name, frame) where each frame
+    carries (id_col, rank_col); a document absent from an arm
+    contributes 0. Contributions are added LEFT-TO-RIGHT in declared
+    arm order (each quotient is one correctly-rounded IEEE op), so
+    the fused score is bit-reproducible across engines and
+    partitionings. Output: id_col, one ``<name>_rank`` per arm
+    (null when absent), ``rrf_score``, and ``fused_rank``
+    (tie-broken on id).
+
+    Scale shape: each arm is already a bounded top-N list, so the
+    full-outer chain joins N-row frames — trivially small next to
+    the retrieval passes that produced them; the final ranking
+    windows over <= sum(N) rows.
+    """
+    from functools import reduce
+
+    if not arms:
+        raise ValueError("reciprocal_rank_fusion needs at least one arm")
+    fused = None
+    for name, df in arms:
+        a = df.select(F.col(id_col), F.col(rank_col).alias(f"{name}_rank"))
+        fused = a if fused is None else fused.join(a, id_col, "full_outer")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        for name, _ in arms
+    ]
+    score = reduce(lambda a, b: a + b, contribs)
+    out = fused.withColumn("rrf_score", score)
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    if top_k is not None:
+        out = out.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(top_k)
+    return out.withColumn("fused_rank", F.row_number().over(w).cast("long"))

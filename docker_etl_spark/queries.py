@@ -7539,3 +7539,158 @@ def x56_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 31 == 0),
         n_buckets=_X56_M,
     )
+
+
+# ---------------------------------------------------------------------------
+# x57 — hybrid retrieval with reciprocal-rank fusion
+# (operators/similarity.reciprocal_rank_fusion): BM25 lexical arm
+# (x25's rational-idf scorer, per-doc score folded in sorted term
+# order so the double sum is partition-order-free) fused with an
+# exact-int quantized cosine arm (x06's kernel, query = vec_id 0).
+# Both arms are top-50 lists; RRF k=60; top-20 fused output. Each
+# 1/(60+rank) quotient is one correctly-rounded IEEE op added
+# left-to-right, so the fused score is bit-reproducible.
+# ---------------------------------------------------------------------------
+
+_X57_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN ('hash', 'join', 'window', 'vector')
+    GROUP BY 1, 2, 3
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ts AS (
+    SELECT tf.doc_id, tf.term,
+           ((CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.25)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.25 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                     / (CAST(stats.sum_dl AS DOUBLE)
+                        / CAST(stats.n_docs AS DOUBLE)))))) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+),
+lexs AS (
+    SELECT doc_id,
+           list_reduce(list(score ORDER BY term), (a, b) -> a + b)
+               AS lex_score
+    FROM ts GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                AS BIGINT) AS lex_rank
+    FROM lexs ORDER BY lex_score DESC, doc_id LIMIT 50
+),
+e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id = 0 AND nrm > 0),
+c AS (SELECT * FROM n WHERE nrm > 0),
+cosv AS (
+    SELECT c.vec_id AS doc_id,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                                        i -> q.v[i] * c.v[i])) AS DOUBLE)
+               / sqrt(CAST(q.nrm * c.nrm AS DOUBLE)) AS cosine
+    FROM q JOIN c ON c.vec_id != q.vec_id
+),
+vec AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                AS BIGINT) AS vec_rank
+    FROM cosv ORDER BY cosine DESC, doc_id LIMIT 50
+),
+f AS (
+    SELECT doc_id, lex_rank, vec_rank,
+           coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank),
+                    CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank),
+                      CAST(0 AS DOUBLE)) AS rrf_score
+    FROM lex FULL JOIN vec USING (doc_id)
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+            AS BIGINT) AS fused_rank
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+@register("x57_hybrid_rrf", oracle=_X57_ORACLE)
+def x57_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal rank:
+    BM25 top-50 and exact-int cosine top-50 (query vec_id=0) -> RRF
+    top-20."""
+    from docker_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        reciprocal_rank_fusion,
+    )
+    from docker_etl_spark.operators.text_analysis import bm25_term_scores
+
+    d = load_docs_spread(spark, sf_dir)
+    bm = bm25_term_scores(
+        d, _X25_TERMS, text_col="text", id_col="doc_id", k1=1.25, b=0.75
+    )
+    lex_score = (
+        bm.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "score"))).alias(
+                "__ts"
+            )
+        )
+        .select(
+            "doc_id",
+            F.aggregate(
+                "__ts", F.lit(0.0), lambda a, s: a + s["score"]
+            ).alias("lex_score"),
+        )
+    )
+    lex_w = Window.orderBy(F.desc("lex_score"), F.col("doc_id"))
+    lex = (
+        lex_score.orderBy(F.desc("lex_score"), F.col("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id", F.row_number().over(lex_w).cast("long").alias("rank")
+        )
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    ivec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), ivec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), ivec.alias("vec"))
+    cos = cosine_topk_bruteforce(
+        q, c, k=50, exact_int=True, max_queries=None
+    )
+    vec_w = Window.orderBy(F.desc("cosine"), F.col("corpus_id"))
+    vec = cos.select(
+        F.col("corpus_id").alias("doc_id"),
+        F.row_number().over(vec_w).cast("long").alias("rank"),
+    )
+    return reciprocal_rank_fusion(
+        [("lex", lex), ("vec", vec)], id_col="doc_id", rrf_k=60, top_k=20
+    )

@@ -675,3 +675,42 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert got[0]["score_sum"] > got[1]["score_sum"]
     # target-vocab doc scores positive, disjoint-vocab docs negative
     assert got[0]["score_sum"] > 0 > got[1]["score_sum"]
+
+
+# ---------------------------------------------------------------------
+# reciprocal-rank fusion (x57)
+# ---------------------------------------------------------------------
+
+
+def test_rrf_fusion_semantics(spark):
+    """Doc present in both arms beats single-arm docs; absent arm
+    contributes exactly 0; ranks are dense and id-tiebroken."""
+    from docker_etl_spark.operators.similarity import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in reciprocal_rank_fusion(
+            [("lex", lex), ("vec", vec)], rrf_k=60
+        ).collect()
+    }
+    assert got[11]["fused_rank"] == 1  # both arms
+    assert got[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert got[10]["rrf_score"] == 1.0 / 61  # vec arm absent -> 0
+    assert got[10]["vec_rank"] is None
+    assert sorted(r["fused_rank"] for r in got.values()) == [1, 2, 3, 4]
+    # equal-score tie (lex rank 2 absent vec vs vec rank 2 absent lex)
+    # breaks on doc_id: 11>10? no — check 12 (1/63) vs 13 (1/62)
+    assert got[13]["fused_rank"] < got[12]["fused_rank"]
+
+
+def test_rrf_rejects_empty_arms(spark):
+    from docker_etl_spark.operators.similarity import reciprocal_rank_fusion
+
+    with pytest.raises(ValueError):
+        reciprocal_rank_fusion([])
