@@ -361,3 +361,126 @@ def vocab_oov_stats(
         oov.alias("n_oov"),
         (oov.cast("double") / n.cast("double")).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (tokenizer learning over the corpus)
+# ---------------------------------------------------------------------------
+
+_BPE_MARK = "\x01"
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merge rules
+    from the corpus (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units") — the tokenizer-
+    training stage of an LLM data pipeline, run where the data
+    lives. Classic BPE trains on the word-frequency dictionary, so
+    the corpus collapses to a vocabulary-bounded (word, count) dim
+    after ONE scan; each round then counts adjacent symbol pairs
+    weighted by word count, picks the argmax (ties break on the
+    pair string, so training is deterministic), and merges every
+    non-overlapping occurrence left-to-right.
+
+    The symbolization trick that keeps every round a JVM expression:
+    a word's symbol sequence is one string with each symbol wrapped
+    in ``\\x01`` marks (``\\x01t\\x01\\x01h\\x01...``). Wrapping each
+    symbol in its OWN mark pair means applying a merge is a plain
+    ``replace(enc, M+a+M+M+b+M, M+ab+M)`` — string replace scans
+    left-to-right over non-overlapping matches, which is exactly
+    BPE's greedy merge order, and adjacent occurrences keep their
+    delimiters (nothing is shared between matches). Words containing
+    the mark character are excluded up front.
+
+    Scale shape: one corpus scan builds the vocab dim (lazily
+    barriered — rounds re-read the materialized dim, not the
+    corpus); per round, the pair stream is vocabulary-bounded and
+    narrow, the argmax is a 1-row ORDER BY LIMIT 1 broadcast into
+    the next round's map-side replace. Driver holds nothing; the
+    k chosen rules are 1-row barriered frames. n_merges chains k
+    such stages — k is a small constant (real tokenizers train tens
+    of thousands of merges; at that count you shard the pair stream
+    the same way, the per-round plan is unchanged).
+
+    Returns (merge_round, left_sym, right_sym, merged, pair_count).
+    """
+    M = _BPE_MARK
+    vocab = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w")
+        )
+        .filter((F.col("__w") != "") & (~F.col("__w").contains(M)))
+        .groupBy("__w")
+        .agg(F.count("*").cast("long").alias("__cnt"))
+    )
+    enc = F.concat(
+        F.array_join(
+            F.transform(F.split("__w", ""), lambda c: F.concat(F.lit(M), c, F.lit(M))),
+            "",
+        ),
+        F.lit(M + end_token + M),
+    )
+    cur = vocab.select(F.col("__cnt"), enc.alias("__enc")).localCheckpoint(
+        eager=False
+    )
+    rules = []
+    for r in range(1, n_merges + 1):
+        inner = F.col("__enc").substr(F.lit(2), F.length("__enc") - 2)
+        syms = F.split(inner, M + M)
+        # sequence(1, 0) counts DOWN in Spark: a fully-merged word
+        # (one symbol) must emit an explicit empty pair list.
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i),
+                    F.lit(" "),
+                    F.element_at(syms, i + 1),
+                ),
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+        pairs = cur.select(
+            F.col("__cnt"), F.explode(pair_arr).alias("__pair")
+        )
+        best = (
+            pairs.groupBy("__pair")
+            .agg(F.sum("__cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.col("__pair"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.split("__pair", " ").getItem(0).alias("left_sym"),
+                F.split("__pair", " ").getItem(1).alias("right_sym"),
+                F.replace(F.col("__pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                F.col("pair_count"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rules.append(best)
+        if r < n_merges:
+            cur = cur.crossJoin(F.broadcast(best)).select(
+                "__cnt",
+                F.replace(
+                    F.col("__enc"),
+                    F.concat(
+                        F.lit(M),
+                        F.col("left_sym"),
+                        F.lit(M + M),
+                        F.col("right_sym"),
+                        F.lit(M),
+                    ),
+                    F.concat(F.lit(M), F.col("merged"), F.lit(M)),
+                ).alias("__enc"),
+            )
+    out = rules[0]
+    for b in rules[1:]:
+        out = out.unionAll(b)
+    return out

@@ -7694,3 +7694,89 @@ def x57_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocal_rank_fusion(
         [("lex", lex), ("vec", vec)], id_col="doc_id", rrf_k=60, top_k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# x58 — BPE merge-rule training
+# (operators/text_analysis.bpe_train_merges): the first 4 BPE merges
+# learned from the documents word-frequency dictionary (Sennrich et
+# al. 2016). Engine and oracle share the mark-wrapped-symbol string
+# encoding, so a merge is a plain left-to-right non-overlapping
+# replace() in both — greedy BPE order by construction. The oracle
+# unrolls the 4 rounds as chained CTEs; ties in pair counts break on
+# the pair string, making training fully deterministic.
+# ---------------------------------------------------------------------------
+
+
+def _x58_oracle(n_merges: int) -> str:
+    parts = [
+        """
+WITH v0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' AND strpos(w, chr(1)) = 0
+  GROUP BY w
+),
+e0 AS (
+  SELECT cnt,
+         list_aggregate(list_transform(range(1, length(w) + 1),
+            i -> chr(1) || substring(w, i, 1) || chr(1)), 'string_agg', '')
+         || chr(1) || '</w>' || chr(1) AS enc
+  FROM v0
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+s{r} AS (
+  SELECT cnt,
+         string_split(substring(enc, 2, length(enc) - 2),
+                      chr(1) || chr(1)) AS s
+  FROM e{r - 1}
+),
+p{r} AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(s)),
+                                 i -> s[i] || ' ' || s[i + 1])) AS pair
+    FROM s{r}
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, pair_count FROM p{r}
+         ORDER BY pair_count DESC, pair LIMIT 1)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f""",
+e{r} AS (
+  SELECT e{r - 1}.cnt,
+         replace(e{r - 1}.enc,
+                 chr(1) || string_split(b{r}.pair, ' ')[1] || chr(1)
+                        || chr(1) || string_split(b{r}.pair, ' ')[2] || chr(1),
+                 chr(1) || replace(b{r}.pair, ' ', '') || chr(1)) AS enc
+  FROM e{r - 1}, b{r}
+)"""
+            )
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS merge_round,
+       string_split(pair, ' ')[1] AS left_sym,
+       string_split(pair, ' ')[2] AS right_sym,
+       replace(pair, ' ', '') AS merged, pair_count
+FROM b{r}"""
+        for r in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_X58_ORACLE = _x58_oracle(4)
+
+
+@register("x58_bpe_merges", oracle=_X58_ORACLE)
+def x58_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merge rules learned from the documents
+    word-frequency dictionary (deterministic pair-string
+    tie-breaks)."""
+    from docker_etl_spark.operators.text_analysis import bpe_train_merges
+
+    d = load_docs_spread(spark, sf_dir)
+    return bpe_train_merges(d, n_merges=4)

@@ -714,3 +714,40 @@ def test_rrf_rejects_empty_arms(spark):
 
     with pytest.raises(ValueError):
         reciprocal_rank_fusion([])
+
+
+# ---------------------------------------------------------------------
+# BPE merge training (x58)
+# ---------------------------------------------------------------------
+
+
+def test_bpe_learns_textbook_merges(spark):
+    """Sennrich-style fixture: 'low'x3 'lower' 'lowest' must learn
+    l+o, lo+w, low+</w>, then low+e — including the fully-merged-word
+    corner (round 4 sees 'low</w>' as ONE symbol and must not pair
+    it)."""
+    from docker_etl_spark.operators.text_analysis import bpe_train_merges
+
+    docs = _span_docs(spark, [(1, "low low low lower lowest")])
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=5).collect()]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "low", "</w>", "low</w>", 3),
+        (4, "low", "e", "lowe", 2),
+        (5, "lowe", "r", "lower", 1),
+    ]
+
+
+def test_bpe_merge_is_greedy_nonoverlapping(spark):
+    """'aaaa' with pair (a,a) merges left-to-right greedy to
+    [aa, aa, </w>] — NOT [aa, a·a overlap]: round 1's count is 9
+    (3 adjacent pairs x 3 words) and round 2 sees 'aa aa' and
+    'aa </w>' TIED at 3 each (6 would mean overlapping merges),
+    resolved by the pair-string tie-break ('<' < 'a')."""
+    from docker_etl_spark.operators.text_analysis import bpe_train_merges
+
+    docs = _span_docs(spark, [(1, "aaaa aaaa aaaa")])
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
+    assert got[0] == (1, "a", "a", "aa", 9)
+    assert got[1] == (2, "aa", "</w>", "aa</w>", 3)
