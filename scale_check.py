@@ -39,6 +39,9 @@ KERNELS = [
     "x47_incremental_embedding_dedup",
     "x48_semantic_dedup_subbucketed",
     "x49_semantic_dedup_star",
+    "x54_cross_doc_span_dedup",
+    "x56_dsir_select",
+    "x58_bpe_merges",
 ]
 
 
