@@ -484,3 +484,84 @@ def bpe_train_merges(
     for b in rules[1:]:
         out = out.unionAll(b)
     return out
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Apply learned BPE merge rules (:func:`bpe_train_merges`
+    output) to a corpus and count the resulting subword tokens per
+    document — the train→apply loop of tokenizer work, and the
+    "token counting with a BPE-ish" pass of the curation mandate
+    (whitespace counts over- or under-state sequence lengths once a
+    subword tokenizer exists; context-window packing needs THESE
+    numbers).
+
+    Each document's words go through the same mark-wrapped encoding
+    as training; the k merge rules arrive as a BROADCAST k-row dim
+    collapsed to one in-plan replace chain via an aggregate fold
+    over the rules sorted by round (k is tokenizer-sized, corpus is
+    never shuffled — the whole pass is map-side). Words containing
+    the mark character fall back to 1 word = 1 token.
+
+    Returns (id, n_words, n_bpe_tokens, tokens_per_word).
+    """
+    M = _BPE_MARK
+    rules = merges.select(
+        F.sort_array(
+            F.collect_list(
+                F.struct("merge_round", "left_sym", "right_sym", "merged")
+            )
+        ).alias("__rules")
+    )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    words = F.filter(toks, lambda w: (w != "") & ~w.contains(M))
+    enc_word = lambda w: F.concat(  # noqa: E731
+        F.array_join(
+            F.transform(F.split(w, ""), lambda c: F.concat(F.lit(M), c, F.lit(M))),
+            "",
+        ),
+        F.lit(M + end_token + M),
+    )
+    merged_word = lambda w: F.aggregate(  # noqa: E731
+        F.col("__rules"),
+        enc_word(w),
+        lambda acc, r: F.replace(
+            acc,
+            F.concat(
+                F.lit(M), r["left_sym"], F.lit(M + M), r["right_sym"], F.lit(M)
+            ),
+            F.concat(F.lit(M), r["merged"], F.lit(M)),
+        ),
+    )
+    # token count = number of mark PAIRS across the doc's merged
+    # words = half the marks; marks = length delta after stripping.
+    # One concatenated merged encoding per doc so the replace chain
+    # is evaluated exactly once per word.
+    merged_all = F.aggregate(
+        words, F.lit(""), lambda a, w: F.concat(a, merged_word(w))
+    )
+    n_words = F.size(words).cast("long")
+    n_bpe = (
+        (F.length(merged_all) - F.length(F.replace(merged_all, F.lit(M)))) / 2
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(rules))
+        .select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            n_bpe.alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+            ),
+        )
+    )

@@ -7708,7 +7708,9 @@ def x57_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _x58_oracle(n_merges: int) -> str:
+def _x58_cte_chain(n_merges: int) -> str:
+    """Shared WITH-chain for x58/x59: vocab, wrapped encoding, and
+    the unrolled per-round pair-count/argmax/merge CTEs b1..bN."""
     parts = [
         """
 WITH v0 AS (
@@ -7757,6 +7759,10 @@ e{r} AS (
   FROM e{r - 1}, b{r}
 )"""
             )
+    return "".join(parts)
+
+
+def _x58_oracle(n_merges: int) -> str:
     selects = [
         f"""SELECT CAST({r} AS BIGINT) AS merge_round,
        string_split(pair, ' ')[1] AS left_sym,
@@ -7765,7 +7771,7 @@ e{r} AS (
 FROM b{r}"""
         for r in range(1, n_merges + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _x58_cte_chain(n_merges) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 _X58_ORACLE = _x58_oracle(4)
@@ -7780,3 +7786,75 @@ def x58_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_docs_spread(spark, sf_dir)
     return bpe_train_merges(d, n_merges=4)
+
+
+# ---------------------------------------------------------------------------
+# x59 — BPE tokenization with the learned merges
+# (operators/text_analysis.bpe_apply_merges): the train→apply loop —
+# x58's 4 learned rules broadcast into a map-side replace chain over
+# every document, counting the resulting subword tokens (the numbers
+# context-window packing actually needs). The oracle re-derives the
+# merges via the shared x58 CTE chain and applies them as the same
+# nested replaces.
+# ---------------------------------------------------------------------------
+
+
+def _x59_oracle(n_merges: int) -> str:
+    enc2 = "enc"
+    for r in range(1, n_merges + 1):
+        pat = (
+            f"chr(1) || string_split(b{r}.pair, ' ')[1] || chr(1) || "
+            f"chr(1) || string_split(b{r}.pair, ' ')[2] || chr(1)"
+        )
+        rep = f"chr(1) || replace(b{r}.pair, ' ', '') || chr(1)"
+        enc2 = f"replace({enc2}, {pat}, {rep})"
+    dims = ", ".join(f"b{r}" for r in range(1, n_merges + 1))
+    return (
+        _x58_cte_chain(n_merges)
+        + f""",
+docw AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     x -> x <> '' AND strpos(x, chr(1)) = 0) AS w
+  FROM documents
+),
+encw AS (
+  SELECT doc_id, len(w) AS words,
+         coalesce(list_aggregate(list_transform(w, x ->
+             list_aggregate(list_transform(range(1, length(x) + 1),
+                 i -> chr(1) || substring(x, i, 1) || chr(1)),
+                 'string_agg', '')
+             || chr(1) || '</w>' || chr(1)),
+             'string_agg', ''), '') AS enc
+  FROM docw
+),
+rep AS (
+  SELECT doc_id, words, {enc2} AS enc2
+  FROM encw, {dims}
+)
+SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+       CAST((length(enc2) - length(replace(enc2, chr(1), ''))) / 2
+            AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN words > 0
+            THEN CAST((length(enc2) - length(replace(enc2, chr(1), ''))) / 2
+                      AS DOUBLE) / CAST(words AS DOUBLE)
+       END AS tokens_per_word
+FROM rep
+"""
+    )
+
+
+_X59_ORACLE = _x59_oracle(4)
+
+
+@register("x59_bpe_tokenize", oracle=_X59_ORACLE)
+def x59_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts under the 4 BPE merges
+    learned by x58 — broadcast rules, map-side replace chain."""
+    from docker_etl_spark.operators.text_analysis import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    return bpe_apply_merges(d, bpe_train_merges(d, n_merges=4))

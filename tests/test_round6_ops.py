@@ -751,3 +751,29 @@ def test_bpe_merge_is_greedy_nonoverlapping(spark):
     got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
     assert got[0] == (1, "a", "a", "aa", 9)
     assert got[1] == (2, "aa", "</w>", "aa</w>", 3)
+
+
+def test_bpe_apply_counts_subword_tokens(spark):
+    """Applying the learned rules re-tokenizes: after l+o, lo+w,
+    low+</w>, 'low' is ONE token (3 chars + marker collapsed),
+    'lower' is low·e·r·</w> = 4."""
+    from docker_etl_spark.operators.text_analysis import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    train = _span_docs(spark, [(1, "low low low lower lowest")])
+    rules = bpe_train_merges(train, n_merges=3)  # l+o, lo+w, low+</w>
+    corpus = _span_docs(spark, [(10, "low lower"), (11, ""), (12, "xyz")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_apply_merges(corpus, rules).collect()
+    }
+    # 'low' -> [low</w>] = 1; 'lower' -> [low, e, r, </w>] = 4
+    assert got[10]["n_words"] == 2
+    assert got[10]["n_bpe_tokens"] == 5
+    assert got[10]["tokens_per_word"] == 2.5
+    assert got[11]["n_words"] == 0 and got[11]["n_bpe_tokens"] == 0
+    assert got[11]["tokens_per_word"] is None
+    # untouched word: chars + end marker
+    assert got[12]["n_bpe_tokens"] == 4
