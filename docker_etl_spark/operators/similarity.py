@@ -1274,3 +1274,198 @@ def reciprocal_rank_fusion(
     if top_k is not None:
         out = out.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(top_k)
     return out.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+
+
+def truncated_dim_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    trunc_dim: int,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "vec",
+    exact_int: bool = False,
+) -> DataFrame:
+    """Matryoshka-style truncation audit: how much retrieval quality
+    survives keeping only the first ``trunc_dim`` embedding
+    dimensions? Runs the brute-force cosine top-k twice — full vector
+    and prefix slice — and reports per-query recall@k of the
+    truncated arm against the full-dimension arm: the number every
+    MRL deployment (Kusupati et al. 2022) measures before swapping a
+    cheap low-dim prefilter in front of the full-dim ranker.
+
+    Output: (query_id, n_overlap, recall_at_k), one row per query
+    with a nonzero-norm full vector. ``recall_at_k`` is a small-int
+    ratio (n_overlap/k) — exact in double.
+
+    Scale shape: both arms broadcast the SAME bounded query set and
+    scan the corpus once each (the slice is a map-side projection, so
+    the truncated scan moves trunc_dim/dim of the vector bytes); the
+    overlap join runs on two k·|Q|-row frames — trivial next to the
+    scans. At 100 TB the brute-force arms swap for the bucketed
+    paths; the recall join is unchanged.
+    """
+    full = cosine_topk_bruteforce(
+        queries, corpus, k=k, query_id=query_id, corpus_id=corpus_id,
+        vec_col=vec_col, exact_int=exact_int, max_queries=None,
+    )
+    sl = F.slice(F.col(vec_col), 1, trunc_dim)
+    trunc = cosine_topk_bruteforce(
+        queries.select(query_id, sl.alias(vec_col)),
+        corpus.select(corpus_id, sl.alias(vec_col)),
+        k=k, query_id=query_id, corpus_id=corpus_id,
+        vec_col=vec_col, exact_int=exact_int, max_queries=None,
+    )
+    hits = (
+        full.select(query_id, corpus_id)
+        .join(trunc.select(query_id, corpus_id), [query_id, corpus_id])
+        .groupBy(query_id)
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    base = full.select(query_id).distinct()
+    n = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+    return base.join(hits, query_id, "left").select(
+        query_id,
+        n.alias("n_overlap"),
+        (n.cast("double") / float(k)).alias("recall_at_k"),
+    )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    select_k: int,
+    lambda_: float = 0.5,
+    id_col: str = "cand_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+    exact_int: bool = False,
+    max_pool: int | None = 1024,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``select_k`` items maximizing
+
+        lambda * rel(c)  -  (1 - lambda) * max_{s in selected} sim(c, s)
+
+    — the standard diversity pass between retrieval and a training
+    batch / context window, so near-duplicate hits don't crowd out
+    coverage. ``pool`` carries (id, rel, vec); pairwise sims are
+    cosine computed here with the engine-wide kernel.
+
+    The greedy loop is data-dependent but ``select_k`` is a fixed
+    parameter, so the selection UNROLLS into the plan: the pool
+    collapses to ONE row holding a sorted candidate array (each
+    entry: id, rel, sims-map to every other candidate), and each of
+    the k steps is a column expression folding over that array
+    (argmax with (score desc, id asc) tiebreak) — no driver loop, no
+    Python stage, deterministic under any partitioning. Per-step
+    score is ``lambda*rel - (1-lambda)*maxsim``, two IEEE multiplies
+    and one subtract in fixed order, replayable cross-engine.
+
+    Scale shape: MMR is quadratic in the POOL by nature, so the pool
+    must be a bounded top-N (that's also its retrieval contract);
+    ``max_pool`` enforces it eagerly like the brute-force guard. The
+    pairwise-sim join is |pool|^2 rows of narrow structs; everything
+    after is one row.
+
+    Output: (mmr_rank, id_col, rel_col, mmr_score), ``min(select_k,
+    |pool|)`` rows.
+    """
+    if max_pool is not None:
+        pool = pool.localCheckpoint(eager=True)
+        n_p = pool.limit(max_pool + 1).count()
+        if n_p > max_pool:
+            raise ValueError(
+                f"mmr_rerank got > {max_pool} pool rows; MMR is O(|pool|^2) "
+                "— cut the pool to a bounded top-N first"
+            )
+    d = dot_int if exact_int else dot
+    a = pool.select(
+        F.col(id_col).alias("__a"), F.col(vec_col).alias("__av"),
+        squared_norm(F.col(vec_col), exact_int).alias("__an"),
+    )
+    b = pool.select(
+        F.col(id_col).alias("__b"), F.col(vec_col).alias("__bv"),
+        squared_norm(F.col(vec_col), exact_int).alias("__bn"),
+    )
+    sim = d(F.col("__av"), F.col("__bv")).cast("double") / F.sqrt(
+        _norm_prod_double(F.col("__an"), F.col("__bn"), exact_int)
+    )
+    simmap = (
+        a.join(b, F.col("__a") != F.col("__b"))
+        .filter((F.col("__an") > 0) & (F.col("__bn") > 0))
+        .select("__a", F.struct(F.col("__b").alias("key"), sim.alias("value")).alias("__kv"))
+        .groupBy("__a")
+        .agg(F.map_from_entries(F.collect_list("__kv")).alias("__sims"))
+    )
+    cands = (
+        pool.select(F.col(id_col).alias("__a"), F.col(rel_col).alias("__rel"))
+        .join(simmap, "__a", "left")
+        .select(
+            F.struct(
+                F.col("__a").alias("id"),
+                F.col("__rel").alias("rel"),
+                F.coalesce(
+                    F.col("__sims"),
+                    F.map_from_entries(
+                        F.array().cast("array<struct<key:bigint,value:double>>")
+                    ),
+                ).alias("sims"),
+            ).alias("__c")
+        )
+        # No ordering needed: each step is an argmax fold with a
+        # total (score DESC, id ASC) order, so the result is
+        # invariant to the collect_list permutation.
+        .agg(F.collect_list("__c").alias("__cands"))
+    )
+    lam, mu = float(lambda_), 1.0 - float(lambda_)
+
+    def best_expr(sel):
+        def step(acc, c):
+            ms = F.coalesce(
+                F.array_max(
+                    F.transform(sel, lambda s: F.element_at(c["sims"], s))
+                ),
+                F.lit(0.0),
+            )
+            sc = F.lit(lam) * c["rel"] - F.lit(mu) * ms
+            take = acc["id"].isNull() | (sc > acc["score"]) | (
+                (sc == acc["score"]) & (c["id"] < acc["id"])
+            )
+            new = F.struct(
+                c["id"].alias("id"), c["rel"].alias("rel"), sc.alias("score")
+            )
+            return F.when(take, new).otherwise(acc)
+
+        remaining = F.filter(
+            F.col("__cands"), lambda c: ~F.array_contains(sel, c["id"])
+        )
+        init = F.struct(
+            F.lit(None).cast("bigint").alias("id"),
+            F.lit(None).cast("double").alias("rel"),
+            F.lit(None).cast("double").alias("score"),
+        )
+        return F.aggregate(remaining, init, step)
+
+    df = cands.withColumn("__sel_0", F.array().cast("array<bigint>"))
+    for r in range(1, select_k + 1):
+        df = df.withColumn(f"__best_{r}", best_expr(F.col(f"__sel_{r-1}")))
+        df = df.withColumn(
+            f"__sel_{r}",
+            F.concat(F.col(f"__sel_{r-1}"), F.array(F.col(f"__best_{r}")["id"])),
+        )
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("bigint").alias("mmr_rank"),
+                F.col(f"__best_{r}")["id"].alias(id_col),
+                F.col(f"__best_{r}")["rel"].alias(rel_col),
+                F.col(f"__best_{r}")["score"].alias("mmr_score"),
+            )
+            for r in range(1, select_k + 1)
+        ]
+    )
+    return (
+        df.select(F.explode(picks).alias("__p"))
+        .select("__p.*")
+        .filter(F.col(id_col).isNotNull())
+    )

@@ -7858,3 +7858,170 @@ def x59_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_docs_spread(spark, sf_dir)
     return bpe_apply_merges(d, bpe_train_merges(d, n_merges=4))
+
+
+# ---------------------------------------------------------------------------
+# x60 — Matryoshka truncation retrieval audit
+# (operators/similarity.truncated_dim_recall): recall@10 of a
+# 16-of-64-dim prefix-truncated cosine retriever against the
+# full-dimension ranking, per query — the measurement that decides
+# whether a cheap low-dim prefilter can front the full ranker.
+# Both arms use the engine-wide exact-int quantization (floor
+# x*1000) so the only doubles are one correctly-rounded quotient
+# per pair; recall is a small-int ratio.
+# ---------------------------------------------------------------------------
+
+_X60_ORACLE = """
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+fn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e),
+fq AS (SELECT * FROM fn WHERE vec_id < 8 AND nrm > 0),
+fc AS (SELECT * FROM fn WHERE nrm > 0),
+fp AS (
+    SELECT fq.vec_id AS query_id, fc.vec_id AS corpus_id,
+           CAST(list_sum(list_transform(range(1, len(fq.v) + 1),
+                                        i -> fq.v[i] * fc.v[i])) AS DOUBLE)
+               / sqrt(CAST(fq.nrm * fc.nrm AS DOUBLE)) AS cosine
+    FROM fq JOIN fc ON fc.vec_id != fq.vec_id
+),
+ftop AS (
+    SELECT query_id, corpus_id FROM fp
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) <= 10
+),
+t AS (SELECT vec_id, v[1:16] AS v FROM e),
+tn AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM t),
+tq AS (SELECT * FROM tn WHERE vec_id < 8 AND nrm > 0),
+tc AS (SELECT * FROM tn WHERE nrm > 0),
+tp AS (
+    SELECT tq.vec_id AS query_id, tc.vec_id AS corpus_id,
+           CAST(list_sum(list_transform(range(1, len(tq.v) + 1),
+                                        i -> tq.v[i] * tc.v[i])) AS DOUBLE)
+               / sqrt(CAST(tq.nrm * tc.nrm AS DOUBLE)) AS cosine
+    FROM tq JOIN tc ON tc.vec_id != tq.vec_id
+),
+ttop AS (
+    SELECT query_id, corpus_id FROM tp
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) <= 10
+)
+SELECT f.query_id,
+       CAST(count(t.corpus_id) AS BIGINT) AS n_overlap,
+       CAST(count(t.corpus_id) AS DOUBLE) / 10 AS recall_at_k
+FROM ftop f
+LEFT JOIN ttop t ON t.query_id = f.query_id AND t.corpus_id = f.corpus_id
+GROUP BY f.query_id
+"""
+
+
+@register("x60_matryoshka_recall", oracle=_X60_ORACLE)
+def x60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 16-dim-prefix cosine retrieval vs the full
+    64-dim ranking for query vectors vec_id < 8."""
+    from docker_etl_spark.operators.similarity import truncated_dim_recall
+
+    em = load_table(spark, sf_dir, "embeddings")
+    ivec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), ivec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), ivec.alias("vec"))
+    return truncated_dim_recall(q, c, trunc_dim=16, k=10, exact_int=True)
+
+
+# ---------------------------------------------------------------------------
+# x61 — MMR diversified re-ranking (operators/similarity.mmr_rerank):
+# greedy maximal-marginal-relevance selection of 8 from the top-20
+# cosine pool for query vec_id 0 (lambda 0.5). select_k is a fixed
+# param, so the greedy loop UNROLLS into the plan (one-row candidate
+# array + k argmax folds — zero driver loops, zero Python stages);
+# the oracle unrolls the same k steps as chained CTEs with
+# (score DESC, id) LIMIT 1 argmax per step.
+# ---------------------------------------------------------------------------
+
+
+def _x61_oracle(k: int) -> str:
+    parts = ["""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id = 0 AND nrm > 0),
+c AS (SELECT * FROM n WHERE nrm > 0 AND vec_id != 0),
+relp AS (
+    SELECT c.vec_id AS id,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                                        i -> q.v[i] * c.v[i])) AS DOUBLE)
+               / sqrt(CAST(q.nrm * c.nrm AS DOUBLE)) AS rel
+    FROM q, c
+),
+pool AS (SELECT id, rel FROM relp ORDER BY rel DESC, id LIMIT 20),
+pv AS MATERIALIZED (SELECT p.id, p.rel, n.v, n.nrm FROM pool p JOIN n ON n.vec_id = p.id),
+ps AS MATERIALIZED (
+    SELECT a.id AS a, b.id AS b,
+           CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i])) AS DOUBLE)
+               / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS sim
+    FROM pv a JOIN pv b ON a.id != b.id
+),
+sel0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0)"""]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+scr{r} AS MATERIALIZED (
+  SELECT p.id, p.rel,
+         0.5 * p.rel - 0.5 * coalesce(
+             (SELECT max(ps.sim) FROM ps
+              WHERE ps.a = p.id AND ps.b IN (SELECT id FROM sel{r - 1})),
+             0.0) AS score
+  FROM pv p WHERE p.id NOT IN (SELECT id FROM sel{r - 1})
+),
+pick{r} AS (
+  SELECT CAST({r} AS BIGINT) AS mmr_rank, id, rel, score
+  FROM scr{r} ORDER BY score DESC, id LIMIT 1
+),
+sel{r} AS MATERIALIZED (SELECT id FROM sel{r - 1} UNION ALL SELECT id FROM pick{r})"""
+        )
+    selects = [
+        f"SELECT mmr_rank, id AS cand_id, rel, score AS mmr_score FROM pick{r}"
+        for r in range(1, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_X61_ORACLE = _x61_oracle(8)
+
+
+@register("x61_mmr_rerank", oracle=_X61_ORACLE)
+def x61_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-8 from the cosine top-20 pool of query
+    vec_id 0 — unrolled in-plan greedy selection."""
+    from docker_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_rerank,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    ivec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), ivec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), ivec.alias("vec"))
+    top = cosine_topk_bruteforce(q, c, k=20, exact_int=True, max_queries=None)
+    pool = top.select(
+        F.col("corpus_id").alias("cand_id"), F.col("cosine").alias("rel")
+    ).join(c.select(F.col("corpus_id").alias("cand_id"), "vec"), "cand_id")
+    return mmr_rerank(
+        pool, select_k=8, lambda_=0.5, exact_int=True, max_pool=64
+    )

@@ -777,3 +777,50 @@ def test_bpe_apply_counts_subword_tokens(spark):
     assert got[11]["tokens_per_word"] is None
     # untouched word: chars + end marker
     assert got[12]["n_bpe_tokens"] == 4
+
+
+def test_truncated_dim_recall_counts_overlap(spark):
+    """Truncation flips the ranking: full top-2 is {c1, c4} but the
+    2-dim prefix ties c1/c3/c4 at cos 1.0 (id tiebreak -> c1, c3),
+    so recall@2 = 0.5."""
+    from docker_etl_spark.operators.similarity import truncated_dim_recall
+
+    q = spark.createDataFrame(
+        [(100, [10, 0, 5, 0])], "query_id long, vec array<bigint>"
+    )
+    c = spark.createDataFrame(
+        [
+            (1, [10, 0, 5, 0]),   # full cos 1.0, trunc cos 1.0
+            (2, [0, 1, 0, 0]),    # full cos 0,   trunc cos 0
+            (3, [10, 0, -5, 0]),  # full cos 0.6, trunc cos 1.0
+            (4, [5, 0, 10, 0]),   # full cos 0.8, trunc cos 1.0
+        ],
+        "corpus_id long, vec array<bigint>",
+    )
+    got = truncated_dim_recall(q, c, trunc_dim=2, k=2, exact_int=True).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["query_id"] == 100
+    assert r["n_overlap"] == 1
+    assert r["recall_at_k"] == 0.5
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """With lambda=0.5 a redundant twin of the top hit (sim 1.0)
+    drops below an orthogonal lower-relevance candidate; a pool
+    smaller than select_k yields |pool| rows."""
+    from docker_etl_spark.operators.similarity import mmr_rerank
+
+    pool = spark.createDataFrame(
+        [
+            (1, 0.9, [10, 0]),   # top relevance
+            (2, 0.85, [10, 0]),  # its exact-direction twin
+            (3, 0.5, [0, 10]),   # orthogonal
+        ],
+        "cand_id long, rel double, vec array<bigint>",
+    )
+    got = mmr_rerank(pool, select_k=5, lambda_=0.5, exact_int=True).collect()
+    assert [(r["mmr_rank"], r["cand_id"]) for r in got] == [(1, 1), (2, 3), (3, 2)]
+    assert got[0]["mmr_score"] == 0.5 * 0.9
+    assert got[1]["mmr_score"] == 0.5 * 0.5
+    assert got[2]["mmr_score"] == 0.5 * 0.85 - 0.5 * 1.0
