@@ -1166,3 +1166,62 @@ def dsir_select(
     topk = scored.orderBy(F.desc("score_sum"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("score_sum"), F.col(id_col))
     return topk.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "split",
+) -> DataFrame:
+    """Split assignment that routes whole near-duplicate clusters to
+    ONE split — the REPAIR for the leakage :func:`hash_split` alone
+    cannot prevent (x39 detects cross-split near-dup pairs; this op
+    makes them impossible by construction, the standard fix since
+    GPT-2's WebText dedup).
+
+    Every document's split is drawn from the md5 of its CLUSTER
+    REPRESENTATIVE (min-id member of its connected component over
+    ``near_dup_pairs``; singletons represent themselves), so
+    near-dups co-travel. The naive own-id draw rides along so the
+    consumer sees exactly which documents moved.
+
+    Scale shape: connected components is the iterative min-label
+    propagation (pairs-sized frames, converges in O(log diameter)
+    rounds); both split draws are map-side md5 expressions; the only
+    corpus-sized join is the left join onto the (near-dup-only,
+    much smaller) label frame.
+
+    Output: (id_col, rep_id, split, naive_split, moved).
+    """
+    from docker_etl_spark.operators.dedupe import connected_components
+
+    labels = connected_components(near_dup_pairs)
+    rep = (
+        df.select(id_col)
+        .join(labels, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("rep_id"),
+        )
+    )
+    s = hash_split(
+        rep, key_cols=("rep_id",), fractions=fractions, seed=seed,
+        split_col="split",
+    )
+    s = hash_split(
+        s, key_cols=(id_col,), fractions=fractions, seed=seed,
+        split_col="naive_split",
+    )
+    return s.select(
+        id_col,
+        "rep_id",
+        "split",
+        "naive_split",
+        (F.col("split") != F.col("naive_split")).alias("moved"),
+    )

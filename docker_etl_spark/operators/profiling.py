@@ -119,6 +119,108 @@ def histogram_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    snapshot_col: str,
+    bucket_width: int,
+    n_buckets: int = 10,
+    drift_threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index per group between two snapshots —
+    the industry-standard drift gate (PSI < 0.1 stable, > 0.2 shifted)
+    that complements :func:`histogram_drift`'s chi-square with a
+    smoothed, scale-free statistic comparable across groups.
+
+        PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+    over ``n_buckets`` fixed-width buckets with add-1 smoothing (so
+    empty buckets contribute finitely). ``snapshot_col`` is 0 for the
+    baseline slice, 1 for the current one.
+
+    Cross-engine exactness: with integer counts a_i, b_i and totals
+    A, B, each component is num_i * lw_i where
+    num_i = (a_i+1)(B+n) - (b_i+1)(A+n) is EXACT bigint and
+    lw_i = round(1e6 * ln((a_i+1)(B+n) / ((b_i+1)(A+n)))) is the one
+    quantized floating step (the x56 dim-edge discipline) — the
+    per-group accumulation is exact integer math, and the published
+    PSI is two identical double divisions of the same integers in
+    both engines. The exact-int products cap the slice size at ~1e9
+    rows per side (num_i must stay under 2^63); past that, switch the
+    accumulators to DECIMAL(38,0) — PSI tolerances dwarf the
+    rounding, but the differential fixtures pin the exact form.
+
+    Scale shape: one scan → one groupBy to (groups x buckets x 2)
+    rows; the spine/total joins and the window run on that tiny
+    aggregate, never on the corpus.
+
+    Output: (group_col, n_base, n_current, psi, drifted).
+    """
+    bkt = F.least(
+        F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)
+    ).cast("long")
+    g = (
+        df.select(
+            F.col(group_col), bkt.alias("__bkt"), F.col(snapshot_col).alias("__s")
+        )
+        .groupBy(group_col, "__bkt")
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("__a"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__b"),
+        )
+    )
+    spine = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            group_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__bkt"),
+        )
+        .select(group_col, F.col("__bkt").cast("long").alias("__bkt"))
+    )
+    f = spine.join(g, [group_col, "__bkt"], "left").select(
+        group_col,
+        "__bkt",
+        F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"),
+        F.coalesce(F.col("__b"), F.lit(0)).cast("long").alias("__b"),
+    )
+    wg = Window.partitionBy(group_col)
+    n = F.lit(int(n_buckets)).cast("long")
+    ta = F.sum("__a").over(wg).cast("long")
+    tb = F.sum("__b").over(wg).cast("long")
+    p_num = (F.col("__a") + 1) * (tb + n)
+    q_num = (F.col("__b") + 1) * (ta + n)
+    lw = F.round(
+        F.log(p_num.cast("double") / q_num.cast("double")) * 1000000
+    ).cast("long")
+    comp = f.select(
+        group_col,
+        ta.alias("__ta"),
+        tb.alias("__tb"),
+        (p_num - q_num).cast("long").alias("__num"),
+        lw.alias("__lw"),
+    )
+    agg = comp.groupBy(group_col).agg(
+        F.min("__ta").alias("__ta"),
+        F.min("__tb").alias("__tb"),
+        F.sum(F.col("__num") * F.col("__lw")).cast("long").alias("__pn"),
+    )
+    den = ((F.col("__ta") + n) * (F.col("__tb") + n)).cast("double")
+    psi = F.col("__pn").cast("double") / den / F.lit(1000000.0)
+    return agg.select(
+        group_col,
+        F.col("__ta").alias("n_base"),
+        F.col("__tb").alias("n_current"),
+        psi.alias("psi"),
+        (psi > F.lit(float(drift_threshold))).alias("drifted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # declarative data-quality expectations (data contracts)
 # ---------------------------------------------------------------------------

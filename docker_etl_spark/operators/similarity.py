@@ -1391,7 +1391,10 @@ def mmr_rerank(
         _norm_prod_double(F.col("__an"), F.col("__bn"), exact_int)
     )
     simmap = (
-        a.join(b, F.col("__a") != F.col("__b"))
+        # The pool is bounded (max_pool guard), so the non-equi
+        # pairwise join broadcasts one side — BroadcastNestedLoopJoin
+        # over |pool|^2, never a CartesianProduct.
+        a.join(F.broadcast(b), F.col("__a") != F.col("__b"))
         .filter((F.col("__an") > 0) & (F.col("__bn") > 0))
         .select("__a", F.struct(F.col("__b").alias("key"), sim.alias("value")).alias("__kv"))
         .groupBy("__a")

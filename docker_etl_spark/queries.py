@@ -8025,3 +8025,149 @@ def x61_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         pool, select_k=8, lambda_=0.5, exact_int=True, max_pool=64
     )
+
+
+# ---------------------------------------------------------------------------
+# x62 — per-source PSI drift gate (operators/profiling.psi_drift):
+# Population Stability Index of the n_chars distribution between the
+# even-doc_id (baseline) and odd-doc_id (current) snapshot halves,
+# per source — the admission gate a continuous ingest runs before
+# accepting a new crawl batch. Add-1 smoothing over a fixed 10-bucket
+# spine; the one floating step is a quantized round(1e6*ln) per
+# (source, bucket) dim row (x56 discipline); accumulation is exact
+# integer math and the published PSI is two identical double
+# divisions in both engines.
+# ---------------------------------------------------------------------------
+
+_X62_ORACLE = """
+WITH d AS (
+    SELECT source,
+           CAST(least(floor(n_chars / 40), 9) AS BIGINT) AS bkt,
+           doc_id % 2 AS snap
+    FROM documents
+),
+g AS (
+    SELECT source, bkt,
+           CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM d GROUP BY source, bkt
+),
+spine AS (
+    SELECT s.source, CAST(r.range AS BIGINT) AS bkt
+    FROM (SELECT DISTINCT source FROM documents) s, range(0, 10) r
+),
+f AS (
+    SELECT sp.source, sp.bkt,
+           coalesce(g.a, 0) AS a, coalesce(g.b, 0) AS b
+    FROM spine sp LEFT JOIN g ON g.source = sp.source AND g.bkt = sp.bkt
+),
+t AS (
+    SELECT source, CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+    FROM f GROUP BY source
+),
+comp AS (
+    SELECT f.source, t.ta, t.tb,
+           CAST((f.a + 1) * (t.tb + 10) - (f.b + 1) * (t.ta + 10) AS BIGINT) AS num,
+           CAST(round(ln(CAST((f.a + 1) * (t.tb + 10) AS DOUBLE)
+                         / CAST((f.b + 1) * (t.ta + 10) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS lw
+    FROM f JOIN t USING (source)
+),
+s AS (
+    SELECT source, min(ta) AS ta, min(tb) AS tb,
+           CAST(sum(num * lw) AS BIGINT) AS pn
+    FROM comp GROUP BY source
+)
+SELECT source, ta AS n_base, tb AS n_current,
+       CAST(pn AS DOUBLE) / CAST((ta + 10) * (tb + 10) AS DOUBLE) / 1000000.0 AS psi,
+       (CAST(pn AS DOUBLE) / CAST((ta + 10) * (tb + 10) AS DOUBLE) / 1000000.0)
+           > 0.2 AS drifted
+FROM s
+"""
+
+
+@register("x62_psi_drift", oracle=_X62_ORACLE)
+def x62_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI of the n_chars distribution, even-vs-odd
+    doc_id snapshot halves, 10 fixed-width buckets."""
+    from docker_etl_spark.operators.profiling import psi_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    return psi_drift(
+        d.withColumn("__snap", (F.col("doc_id") % 2).cast("int")),
+        group_col="source",
+        value_col="n_chars",
+        snapshot_col="__snap",
+        bucket_width=40,
+        n_buckets=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x63 — leakage-safe split repair (operators/corpus.leakage_safe_split):
+# x39 DETECTS cross-split near-dup leakage; this op makes it
+# impossible by construction — every doc draws its train/val/test
+# split from the md5 of its near-dup CLUSTER REPRESENTATIVE (min-id
+# member of its connected component over the x20 production pair
+# config; singletons represent themselves), so near-dups co-travel.
+# Oracle: x09's hash-independent exact-Jaccard pair set -> recursive
+# transitive closure (the x20 recipe) -> the x26 split CASE drawn on
+# rep_id and doc_id.
+# ---------------------------------------------------------------------------
+
+_X63_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _X09_ORACLE
+    + f"""
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT e.u AS node, r.r FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+),
+rep AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+drawn AS (
+  SELECT doc_id, rep_id,
+         substr(md5(CAST(rep_id AS VARCHAR) || chr(31) || 'split'), 1, 8) AS us,
+         substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split'), 1, 8) AS un
+  FROM rep
+),
+lab AS (
+  SELECT doc_id, rep_id,
+         CASE WHEN us < '{_SPLIT_HEX_TRAIN}' THEN 'train'
+              WHEN us < '{_SPLIT_HEX_VAL}' THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN un < '{_SPLIT_HEX_TRAIN}' THEN 'train'
+              WHEN un < '{_SPLIT_HEX_VAL}' THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM drawn
+)
+SELECT doc_id, rep_id, split, naive_split, (split != naive_split) AS moved
+FROM lab
+"""
+)
+
+@register("x63_leakage_safe_split", oracle=_X63_ORACLE)
+def x63_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative 90/5/5 split: near-dup components
+    (x20 production pair config) co-travel; moved flags the docs the
+    naive own-id draw would have placed elsewhere."""
+    from docker_etl_spark.operators.corpus import leakage_safe_split
+    from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
+    ).select("id_a", "id_b")
+    return leakage_safe_split(d, pairs)

@@ -42,6 +42,10 @@ KERNELS = [
     "x54_cross_doc_span_dedup",
     "x56_dsir_select",
     "x58_bpe_merges",
+    "x59_bpe_tokenize",
+    "x60_matryoshka_recall",
+    "x61_mmr_rerank",
+    "x62_psi_drift",
 ]
 
 

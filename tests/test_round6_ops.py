@@ -824,3 +824,45 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert got[0]["mmr_score"] == 0.5 * 0.9
     assert got[1]["mmr_score"] == 0.5 * 0.5
     assert got[2]["mmr_score"] == 0.5 * 0.85 - 0.5 * 1.0
+
+
+def test_psi_drift_hand_computed(spark):
+    """PSI against hand-computed integer components: a fully flipped
+    distribution drifts (psi ~1.66), a stable one doesn't (~0.034)."""
+    from docker_etl_spark.operators.profiling import psi_drift
+
+    rows = (
+        [("g1", 5, 0)] * 3 + [("g1", 15, 1)] * 3
+        + [("g2", 5, 0)] * 2 + [("g2", 5, 1)]
+    )
+    df = spark.createDataFrame(rows, "src string, v long, snap int")
+    got = {
+        r["src"]: r.asDict()
+        for r in psi_drift(
+            df, "src", "v", "snap", bucket_width=10, n_buckets=2
+        ).collect()
+    }
+    # g1: num=(+15,-15), lw=(+1386294,-1386294) -> pn=41588820, den=25
+    assert got["g1"]["n_base"] == 3 and got["g1"]["n_current"] == 3
+    assert got["g1"]["psi"] == 41588820.0 / 25.0 / 1000000.0
+    assert got["g1"]["drifted"] is True
+    # g2: num=(+1,-1), lw=(117783,-287682) -> pn=405465, den=12
+    assert got["g2"]["n_base"] == 2 and got["g2"]["n_current"] == 1
+    assert got["g2"]["psi"] == 405465.0 / 12.0 / 1000000.0
+    assert got["g2"]["drifted"] is False
+
+
+def test_leakage_safe_split_co_travels_clusters(spark):
+    """Docs 1-2-3 form one component (rep 1): all three draw rep 1's
+    split (so doc 1 never 'moves'); singleton 4 keeps its own draw."""
+    from docker_etl_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r.asDict() for r in leakage_safe_split(docs, pairs).collect()}
+    assert [got[i]["rep_id"] for i in (1, 2, 3, 4)] == [1, 1, 1, 4]
+    assert got[1]["split"] == got[2]["split"] == got[3]["split"]
+    assert got[1]["split"] == got[1]["naive_split"] and not got[1]["moved"]
+    assert got[4]["split"] == got[4]["naive_split"] and not got[4]["moved"]
+    for i in (2, 3):
+        assert got[i]["moved"] == (got[i]["split"] != got[i]["naive_split"])
