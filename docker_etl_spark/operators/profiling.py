@@ -189,6 +189,22 @@ def psi_drift(
         F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"),
         F.coalesce(F.col("__b"), F.lit(0)).cast("long").alias("__b"),
     )
+    return psi_from_counts(f, group_col, n_buckets, drift_threshold)
+
+
+def psi_from_counts(
+    f: DataFrame,
+    group_col: str,
+    n_buckets: int,
+    drift_threshold: float = 0.2,
+) -> DataFrame:
+    """PSI from pre-bucketed counts: ``f`` carries one row per
+    (group, bucket) over the COMPLETE ``n_buckets`` spine with
+    ``__a`` (baseline count) and ``__b`` (current count). Shared by
+    :func:`psi_drift` (both sides from one frame) and the streaming
+    admission gate (baseline from a persisted histogram store,
+    current from the micro-batch). Same exact-integer discipline —
+    see :func:`psi_drift`."""
     wg = Window.partitionBy(group_col)
     n = F.lit(int(n_buckets)).cast("long")
     ta = F.sum("__a").over(wg).cast("long")
@@ -218,6 +234,27 @@ def psi_drift(
         F.col("__tb").alias("n_current"),
         psi.alias("psi"),
         (psi > F.lit(float(drift_threshold))).alias("drifted"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-(group, bucket) counts over the fixed-width bucketing the
+    PSI family uses — the tiny dim a drift baseline persists
+    (groups x n_buckets rows). Sparse: absent buckets are implied 0
+    (the spine is rebuilt at comparison time)."""
+    bkt = F.least(
+        F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        df.select(F.col(group_col), bkt.alias("__bkt"))
+        .groupBy(group_col, "__bkt")
+        .agg(F.count("*").cast("long").alias("__n"))
     )
 
 

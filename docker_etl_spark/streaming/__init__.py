@@ -7,6 +7,7 @@ from docker_etl_spark.streaming.core import (  # noqa: F401
     file_stream,
     foreach_batch_with_dead_letter,
     minhash_dedup_stream,
+    psi_gate_stream,
     streaming_dedupe,
     tumbling_window_agg,
 )

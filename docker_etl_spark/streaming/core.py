@@ -489,3 +489,97 @@ def embedding_dedup_stream(
             compact_partitioned_store(spark, store_path, ("tbl",))
 
     return _sink
+
+
+def psi_gate_stream(
+    baseline_path: str,
+    out_path: str,
+    quarantine_path: str,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    bucket_width: int = 40,
+    n_buckets: int = 10,
+    psi_threshold: float = 0.2,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch admission gate running x62's PSI drift check
+    continuously: each micro-batch's per-group value distribution is
+    compared against a persisted baseline histogram
+    (:func:`~docker_etl_spark.operators.profiling.value_histogram`
+    written once from a trusted snapshot); groups whose PSI exceeds
+    ``psi_threshold`` are QUARANTINED wholesale (their rows land in
+    ``quarantine_path`` for operator review) while stable groups
+    flow to ``out_path`` — the "did this crawl shard's length
+    profile silently shift?" guard a continuous ingest runs before
+    admitting data to the training corpus.
+
+    The gate decision reuses the exact batch operator
+    (:func:`psi_from_counts` over the same complete bucket spine),
+    so a quarantined group here would be exactly the ``drifted``
+    rows of an x62-style run on (baseline snapshot, this batch) —
+    twin-pinned in ``tests/test_streaming.py``.
+
+    Delivery contract: both writes are idempotent per batch
+    (dynamic partition overwrite under ``__batch_id=N``), the same
+    recipe as :func:`minhash_dedup_stream`. The baseline is
+    READ-ONLY state (groups x n_buckets rows, broadcast-sized);
+    unlike the dedup stores nothing appends, so there is no
+    redelivery window at all.
+    """
+    from docker_etl_spark.operators.profiling import (
+        psi_from_counts,
+        value_histogram,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        base = spark.read.parquet(baseline_path)
+        cur = value_histogram(
+            batch_df, group_col, value_col, bucket_width, n_buckets
+        )
+        spine = (
+            batch_df.select(group_col)
+            .distinct()
+            .select(
+                group_col,
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_buckets - 1))
+                ).alias("__bkt"),
+            )
+            .select(group_col, F.col("__bkt").cast("long").alias("__bkt"))
+        )
+        f = (
+            spine.join(
+                base.select(
+                    group_col, "__bkt", F.col("__n").alias("__a")
+                ),
+                [group_col, "__bkt"],
+                "left",
+            )
+            .join(
+                cur.select(
+                    group_col, "__bkt", F.col("__n").alias("__b")
+                ),
+                [group_col, "__bkt"],
+                "left",
+            )
+            .select(
+                group_col,
+                "__bkt",
+                F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"),
+                F.coalesce(F.col("__b"), F.lit(0)).cast("long").alias("__b"),
+            )
+        )
+        verdict = psi_from_counts(f, group_col, n_buckets, psi_threshold)
+        bad = verdict.filter(F.col("drifted")).select(group_col)
+        admitted = batch_df.join(F.broadcast(bad), group_col, "left_anti")
+        quarantined = batch_df.join(F.broadcast(bad), group_col, "left_semi")
+        for frame, path in ((admitted, out_path), (quarantined, quarantine_path)):
+            (
+                frame.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+
+    return _sink

@@ -46,6 +46,7 @@ KERNELS = [
     "x60_matryoshka_recall",
     "x61_mmr_rerank",
     "x62_psi_drift",
+    "x63_leakage_safe_split",
 ]
 
 

@@ -362,3 +362,79 @@ def test_minhash_dedup_stream_with_dead_letter(spark, tmp_path):
     dead = [r.doc_id for r in spark.read.parquet(dlq).collect()]
     assert survivors == [1, 2]      # 21 deduped against the store
     assert dead == [11]             # poison captured, query survived
+
+
+def test_psi_gate_stream_matches_batch_psi(spark, tmp_path):
+    """The foreachBatch PSI admission gate: per micro-batch, groups
+    whose PSI vs the persisted baseline histogram exceeds the
+    threshold are quarantined wholesale — and the gate decision is
+    exactly psi_drift's drifted flag on (baseline, that batch)."""
+    import time
+
+    from docker_etl_spark.operators.profiling import psi_drift, value_histogram
+    from docker_etl_spark.streaming import drain_available, psi_gate_stream
+
+    schema = "grp string, v bigint"
+    baseline_rows = (
+        [("g_ok", 5)] * 10 + [("g_ok", 45)] * 10
+        + [("g_bad", 5)] * 10 + [("g_bad", 45)] * 10
+    )
+    batches = [
+        [("g_ok", 5)] * 5 + [("g_ok", 45)] * 5 + [("g_bad", 395)] * 10,
+        [("g_bad", 5)] * 5 + [("g_bad", 45)] * 5,
+    ]
+    baseline = spark.createDataFrame(baseline_rows, schema)
+    base_path = str(tmp_path / "psi_base")
+    value_histogram(baseline, "grp", "v", 40, 10).write.parquet(base_path)
+
+    src = str(tmp_path / "psi_src")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    out_path = str(tmp_path / "psi_out")
+    q_path = str(tmp_path / "psi_quarantine")
+    sink = psi_gate_stream(
+        base_path, out_path, q_path, group_col="grp", value_col="v",
+        bucket_width=40, n_buckets=10, psi_threshold=0.2,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drain_available(stream, sink=sink, checkpoint=str(tmp_path / "psi_ckpt"))
+
+    admitted = spark.read.parquet(out_path)
+    quarantined = spark.read.parquet(q_path)
+    # batch 0: g_ok matches the baseline -> admitted; g_bad's mass
+    # moved to bucket 9 -> quarantined. batch 1: g_bad recovered.
+    assert sorted(
+        (r["grp"], r["__batch_id"]) for r in admitted.select("grp", "__batch_id").distinct().collect()
+    ) == [("g_bad", 1), ("g_ok", 0)]
+    assert quarantined.count() == 10
+    assert set(r.grp for r in quarantined.collect()) == {"g_bad"}
+
+    # twin: the batch operator's drifted flag on (baseline, batch b)
+    # must equal the gate's quarantine decision, per batch
+    for b, rows in enumerate(batches):
+        both = baseline.withColumn("snap", F.lit(0)).unionByName(
+            spark.createDataFrame(rows, schema).withColumn("snap", F.lit(1))
+        )
+        flags = {
+            r.grp: r.drifted
+            for r in psi_drift(both, "grp", "v", "snap", 40, 10).collect()
+        }
+        batch_groups = {g for g, _ in rows}
+        gated = {
+            r.grp
+            for r in quarantined.filter(F.col("__batch_id") == b).collect()
+        }
+        assert gated == {g for g in batch_groups if flags[g]}
+
+    # redelivery: re-running a batch overwrites its own partition,
+    # never duplicates (dynamic partition overwrite)
+    n_before = admitted.count()
+    sink(spark.createDataFrame(batches[0], schema), 0)
+    assert spark.read.parquet(out_path).count() == n_before
