@@ -579,6 +579,7 @@ def incremental_minhash_dedup(
     store_exploded: bool = False,
     probe_bands: list[int] | None = None,
     max_bucket_size: int | None = 1000,
+    include_batch_pairs: bool = True,
 ) -> DataFrame:
     """Near-dup dedup of an incoming batch against a corpus
     SIGNATURE store — the continuous-corpus-build form of MinHash
@@ -717,7 +718,10 @@ def incremental_minhash_dedup(
         .dropDuplicates(["new_id", "other_id"])
         .select("new_id", "est")
     )
-    cands = vs_store.unionByName(vs_batch)
+    # ``include_batch_pairs=False`` drops the in-batch arm: the
+    # decontamination form (is this corpus doc a fuzzy copy of a
+    # BENCHMARK doc?) must not flag corpus-vs-corpus near-dups.
+    cands = vs_store.unionByName(vs_batch) if include_batch_pairs else vs_store
     agg = cands.groupBy("new_id").agg(
         F.count("*").cast("bigint").alias("n_candidates"),
         F.max("est").alias("max_est"),

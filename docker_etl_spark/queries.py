@@ -8171,3 +8171,159 @@ def x63_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_perm=64, bands=8, threshold=0.5, hash_fn="xxhash64"
     ).select("id_a", "id_b")
     return leakage_safe_split(d, pairs)
+
+
+# ---------------------------------------------------------------------------
+# x64 — fuzzy decontamination against the benchmark slice
+# (operators/text_dedup.incremental_minhash_dedup with
+# include_batch_pairs=False): x17 catches EXACT n-gram overlap with
+# the eval set and x55 scrubs exact spans; this is the
+# MinHash-estimator form (the Llama-recipe "near-duplicate of an
+# eval document" scrub) — every corpus doc (doc_id % 31 != 0) probes
+# the BENCHMARK slice's (doc_id % 31 == 0) signature store through
+# LSH banding; the in-batch arm is OFF because corpus-vs-corpus
+# near-dups are dedup's business, not contamination. Oracle replays
+# the md5 signatures, band buckets, and position-match estimator —
+# minus x45's in-batch arm.
+# ---------------------------------------------------------------------------
+
+_X64_ORACLE = f"""
+WITH newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 31 != 0
+),
+storedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+shn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newdocs)
+  WHERE len(w) >= 3
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM storedocs)
+  WHERE len(w) >= 3
+),
+sgn AS (SELECT doc_id, {_X45_SIG_SQL} AS g FROM shn),
+sgs AS (SELECT doc_id, {_X45_SIG_SQL} AS g FROM shs),
+bn AS (
+  SELECT doc_id, g, b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sgn, unnest([0, 1, 2]) AS u(b)
+),
+bs AS (
+  SELECT doc_id, g, b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sgs, unnest([0, 1, 2]) AS u(b)
+),
+cand AS (
+  SELECT new_id, est FROM (
+    SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id,
+           CAST(len(list_filter(range(1, 13), i -> n.g[i] = s.g[i])) AS DOUBLE)
+           / 12.0 AS est
+    FROM bn n JOIN bs s ON n.b = s.b AND n.bkey = s.bkey
+  )
+),
+agg AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(est) AS max_est
+  FROM cand GROUP BY new_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.max_est, 0.0) AS max_est,
+       COALESCE(a.max_est, 0.0) >= 0.5 AS is_dup
+FROM newdocs d LEFT JOIN agg a ON a.new_id = d.doc_id
+"""
+
+
+@register("x64_fuzzy_decontamination", oracle=_X64_ORACLE)
+def x64_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs probed against the benchmark slice's signature
+    store (md5, 12 perms, 3 bands, est >= 0.5); in-batch arm off."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 31 != 0)
+    bench = d.filter(F.col("doc_id") % 31 == 0)
+    has = F.size(F.split(F.col("text"), " ")) >= 3
+    bench_sigs = bench.filter(has).select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig"),
+    )
+    return incremental_minhash_dedup(
+        corpus,
+        bench_sigs,
+        num_perm=12,
+        bands=3,
+        est_threshold=0.5,
+        hash_fn="md5",
+        include_batch_pairs=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x65 — corpus diversity census
+# (operators/text_analysis.corpus_diversity): per-source type-token
+# ratio and distinct-trigram ratio — the redundancy fingerprint read
+# before weighting a source in the training mixture (high volume +
+# low diversity = templated corpus; dedup fixes documents, this
+# flags the source). Exact integer counts; each ratio is one double
+# division.
+# ---------------------------------------------------------------------------
+
+_X65_ORACLE = """
+WITH d AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+ds AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(w)) AS BIGINT) AS total_words
+  FROM d GROUP BY source
+),
+dw AS (
+  SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS distinct_words
+  FROM (SELECT source, unnest(w) AS t FROM d) GROUP BY source
+),
+g0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM d WHERE len(w) >= 3
+),
+gr AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS distinct_ngrams,
+         CAST(sum(c) AS BIGINT) AS total_ngrams
+  FROM (SELECT source, g, count(*) AS c FROM g0 GROUP BY source, g)
+  GROUP BY source
+)
+SELECT ds.source, ds.n_docs, ds.total_words,
+       coalesce(dw.distinct_words, 0) AS distinct_words,
+       CASE WHEN ds.total_words > 0
+            THEN CAST(coalesce(dw.distinct_words, 0) AS DOUBLE)
+                 / CAST(ds.total_words AS DOUBLE) END AS type_token_ratio,
+       coalesce(gr.total_ngrams, 0) AS total_ngrams,
+       coalesce(gr.distinct_ngrams, 0) AS distinct_ngrams,
+       CASE WHEN coalesce(gr.total_ngrams, 0) > 0
+            THEN CAST(gr.distinct_ngrams AS DOUBLE)
+                 / CAST(gr.total_ngrams AS DOUBLE) END AS ngram_diversity
+FROM ds LEFT JOIN dw ON dw.source = ds.source
+LEFT JOIN gr ON gr.source = ds.source
+"""
+
+
+@register("x65_corpus_diversity", oracle=_X65_ORACLE)
+def x65_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token + distinct-trigram diversity census."""
+    from docker_etl_spark.operators.text_analysis import corpus_diversity
+
+    d = load_docs_spread(spark, sf_dir)
+    return corpus_diversity(d)

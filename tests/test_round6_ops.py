@@ -866,3 +866,56 @@ def test_leakage_safe_split_co_travels_clusters(spark):
     assert got[4]["split"] == got[4]["naive_split"] and not got[4]["moved"]
     for i in (2, 3):
         assert got[i]["moved"] == (got[i]["split"] != got[i]["naive_split"])
+
+
+def test_fuzzy_decontamination_ignores_batch_twins(spark):
+    """include_batch_pairs=False: a corpus copy of a BENCHMARK doc is
+    flagged (est 1.0) but two identical corpus docs do not flag each
+    other — corpus-vs-corpus near-dups are dedup's business."""
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+        word_shingles,
+    )
+    import pyspark.sql.functions as F
+
+    bench_text = "the quick brown fox jumps over the lazy dog again today"
+    twin_text = "completely different content about spark shuffles and pruning"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, twin_text), (3, twin_text)],
+        "doc_id long, text string",
+    )
+    sigs = bench.select(
+        "doc_id", minhash_signature(word_shingles("text", 3), 12, "md5").alias("sig")
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_minhash_dedup(
+            corpus, sigs, include_batch_pairs=False
+        ).collect()
+    }
+    assert got[1]["is_dup"] and got[1]["max_est"] == 1.0
+    assert not got[2]["is_dup"] and not got[3]["is_dup"]
+    assert got[2]["n_candidates"] == 0 and got[3]["n_candidates"] == 0
+
+
+def test_corpus_diversity_ratios(spark):
+    """Hand-checked census: a templated source (one doc repeated 3x)
+    shows ttr 4/12 and trigram diversity 2/6; a <3-word source has
+    zero trigrams and a NULL diversity."""
+    from docker_etl_spark.operators.text_analysis import corpus_diversity
+
+    rows = [("tmpl", "a b c d")] * 3 + [("rich", "x y z w"), ("tiny", "p q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r.asDict() for r in corpus_diversity(df).collect()}
+    t = got["tmpl"]
+    assert (t["n_docs"], t["total_words"], t["distinct_words"]) == (3, 12, 4)
+    assert t["type_token_ratio"] == 4.0 / 12.0
+    assert (t["total_ngrams"], t["distinct_ngrams"]) == (6, 2)
+    assert t["ngram_diversity"] == 2.0 / 6.0
+    r = got["rich"]
+    assert r["type_token_ratio"] == 1.0 and r["ngram_diversity"] == 1.0
+    y = got["tiny"]
+    assert (y["total_ngrams"], y["distinct_ngrams"]) == (0, 0)
+    assert y["ngram_diversity"] is None and y["type_token_ratio"] == 1.0
