@@ -47,6 +47,8 @@ KERNELS = [
     "x61_mmr_rerank",
     "x62_psi_drift",
     "x63_leakage_safe_split",
+    "x64_fuzzy_decontamination",
+    "x65_corpus_diversity",
 ]
 
 
