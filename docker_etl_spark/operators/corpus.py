@@ -1225,3 +1225,100 @@ def leakage_safe_split(
         "naive_split",
         (F.col("split") != F.col("naive_split")).alias("moved"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at word anchors: a chunk break falls
+    AFTER every word whose md5 bucket is ``0 mod divisor`` (expected
+    chunk length ~``divisor`` words). Unlike fixed windows (x30),
+    boundaries are a function of CONTENT — inserting a word
+    re-chunks only its own neighborhood, every other chunk digest
+    survives, which is the property that makes chunk-level dedup
+    stable under edits (the rsync/LBFS recipe applied to text).
+
+    One linear fold per document (aggregate with a
+    (done-chunks, current-chunk) accumulator — no O(n^2) prefix
+    scans, no explode until the consumer asks for rows); the anchor
+    draw is the engine-wide md5-bucket idiom, so the chunking
+    replays exactly in SQL.
+
+    Output: one row per chunk (id_col, chunk_idx, chunk, n_words).
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+    )
+
+    def step(acc, word):
+        cur2 = F.when(acc["cur"] == "", word).otherwise(
+            F.concat(acc["cur"], F.lit(" "), word)
+        )
+        anchor = (
+            F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("bigint")
+            % divisor
+            == 0
+        )
+        return F.when(
+            anchor,
+            F.struct(
+                F.array_append(acc["done"], cur2).alias("done"),
+                F.lit("").alias("cur"),
+            ),
+        ).otherwise(F.struct(acc["done"].alias("done"), cur2.alias("cur")))
+
+    chunks = F.aggregate(
+        w,
+        acc0,
+        step,
+        lambda a: F.when(
+            a["cur"] != "", F.array_append(a["done"], a["cur"])
+        ).otherwise(a["done"]),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk",
+            F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
+        )
+    )
+
+
+def cdc_chunk_census(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Per-group chunk-level dedup census over :func:`cdc_chunks`:
+    how much of a source is repeated CHUNKS (boilerplate, templated
+    spans) that document-level dedup can't see? Exact integer
+    counts; the two ratios are single double divisions.
+
+    Scale shape: the fold is map-side; the census is one groupBy on
+    (group, digest) equivalent — here count(distinct md5(chunk))
+    per group, partial-aggregatable.
+    """
+    ch = cdc_chunks(
+        df, id_col=id_col, text_col=text_col, divisor=divisor
+    ).join(df.select(F.col(id_col), F.col(group_col)), id_col)
+    t = F.count("*").cast("long")
+    dc = F.count_distinct(F.md5(F.col("chunk"))).cast("long")
+    tw = F.sum("n_words").cast("long")
+    return ch.groupBy(group_col).agg(
+        t.alias("total_chunks"),
+        dc.alias("distinct_chunks"),
+        tw.alias("total_words"),
+        (
+            (t - dc).cast("double") / t.cast("double")
+        ).alias("dup_chunk_ratio"),
+        (tw.cast("double") / t.cast("double")).alias("mean_chunk_words"),
+    )

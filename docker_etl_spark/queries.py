@@ -8327,3 +8327,70 @@ def x65_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_docs_spread(spark, sf_dir)
     return corpus_diversity(d)
+
+
+# ---------------------------------------------------------------------------
+# x66 — content-defined chunk census (operators/corpus.cdc_chunks /
+# cdc_chunk_census): chunk breaks fall AFTER words whose md5 bucket
+# is 0 mod 8 (the rsync/LBFS recipe applied to text at word
+# granularity), so boundaries are a function of CONTENT — an edit
+# re-chunks only its own neighborhood, which is what makes
+# chunk-level dedup stable where x30's fixed windows all shift. The
+# census reports, per source, how much volume is REPEATED chunks
+# (boilerplate document-level dedup can't see). Engine: one linear
+# fold per doc; oracle: window prefix-sum over unnested words.
+# ---------------------------------------------------------------------------
+
+_X66_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w0
+  FROM documents
+),
+words AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w0) + 1),
+                               i -> {'w': w0[i], 'i': i})) AS x
+  FROM d
+),
+f AS (
+  SELECT doc_id, source, x.w AS w, x.i AS i,
+         CASE WHEN list_sum(list_transform(range(1, 9),
+              j -> CAST(strpos('0123456789abcdef',
+                               substring(substring(md5(x.w), 1, 8), j, 1)) - 1
+                        AS BIGINT) * CAST(16 ** (8 - j) AS BIGINT))) % 8 = 0
+              THEN 1 ELSE 0 END AS a
+  FROM words
+),
+c AS (
+  SELECT doc_id, source, w, i,
+         coalesce(sum(a) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cid
+  FROM f
+),
+ch AS (
+  SELECT doc_id, source, cid,
+         string_agg(w, ' ' ORDER BY i) AS chunk,
+         CAST(count(*) AS BIGINT) AS nw
+  FROM c GROUP BY doc_id, source, cid
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
+       CAST(sum(nw) AS BIGINT) AS total_words,
+       CAST(count(*) - count(DISTINCT md5(chunk)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_chunk_ratio,
+       CAST(sum(nw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chunk_words
+FROM ch GROUP BY source
+"""
+
+
+@register("x66_cdc_chunk_census", oracle=_X66_ORACLE)
+def x66_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-defined-chunk dedup census (word anchors,
+    md5 bucket 0 mod 8)."""
+    from docker_etl_spark.operators.corpus import cdc_chunk_census
+
+    d = load_docs_spread(spark, sf_dir)
+    return cdc_chunk_census(d)

@@ -919,3 +919,46 @@ def test_corpus_diversity_ratios(spark):
     y = got["tiny"]
     assert (y["total_ngrams"], y["distinct_ngrams"]) == (0, 0)
     assert y["ngram_diversity"] is None and y["type_token_ratio"] == 1.0
+
+
+def test_cdc_chunks_match_python_and_survive_edits(spark):
+    """cdc_chunks equals a Python replica of the anchor rule, and an
+    inserted word re-chunks only its own neighborhood — every chunk
+    not containing the edit keeps its digest (the CDC property fixed
+    windows lack)."""
+    import hashlib
+
+    from docker_etl_spark.operators.corpus import cdc_chunks
+
+    def anchor(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8 == 0
+
+    def py_chunks(words):
+        out, cur = [], []
+        for w in words:
+            cur.append(w)
+            if anchor(w):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    words = [f"tok{i}" for i in range(40)]
+    edited = words[:17] + ["inserted"] + words[17:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    got = cdc_chunks(df).collect()
+    by_doc = {1: [], 2: []}
+    for r in sorted(got, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc[r["doc_id"]].append(r["chunk"])
+        assert r["n_words"] == len(r["chunk"].split(" "))
+    assert by_doc[1] == py_chunks(words)
+    assert by_doc[2] == py_chunks(edited)
+    # stability: at most the edited chunk (possibly split in two)
+    # differs; everything else is digest-identical
+    a, b = set(by_doc[1]), set(by_doc[2])
+    assert len(a - b) <= 1
+    assert len(b - a) <= 2
