@@ -49,6 +49,7 @@ KERNELS = [
     "x63_leakage_safe_split",
     "x64_fuzzy_decontamination",
     "x65_corpus_diversity",
+    "x66_cdc_chunk_census",
 ]
 
 

@@ -57,6 +57,13 @@ KERNELS = [
     "x33_dedup_keep_best",
     "x37_semantic_dedup",
     "x45_incremental_minhash_dedup",
+    # round 6: the decontamination probe (hot-bucket guard in its
+    # store-only form), the CC-backed split repair (one giant
+    # component on the zipf corpus), and the CDC fold (expected
+    # skew-neutral: per-doc map work).
+    "x64_fuzzy_decontamination",
+    "x63_leakage_safe_split",
+    "x66_cdc_chunk_census",
 ]
 
 
