@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -1321,4 +1321,78 @@ def cdc_chunk_census(
             (t - dc).cast("double") / t.cast("double")
         ).alias("dup_chunk_ratio"),
         (tw.cast("double") / t.cast("double")).alias("mean_chunk_words"),
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 1,
+    batch_size: int = 32,
+    seed: str = "order",
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global training order + batch assignment — the
+    last step of corpus assembly: every document appears once per
+    epoch, shuffled by an md5 draw over (id, epoch, seed) so the
+    order is reproducible across reruns, partitionings, and cluster
+    sizes, and every example knows its global position and batch.
+
+    The global index is computed WITHOUT a single-partition window
+    (the naive ``row_number() OVER (ORDER BY key)`` collapses 100 TB
+    onto one task): rows range-partition on the draw key, each
+    partition ranks locally, and the per-partition row counts — a
+    bounded ``range_partitions``-row collect — become broadcast
+    prefix offsets. Positions are a total order (the draw key is
+    unique per (id, epoch)), so the result is IDENTICAL to the
+    single-window form regardless of where sampling places the range
+    boundaries.
+
+    Output: (id_col, epoch, ord_key, position, batch_id), positions
+    1-based over epochs x |df|.
+    """
+    epochs = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+    keyed = df.select(F.col(id_col)).select(F.col(id_col), epochs).select(
+        id_col,
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col(id_col).cast("string"),
+                F.col("epoch").cast("string"),
+                F.lit(seed),
+            )
+        ).alias("ord_key"),
+    )
+    # Eager checkpoint: the counts pass and the final plan must read
+    # the SAME materialized range partitioning — re-evaluating
+    # repartitionByRange could re-sample different boundaries and
+    # desynchronize the offsets from the pids.
+    ranged = (
+        keyed.repartitionByRange(range_partitions, "ord_key")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Bounded collect (range_partitions rows): per-partition counts
+    # become broadcast prefix offsets.
+    counts = (
+        ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy("ord_key")
+    pos = (F.col("__off") + F.row_number().over(w)).cast("long")
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .select(
+            id_col,
+            "epoch",
+            "ord_key",
+            pos.alias("position"),
+            ((pos - 1) / batch_size).cast("long").alias("batch_id"),
+        )
     )

@@ -8394,3 +8394,42 @@ def x66_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_docs_spread(spark, sf_dir)
     return cdc_chunk_census(d)
+
+
+# ---------------------------------------------------------------------------
+# x67 — deterministic training order (operators/corpus.training_order):
+# the last corpus-assembly step — every doc appears once per epoch,
+# shuffled by an md5 draw over (id, epoch, seed); each example gets
+# its global position and batch id. The engine computes the global
+# index WITHOUT a single-partition window: range partition on the
+# draw key, local ranks, bounded per-partition counts as broadcast
+# prefix offsets — identical to the naive global window because the
+# draw key is a total order. Oracle IS the naive global window.
+# ---------------------------------------------------------------------------
+
+_X67_ORACLE = """
+WITH k AS (
+  SELECT doc_id, CAST(e.range AS BIGINT) AS epoch,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(e.range AS VARCHAR)
+             || ':order') AS ord_key
+  FROM documents, range(0, 2) e
+),
+p AS (
+  SELECT doc_id, epoch, ord_key,
+         CAST(row_number() OVER (ORDER BY ord_key) AS BIGINT) AS position
+  FROM k
+)
+SELECT doc_id, epoch, ord_key, position,
+       CAST((position - 1) // 32 AS BIGINT) AS batch_id
+FROM p
+"""
+
+
+@register("x67_training_order", oracle=_X67_ORACLE)
+def x67_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-epoch deterministic shuffle order + batch ids (batch 32),
+    global index via range partitions + broadcast prefix offsets."""
+    from docker_etl_spark.operators.corpus import training_order
+
+    d = load_table(spark, sf_dir, "documents")
+    return training_order(d, n_epochs=2, batch_size=32)

@@ -299,3 +299,84 @@ def test_png_roundtrip_property(h, w, c, filter_type, seed):
     back = _png.decode_png(_png.encode_png(img, filter_type=filter_type))
     assert back.shape == (h, w, c)
     assert np.array_equal(back, img)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 199), st.integers(0, 1)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_psi_is_symmetric_under_snapshot_swap(spark, rows):
+    """PSI's component (p-q)·ln(p/q) is invariant under swapping the
+    two snapshots (both factors negate), so flipping every snapshot
+    flag must reproduce the identical psi per group."""
+    from docker_etl_spark.operators.profiling import psi_drift
+
+    df = spark.createDataFrame(rows, "g string, v long, s int")
+    flipped = df.withColumn("s", 1 - F.col("s"))
+    a = {r["g"]: r["psi"] for r in psi_drift(df, "g", "v", "s", 20, 5).collect()}
+    b = {r["g"]: r["psi"] for r in psi_drift(flipped, "g", "v", "s", 20, 5).collect()}
+    assert a == b
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=6))
+def test_cdc_chunks_reconstruct_their_document(spark, texts):
+    """Joining a document's CDC chunks in order with single spaces
+    reproduces exactly its non-empty-token sequence — chunking is a
+    partition of the words, never dropping or duplicating any."""
+    from docker_etl_spark.operators.corpus import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        rebuilt = " ".join(c for _, c in sorted(got.get(i, [])))
+        assert rebuilt == " ".join(words), (t,)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_leakage_safe_split_is_cluster_constant(spark, raw_pairs):
+    """Under ANY near-dup pair graph, every member of a connected
+    component draws the same split, and that split equals the naive
+    draw of the component's min-id member."""
+    from docker_etl_spark.operators.corpus import leakage_safe_split
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+    got = {r["doc_id"]: r.asDict() for r in leakage_safe_split(docs, pdf).collect()}
+    # python union-find model
+    parent = list(range(16))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for i in range(16):
+        rep = find(i)
+        assert got[i]["rep_id"] == rep, (pairs, i)
+        assert got[i]["split"] == got[rep]["split"]
+        assert got[rep]["split"] == got[rep]["naive_split"]

@@ -962,3 +962,28 @@ def test_cdc_chunks_match_python_and_survive_edits(spark):
     a, b = set(by_doc[1]), set(by_doc[2])
     assert len(a - b) <= 1
     assert len(b - a) <= 2
+
+
+def test_training_order_invariant_to_range_partitions(spark):
+    """Positions are a total order over the md5 draw, so the result
+    is IDENTICAL whatever the range partition count — the property
+    that makes the offsets-based distributed index equal the naive
+    global window. Positions are contiguous 1..n_epochs*|df|."""
+    from docker_etl_spark.operators.corpus import training_order
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {
+        (r["doc_id"], r["epoch"]): (r["position"], r["batch_id"])
+        for r in training_order(docs, n_epochs=2, batch_size=8,
+                                range_partitions=7).collect()
+    }
+    b = {
+        (r["doc_id"], r["epoch"]): (r["position"], r["batch_id"])
+        for r in training_order(docs, n_epochs=2, batch_size=8,
+                                range_partitions=1).collect()
+    }
+    assert a == b
+    positions = sorted(p for p, _ in a.values())
+    assert positions == list(range(1, 101))
+    for (doc, ep), (pos, bid) in a.items():
+        assert bid == (pos - 1) // 8
