@@ -302,6 +302,7 @@ def write_digest_store(
     path: str,
     digest_col: str = "content_md5",
     prefix_chars: int = 2,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a content-digest store in its 100 TB layout:
     ``partitionBy`` on the digest's first ``prefix_chars`` hex chars
@@ -322,7 +323,7 @@ def write_digest_store(
         "digest_prefix", F.substring(F.col(digest_col), 1, prefix_chars)
     )
     with store_writer_lock(path, owner="write_digest_store"):
-        out.write.mode("overwrite").partitionBy("digest_prefix").parquet(path)
+        out.write.mode(mode).partitionBy("digest_prefix").parquet(path)
 
 
 def incremental_content_dedup(

@@ -1,6 +1,7 @@
 """Structured Streaming layer (SURVEY.md §2.11 T1-T8)."""
 
 from docker_etl_spark.streaming.core import (  # noqa: F401
+    cdc_chunk_dedup_stream,
     corpus_filter_stream,
     drain_available,
     embedding_dedup_stream,

@@ -583,3 +583,76 @@ def psi_gate_stream(
             )
 
     return _sink
+
+
+def cdc_chunk_dedup_stream(
+    store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+    prefix_chars: int = 2,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink running chunk-level exact dedup
+    continuously: each micro-batch's documents are cut into
+    content-defined chunks (:func:`~docker_etl_spark.operators.corpus.
+    cdc_chunks` — boundaries survive edits, so a re-crawled page
+    re-delivers mostly already-seen chunk digests), the chunks are
+    gated against the CUMULATIVE prefix-partitioned digest store,
+    and only genuinely new chunks land in ``out_path`` — the
+    storage-dedup ingestion front (LBFS applied to a text corpus).
+
+    Because exact digest dedup IS transitive, the union of per-batch
+    survivors equals one chunk-level dedup over the whole corpus —
+    no batch-boundary corner at all (unlike the near-dup loops; the
+    twin test pins strict equality).
+
+    Same delivery contract as :func:`minhash_dedup_stream`:
+    survivors write idempotently under ``out_path/__batch_id=N``
+    (dynamic partition overwrite); the digest append after it may
+    double-append on redelivery, which is results-neutral (the gate
+    is an anti-join — duplicate store digests change no decision).
+    """
+    from docker_etl_spark.operators.corpus import cdc_chunks
+    from docker_etl_spark.operators.dedupe import (
+        incremental_content_dedup,
+        write_digest_store,
+    )
+    from docker_etl_spark.sources.stores import parquet_path_exists
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        ch = cdc_chunks(
+            batch_df, id_col=id_col, text_col=text_col, divisor=divisor
+        ).withColumn(
+            # unique orderable id per chunk row for the intra-batch
+            # min-id survivor rule
+            "chunk_id",
+            F.col(id_col) * 1000000 + F.col("chunk_idx"),
+        )
+        if parquet_path_exists(spark, store_path):
+            store = spark.read.parquet(store_path)
+        else:
+            store = spark.createDataFrame([], "content_md5 string")
+        survivors = incremental_content_dedup(
+            ch,
+            store,
+            id_col="chunk_id",
+            text_col="chunk",
+            prefix_chars=prefix_chars,
+        ).localCheckpoint(eager=True)
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+        write_digest_store(
+            survivors.select("content_md5"),
+            store_path,
+            prefix_chars=prefix_chars,
+            mode="append",
+        )
+
+    return _sink

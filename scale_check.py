@@ -50,6 +50,7 @@ KERNELS = [
     "x64_fuzzy_decontamination",
     "x65_corpus_diversity",
     "x66_cdc_chunk_census",
+    "x67_training_order",
 ]
 
 

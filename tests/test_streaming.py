@@ -438,3 +438,62 @@ def test_psi_gate_stream_matches_batch_psi(spark, tmp_path):
     n_before = admitted.count()
     sink(spark.createDataFrame(batches[0], schema), 0)
     assert spark.read.parquet(out_path).count() == n_before
+
+
+def test_cdc_chunk_dedup_stream_matches_batch(spark, tmp_path):
+    """Chunk-level exact dedup is transitive, so the union of
+    per-batch surviving chunks must EQUAL one chunk-dedup over the
+    whole corpus (min-chunk_id survivor per digest) — strict
+    equality, no batch-boundary corner."""
+    import time
+
+    from docker_etl_spark.operators.corpus import cdc_chunks
+    from docker_etl_spark.streaming import cdc_chunk_dedup_stream, drain_available
+
+    schema = "doc_id bigint, text string"
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows_by_batch = [
+        [(1, base), (2, "totally different words about spark plans here")],
+        [(11, base), (12, base + " with a small suffix change")],  # re-crawl
+        [(21, "yet more novel content streaming in right now")],
+    ]
+    src = str(tmp_path / "cdc_src")
+    for rows in rows_by_batch:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    store = str(tmp_path / "cdc_store")
+    out = str(tmp_path / "cdc_out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drain_available(
+        stream,
+        sink=cdc_chunk_dedup_stream(store, out),
+        checkpoint=str(tmp_path / "cdc_ckpt"),
+    )
+    got = {
+        (r["chunk_id"], r["content_md5"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    all_docs = spark.createDataFrame(
+        [r for rows in rows_by_batch for r in rows], schema
+    )
+    ch = cdc_chunks(all_docs).withColumn(
+        "chunk_id", F.col("doc_id") * 1000000 + F.col("chunk_idx")
+    ).withColumn("content_md5", F.md5(F.col("chunk")))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("content_md5").orderBy("chunk_id")
+    twin = {
+        (r["chunk_id"], r["content_md5"])
+        for r in ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == twin
+    assert len(got) < ch.count()  # the re-crawl batch actually deduped
