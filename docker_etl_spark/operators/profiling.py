@@ -430,3 +430,74 @@ def kanon_aggregate(
         .filter(F.col("n_entities") > 0)
     )
     return ok.unionByName(rollup)
+
+
+def psi_drift_equidepth(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    snapshot_col: str,
+    n_buckets: int = 10,
+    drift_threshold: float = 0.2,
+) -> DataFrame:
+    """:func:`psi_drift` with EQUI-DEPTH buckets: bucket edges are
+    the baseline snapshot's own per-group ``percentile_disc``
+    quantiles (the standard production recipe — fixed-width buckets
+    under- or over-resolve whichever region the baseline mass
+    actually occupies, quantile edges put ~equal baseline mass in
+    every bucket so the statistic is sensitive everywhere).
+
+    Edges are exact integers (percentile_disc picks an actual value),
+    bucket assignment is an integer comparison fold, and the PSI
+    accumulation reuses :func:`psi_from_counts` — the same
+    exact-math/quantized-ln discipline end-to-end. Only groups
+    present in the baseline are scored (no edges, no gate — the
+    caller decides what a brand-new group means).
+
+    Scale shape: one percentile aggregate to k group rows, broadcast
+    as the edge dim (the adaptive-floor pattern); bucket assignment
+    is map-side; everything after runs on (groups x buckets) rows.
+    """
+    base = df.filter(F.col(snapshot_col) == 0)
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    edges = base.groupBy(group_col).agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+                ).cast("long")
+                for p in ps
+            ]
+        ).alias("__edges")
+    )
+    joined = df.join(F.broadcast(edges), group_col)
+    bkt = F.size(
+        F.filter(F.col("__edges"), lambda e: F.col(value_col) > e)
+    ).cast("long")
+    g = (
+        joined.select(
+            F.col(group_col),
+            bkt.alias("__bkt"),
+            F.col(snapshot_col).alias("__s"),
+        )
+        .groupBy(group_col, "__bkt")
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("__a"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__b"),
+        )
+    )
+    spine = edges.select(
+        group_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__bkt"),
+    ).select(group_col, F.col("__bkt").cast("long").alias("__bkt"))
+    f = spine.join(g, [group_col, "__bkt"], "left").select(
+        group_col,
+        "__bkt",
+        F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"),
+        F.coalesce(F.col("__b"), F.lit(0)).cast("long").alias("__b"),
+    )
+    return psi_from_counts(f, group_col, n_buckets, drift_threshold)

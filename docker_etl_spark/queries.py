@@ -8433,3 +8433,83 @@ def x67_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return training_order(d, n_epochs=2, batch_size=32)
+
+
+# ---------------------------------------------------------------------------
+# x68 — equi-depth PSI drift gate
+# (operators/profiling.psi_drift_equidepth): x62's PSI with bucket
+# edges taken from the BASELINE snapshot's own per-source deciles
+# (percentile_disc — exact integers), broadcast as an edge dim (the
+# x43 adaptive-floor pattern) so every bucket holds ~equal baseline
+# mass and the statistic is sensitive wherever the data actually
+# lives. Bucket assignment is an integer comparison fold; the PSI
+# accumulation is the shared exact-int/quantized-ln kernel.
+# ---------------------------------------------------------------------------
+
+_X68_EDGES = ", ".join(f"quantile_disc(n_chars, {i / 10})" for i in range(1, 10))
+
+_X68_ORACLE = f"""
+WITH ed AS (
+  SELECT source, [{_X68_EDGES}] AS edges
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+),
+d AS (
+  SELECT d0.source,
+         CAST(len(list_filter(ed.edges, e -> d0.n_chars > e)) AS BIGINT) AS bkt,
+         d0.doc_id % 2 AS snap
+  FROM documents d0 JOIN ed ON ed.source = d0.source
+),
+g AS (
+  SELECT source, bkt,
+         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM d GROUP BY source, bkt
+),
+spine AS (
+  SELECT ed.source, CAST(r.range AS BIGINT) AS bkt
+  FROM ed, range(0, 10) r
+),
+f AS (
+  SELECT sp.source, sp.bkt,
+         coalesce(g.a, 0) AS a, coalesce(g.b, 0) AS b
+  FROM spine sp LEFT JOIN g ON g.source = sp.source AND g.bkt = sp.bkt
+),
+t AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+  FROM f GROUP BY source
+),
+comp AS (
+  SELECT f.source, t.ta, t.tb,
+         CAST((f.a + 1) * (t.tb + 10) - (f.b + 1) * (t.ta + 10) AS BIGINT) AS num,
+         CAST(round(ln(CAST((f.a + 1) * (t.tb + 10) AS DOUBLE)
+                       / CAST((f.b + 1) * (t.ta + 10) AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lw
+  FROM f JOIN t USING (source)
+),
+s AS (
+  SELECT source, min(ta) AS ta, min(tb) AS tb,
+         CAST(sum(num * lw) AS BIGINT) AS pn
+  FROM comp GROUP BY source
+)
+SELECT source, ta AS n_base, tb AS n_current,
+       CAST(pn AS DOUBLE) / CAST((ta + 10) * (tb + 10) AS DOUBLE) / 1000000.0 AS psi,
+       (CAST(pn AS DOUBLE) / CAST((ta + 10) * (tb + 10) AS DOUBLE) / 1000000.0)
+           > 0.2 AS drifted
+FROM s
+"""
+
+
+@register("x68_psi_equidepth", oracle=_X68_ORACLE)
+def x68_psi_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source equi-depth PSI (baseline-decile edges), even-vs-odd
+    doc_id snapshot halves."""
+    from docker_etl_spark.operators.profiling import psi_drift_equidepth
+
+    d = load_table(spark, sf_dir, "documents")
+    return psi_drift_equidepth(
+        d.withColumn("__snap", (F.col("doc_id") % 2).cast("int")),
+        group_col="source",
+        value_col="n_chars",
+        snapshot_col="__snap",
+        n_buckets=10,
+    )

@@ -987,3 +987,33 @@ def test_training_order_invariant_to_range_partitions(spark):
     assert positions == list(range(1, 101))
     for (doc, ep), (pos, bid) in a.items():
         assert bid == (pos - 1) // 8
+
+
+def test_psi_equidepth_resolves_what_fixed_width_cannot(spark):
+    """A shift WITHIN one fixed-width bucket: width-40 PSI sees one
+    bucket on both sides (psi ~0, not drifted) while baseline-decile
+    edges resolve the move (drifted). Groups absent from the
+    baseline get no edges and are not scored."""
+    from docker_etl_spark.operators.profiling import (
+        psi_drift,
+        psi_drift_equidepth,
+    )
+
+    rows = (
+        [("g", v, 0) for v in range(1, 11)]   # baseline spread 1..10
+        + [("g", 10, 1)] * 10                  # current: all at 10
+        + [("new_only", 5, 1)] * 3             # no baseline -> unscored
+    )
+    df = spark.createDataFrame(rows, "src string, v long, snap int")
+    eq = {
+        r["src"]: r.asDict()
+        for r in psi_drift_equidepth(df, "src", "v", "snap", 10).collect()
+    }
+    fw = {
+        r["src"]: r.asDict()
+        for r in psi_drift(df, "src", "v", "snap", 40, 10).collect()
+    }
+    assert eq["g"]["drifted"] is True and eq["g"]["psi"] > 1.0
+    assert fw["g"]["drifted"] is False and abs(fw["g"]["psi"]) < 1e-9
+    assert "new_only" not in eq       # no baseline edges -> unscored
+    assert fw["new_only"]["n_base"] == 0
