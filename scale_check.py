@@ -51,6 +51,7 @@ KERNELS = [
     "x65_corpus_diversity",
     "x66_cdc_chunk_census",
     "x67_training_order",
+    "x68_psi_equidepth",
 ]
 
 
