@@ -635,3 +635,72 @@ def corpus_diversity(
         z("distinct_ngrams").alias("distinct_ngrams"),
         ratio(z("distinct_ngrams"), z("total_ngrams")).alias("ngram_diversity"),
     )
+
+
+def source_containment_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source overlap at SHINGLE granularity: for every source
+    pair, the common distinct-n-gram count plus containment in each
+    direction and Jaccard — the "how much of corpus A is already
+    inside corpus B" matrix that decides whether acquiring a new
+    source adds anything (x36's digest matrix answers this only for
+    verbatim whole-document copies; shingle containment sees partial
+    and remixed reuse).
+
+    Exact integer counts; the three ratios are single double
+    divisions. Scale shape: one distinct over (source, shingle) — the
+    real shuffle, partial-aggregatable — then a self equi-join ON THE
+    SHINGLE (each shingle contributes its own source-pair list, never
+    a cross join); with k sources the output is k(k-1)/2 rows.
+
+    Output: (source_a, source_b, n_a, n_b, n_common,
+    containment_a, containment_b, jaccard), source_a < source_b.
+    """
+    from docker_etl_spark.operators.text_dedup import word_shingles
+
+    sh = (
+        df.select(
+            F.col(group_col).alias("__src"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("__src").agg(F.count("*").cast("long").alias("__n"))
+    a = sh.select(F.col("__src").alias("source_a"), "__g")
+    b = sh.select(F.col("__src").alias("source_b"), "__g")
+    common = (
+        a.join(b, "__g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("__src", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("__n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__src", "source_b")),
+            "source_b",
+        )
+        .withColumnRenamed("__n", "n_b")
+    )
+    c = F.col("n_common").cast("double")
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_common",
+        (c / F.col("n_a").cast("double")).alias("containment_a"),
+        (c / F.col("n_b").cast("double")).alias("containment_b"),
+        (
+            c
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -8513,3 +8513,51 @@ def x68_psi_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_col="__snap",
         n_buckets=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# x69 — cross-source shingle containment matrix
+# (operators/text_analysis.source_containment_matrix): for every
+# source pair, common distinct trigrams + directional containment +
+# Jaccard — "how much of corpus A is already inside corpus B", the
+# acquisition-decision matrix. x36 answers this only for verbatim
+# whole-document copies (digests); shingle containment sees partial
+# and remixed reuse. One distinct over (source, shingle), then a
+# self equi-join ON THE SHINGLE — never a cross join.
+# ---------------------------------------------------------------------------
+
+_X69_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT source AS src,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY src),
+common AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT c.source_a, c.source_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+       CAST(c.n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+       CAST(c.n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b,
+       CAST(c.n_common AS DOUBLE)
+           / CAST(sa.n + sb.n - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.src = c.source_a
+JOIN sizes sb ON sb.src = c.source_b
+"""
+
+
+@register("x69_source_containment", oracle=_X69_ORACLE)
+def x69_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source shingle-containment/Jaccard matrix."""
+    from docker_etl_spark.operators.text_analysis import (
+        source_containment_matrix,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    return source_containment_matrix(d)

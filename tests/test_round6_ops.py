@@ -1017,3 +1017,24 @@ def test_psi_equidepth_resolves_what_fixed_width_cannot(spark):
     assert fw["g"]["drifted"] is False and abs(fw["g"]["psi"]) < 1e-9
     assert "new_only" not in eq       # no baseline edges -> unscored
     assert fw["new_only"]["n_base"] == 0
+
+
+def test_source_containment_hand_checked(spark):
+    """A={'a b c','b c d'}, B={'a b c','b c x'}: one common shingle
+    -> containment 0.5 each, jaccard 1/3; disjoint pairs emit no
+    row."""
+    from docker_etl_spark.operators.text_analysis import (
+        source_containment_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "a b c d"), ("B", "a b c x"), ("C", "z z z z")],
+        "source string, text string",
+    )
+    rows = source_containment_matrix(df).collect()
+    got = {(r["source_a"], r["source_b"]): r.asDict() for r in rows}
+    assert set(got) == {("A", "B")}
+    ab = got[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 2, 1)
+    assert ab["containment_a"] == 0.5 and ab["containment_b"] == 0.5
+    assert ab["jaccard"] == 1.0 / 3.0
