@@ -52,6 +52,7 @@ KERNELS = [
     "x66_cdc_chunk_census",
     "x67_training_order",
     "x68_psi_equidepth",
+    "x69_source_containment",
 ]
 
 
