@@ -740,3 +740,92 @@ def incremental_minhash_dedup(
             ),
         )
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Lossless prefix-filtered containment join (the PPJoin/AllPairs
+    prefix-filter principle, Chaudhuri et al. 2006 / Xiao et al.
+    2008): all DIRECTED pairs (a, b) where containment
+    ``|A ∩ B| / |A| >= threshold`` — the asymmetric near-dup case
+    Jaccard misses (a short wire story embedded in a long article
+    scores high containment but low Jaccard, so x04/x05 never flag
+    it).
+
+    Candidate generation is EXACT, not approximate: order every
+    document's shingles by global (document-frequency, shingle) —
+    rarest first — and take its prefix of ``floor(|A|(1-t)) + 1``
+    entries. If B shares NO prefix shingle of A, then B misses all
+    of them, so ``|A ∩ B| <= |A| - (floor(|A|(1-t)) + 1) < t|A|`` —
+    below threshold. Joining A-prefixes against the full posting
+    list therefore finds every qualifying pair, and the oracle can
+    be brute-force all-pairs (hash-independent).
+
+    Scale shape: the prefix side only carries each doc's RAREST
+    shingles, whose posting lists are short by construction — the
+    join fan-out per prefix entry is its own document frequency, so
+    boilerplate shingles (huge df) never generate candidates; this
+    is the whole point of prefix filtering. Shuffles: df count,
+    sort-by-rarity re-collect, prefix⨝postings, verify re-join.
+
+    Output: (id_a, id_b, n_a, n_common, containment), id_a != id_b,
+    containment(A→B) >= threshold.
+    """
+    has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    sh = (
+        _spread(docs.filter(has))
+        .select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
+    dfreq = ex.groupBy("__g").agg(F.count("*").cast("long").alias("__df"))
+    ordered = (
+        ex.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("__g")))
+            ).alias("__ord")
+        )
+    )
+    prefix_len = (
+        F.floor(F.size("__ord") * (1.0 - float(threshold))).cast("int") + 1
+    )
+    pref = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(
+            F.transform(
+                F.slice("__ord", F.lit(1), prefix_len), lambda s: s["__g"]
+            )
+        ).alias("__g"),
+    )
+    cand = (
+        pref.join(ex.select(F.col(id_col).alias("id_b"), "__g"), "__g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__sa").cast("long").alias("n_a"),
+            inter.alias("n_common"),
+            (inter.cast("double") / F.size("__sa").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= float(threshold))
+    )

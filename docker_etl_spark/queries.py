@@ -8561,3 +8561,42 @@ def x69_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_docs_spread(spark, sf_dir)
     return source_containment_matrix(d)
+
+
+# ---------------------------------------------------------------------------
+# x70 — lossless containment join (operators/text_dedup.
+# containment_join): all directed pairs with |A∩B|/|A| >= 0.8 — the
+# asymmetric near-dup case Jaccard misses (short doc embedded in a
+# long one). The engine prunes with the PPJoin prefix filter (a doc
+# must share one of its floor(|A|*0.2)+1 globally-rarest shingles
+# with any qualifying superset — EXACT, not approximate), so the
+# oracle is brute-force all-pairs containment and hash-independent.
+# ---------------------------------------------------------------------------
+
+_X70_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.s) AS BIGINT) AS n_a,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(a.s) AS DOUBLE) AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(a.s) AS DOUBLE) >= 0.8
+"""
+
+
+@register("x70_containment_join", oracle=_X70_ORACLE)
+def x70_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment >= 0.8 pairs via the exact prefix filter
+    (brute-force all-pairs oracle)."""
+    from docker_etl_spark.operators.text_dedup import containment_join
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_join(d, threshold=0.8)

@@ -1038,3 +1038,44 @@ def test_source_containment_hand_checked(spark):
     assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 2, 1)
     assert ab["containment_a"] == 0.5 and ab["containment_b"] == 0.5
     assert ab["jaccard"] == 1.0 / 3.0
+
+
+def test_containment_join_is_directed_and_lossless(spark):
+    """The asymmetric case Jaccard misses: doc 1 fully embedded in
+    doc 2 -> (1,2) flagged at containment 1.0, (2,1) not (doc 2 is
+    mostly novel); unrelated docs never pair."""
+    from docker_etl_spark.operators.text_dedup import (
+        containment_join,
+        jaccard,
+        word_shingles,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    other = "totally different words with no overlap at all here friend"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in containment_join(df, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 2)]["n_a"] == 3
+    # and the pair's Jaccard is well below 0.8 — x04/x05 would miss it
+    j = (
+        df.filter(F.col("doc_id") == 1)
+        .crossJoin(
+            df.filter(F.col("doc_id") == 2).select(
+                F.col("text").alias("t2")
+            )
+        )
+        .select(
+            jaccard(
+                word_shingles("text", 3), word_shingles(F.col("t2"), 3)
+            ).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert j < 0.3
