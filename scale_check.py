@@ -53,6 +53,7 @@ KERNELS = [
     "x67_training_order",
     "x68_psi_equidepth",
     "x69_source_containment",
+    "x70_containment_join",
 ]
 
 
