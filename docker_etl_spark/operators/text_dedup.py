@@ -829,3 +829,90 @@ def containment_join(
         )
         .filter(F.col("containment") >= float(threshold))
     )
+
+
+def estimator_precision_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """PRECISION of the MinHash position-match estimator over the
+    LSH candidate set — the counterpart of the planted-twin RECALL
+    harness (x52): of the pairs the estimator would admit at
+    ``threshold`` (the store-probe decision rule, which has no
+    shingles to verify against), how many are true near-dups by
+    exact Jaccard? Ships the estimator's quality as a measured,
+    regression-testable number instead of faith in the theory.
+
+    One row: (n_candidates, n_est_flagged, n_true_candidates,
+    n_true_flagged, precision, candidate_recall) — precision =
+    true_flagged/est_flagged; candidate_recall = true_flagged/
+    true_candidates (how many exact-qualifying candidate pairs the
+    estimator keeps). Counts exact ints; ratios single divisions.
+
+    Scale shape: identical to minhash_near_duplicates (band-bucket
+    equi-join + one verify re-join); the summary is a 1-row agg.
+    """
+    rows_per_band = num_perm // bands
+    has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    sh = (
+        _spread(docs.filter(has))
+        .select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sig = sh.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_perm, hash_fn)
+    )
+    cand = lsh_candidate_pairs(sig, id_col, "sig", bands, rows_per_band)
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("__siga"),
+        F.col("shingles").alias("__sha"),
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("__sigb"),
+        F.col("shingles").alias("__shb"),
+    )
+    est = signature_match_fraction(F.col("__siga"), F.col("__sigb"), num_perm)
+    jac = jaccard(F.col("__sha"), F.col("__shb"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            (est >= float(threshold)).alias("__flag"),
+            (jac >= float(threshold)).alias("__true"),
+        )
+    )
+    n = F.count("*").cast("long")
+    nf = F.sum(F.col("__flag").cast("long")).cast("long")
+    nt = F.sum(F.col("__true").cast("long")).cast("long")
+    ntf = F.sum((F.col("__flag") & F.col("__true")).cast("long")).cast("long")
+    out = scored.agg(
+        n.alias("n_candidates"),
+        nf.alias("n_est_flagged"),
+        nt.alias("n_true_candidates"),
+        ntf.alias("n_true_flagged"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den.cast("double")
+    )
+    return out.select(
+        "n_candidates",
+        "n_est_flagged",
+        "n_true_candidates",
+        "n_true_flagged",
+        ratio(F.col("n_true_flagged"), F.col("n_est_flagged")).alias(
+            "precision"
+        ),
+        ratio(F.col("n_true_flagged"), F.col("n_true_candidates")).alias(
+            "candidate_recall"
+        ),
+    )

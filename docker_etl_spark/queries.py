@@ -8600,3 +8600,68 @@ def x70_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_join(d, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# x71 — estimator precision eval (operators/text_dedup.
+# estimator_precision_eval): the counterpart of x52's planted-twin
+# RECALL — of the LSH candidate pairs the 12-perm position-match
+# estimator admits at 0.5 (the store-probe decision rule), how many
+# are true near-dups by exact Jaccard? The oracle replays md5
+# signatures, band buckets, the estimator, and the exact verify.
+# ---------------------------------------------------------------------------
+
+_X71_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM tok WHERE len(w) >= 3
+),
+sig AS (SELECT doc_id, s, {_X45_SIG_SQL} AS g FROM sh),
+bands AS (
+  SELECT doc_id, g, s, b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sig, unnest([0, 1, 2]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT
+    CAST(len(list_filter(range(1, 13), i -> sa.g[i] = sb.g[i])) AS DOUBLE)
+        / 12.0 >= 0.5 AS flag,
+    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        >= 0.5 AS tru
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_est_flagged,
+       CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true_candidates,
+       CAST(sum(CASE WHEN flag AND tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true_flagged,
+       CASE WHEN sum(CASE WHEN flag THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN flag AND tru THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS precision,
+       CASE WHEN sum(CASE WHEN tru THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN flag AND tru THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS candidate_recall
+FROM scored
+"""
+
+
+@register("x71_estimator_precision", oracle=_X71_ORACLE)
+def x71_estimator_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/candidate-recall of the 12-perm MinHash estimator
+    at threshold 0.5 over the LSH candidate set."""
+    from docker_etl_spark.operators.text_dedup import estimator_precision_eval
+
+    d = load_table(spark, sf_dir, "documents")
+    return estimator_precision_eval(d)

@@ -1079,3 +1079,20 @@ def test_containment_join_is_directed_and_lossless(spark):
         .collect()[0]["j"]
     )
     assert j < 0.3
+
+
+def test_estimator_precision_eval_hand_case(spark):
+    """Identical twins give an est-1.0 flagged TRUE pair; an
+    unrelated doc adds no candidates — precision/candidate_recall
+    are 1.0 on the clean fixture and the counts are exact."""
+    from docker_etl_spark.operators.text_dedup import estimator_precision_eval
+
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "nothing shared with anything else at all here")],
+        "doc_id long, text string",
+    )
+    r = estimator_precision_eval(df).collect()[0].asDict()
+    assert r["n_candidates"] == 1
+    assert r["n_est_flagged"] == 1 and r["n_true_flagged"] == 1
+    assert r["precision"] == 1.0 and r["candidate_recall"] == 1.0
