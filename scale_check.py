@@ -54,6 +54,7 @@ KERNELS = [
     "x68_psi_equidepth",
     "x69_source_containment",
     "x70_containment_join",
+    "x71_estimator_precision",
 ]
 
 
