@@ -916,3 +916,88 @@ def estimator_precision_eval(
             "candidate_recall"
         ),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): hash every word ``shingle_n``-
+    gram, slide a ``window`` over consecutive hashes, keep each
+    window's MINIMUM — guaranteeing that any match of at least
+    ``window + shingle_n - 1`` words between two documents shares a
+    selected fingerprint, while storing only ~2/(window+1) of the
+    hashes. The local-selection guarantee is what x08's global
+    fingerprints lack (a global min can live anywhere; winnowing's
+    mins cover every region of the document).
+
+    Pure array expressions (hash transform + per-window array_min +
+    distinct); one row per (doc, fingerprint). Hashes are the
+    engine-wide md5-bucket idiom, so selection replays exactly in
+    SQL.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - shingle_n),
+        lambda i: F.array_join(F.slice(w, i + 1, shingle_n), " "),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(hashes) - window),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    fps = F.array_distinct(mins)
+    return (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n + window - 1)
+        .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing
+    fingerprints — the MOSS match-detection join: because selection
+    is local, a shared run of ``window + shingle_n - 1`` words
+    ANYWHERE in two documents guarantees a shared fingerprint, so
+    this finds localized reuse (quoted paragraphs, copied passages)
+    that whole-document similarity scores dilute away.
+
+    Scale shape: explode → self equi-join ON THE FINGERPRINT (the
+    x69 posting-list pattern); ``max_posting`` drops fingerprints
+    whose posting list exceeds the cap (boilerplate windows — the
+    LSH hot-bucket trade) before the join.
+
+    Output: (id_a, id_b, n_shared), id_a < id_b.
+    """
+    fp = winnow_fingerprints(docs, id_col, text_col, shingle_n, window)
+    if max_posting is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_posting)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

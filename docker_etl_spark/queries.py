@@ -8665,3 +8665,54 @@ def x71_estimator_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return estimator_precision_eval(d)
+
+
+# ---------------------------------------------------------------------------
+# x72 — winnowing match pairs (operators/text_dedup.
+# winnow_fingerprints / winnow_match_pairs): the MOSS algorithm
+# (Schleimer 2003) — per-window minimum hash selection guarantees
+# any shared run of window+n-1 words surfaces a shared fingerprint,
+# finding LOCALIZED reuse whole-document similarity dilutes away.
+# Registry config: word 3-grams, window 4, pairs sharing >= 2
+# fingerprints; the hot-posting guard (1000) cannot engage below
+# 1000 documents, so the oracle replays without it.
+# ---------------------------------------------------------------------------
+
+_X72_H15 = (
+    "list_sum(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', substring(substring(md5({g}), 1, 15), j, 1)) - 1 AS BIGINT) "
+    "* CAST(16 ** (15 - j) AS BIGINT)))"
+)
+
+_X72_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ok AS (SELECT * FROM tok WHERE len(w) >= 6),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 1),
+             i -> {_X72_H15.format(g="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS hs
+  FROM ok
+),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                                             i -> list_min(hs[i:i+3])))) AS fingerprint
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+@register("x72_winnow_pairs", oracle=_X72_ORACLE)
+def x72_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing match pairs (3-gram hashes, window 4, >= 2
+    shared fingerprints)."""
+    from docker_etl_spark.operators.text_dedup import winnow_match_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_match_pairs(d, shingle_n=3, window=4, min_shared=2)

@@ -1096,3 +1096,27 @@ def test_estimator_precision_eval_hand_case(spark):
     assert r["n_candidates"] == 1
     assert r["n_est_flagged"] == 1 and r["n_true_flagged"] == 1
     assert r["precision"] == 1.0 and r["candidate_recall"] == 1.0
+
+
+def test_winnowing_guarantee_finds_embedded_passage(spark):
+    """The winnowing guarantee: a shared run of >= window+n-1 = 6
+    words ANYWHERE in two documents yields a shared fingerprint —
+    here an 8-word passage embedded in different surroundings is
+    caught; unrelated docs share nothing."""
+    from docker_etl_spark.operators.text_dedup import winnow_match_pairs
+
+    passage = "wise old owl lived in an oak tree"
+    df = spark.createDataFrame(
+        [
+            (1, "once upon a time a " + passage + " near the meadow"),
+            (2, "reporters noted that the " + passage + " was gone today"),
+            (3, "completely unrelated text about spark physical plans here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_match_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in pair for pair in got)
