@@ -803,6 +803,55 @@ def token_budget_cap(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column | str,
+    k: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "wrs",
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, the A-ES scheme): each row draws a
+    deterministic uniform u from md5(key||seed) and gets the key
+    ``-ln(u) / w`` — an Exp(w) variate — and the k SMALLEST keys are
+    an exact weighted sample without replacement (the probability row
+    i is selected first is w_i / sum(w), then renormalized over the
+    remainder, etc.). This is the quality-weighted data-selection
+    primitive mixture_sample (Bernoulli, rate per DOMAIN) cannot
+    express: a fixed-size draw where each document's inclusion odds
+    scale with its own weight.
+
+    Cross-engine determinism: u = (md5_u32 + 1) / 2^32 is an exact
+    double (numerator < 2^32, power-of-two divisor); the key is
+    quantized to round(1e6 * (-ln u)/w) as BIGINT so independent
+    engines' last-ulp ln() differences cannot flip the selected set,
+    and ties break on the id columns. Rows with weight <= 0 are
+    excluded (zero-weight rows are unsampleable by definition).
+
+    Scale: the key is a pure row-local expression evaluated at the
+    scan; the global smallest-k is orderBy+limit, which Spark plans
+    as TakeOrderedAndProject — per-partition top-k heaps then a
+    k-row merge on the driver, no corpus shuffle. At 100 TB this is
+    one map pass + k rows of traffic per partition.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    ekey = F.round(-F.log(u) / w.cast("double") * F.lit(1000000.0), 0).cast(
+        "bigint"
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn(key_out, ekey)
+        .orderBy(F.col(key_out).asc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     text_col: str = "text",

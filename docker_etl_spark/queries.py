@@ -8716,3 +8716,41 @@ def x72_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_match_pairs(d, shingle_n=3, window=4, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# x73 — weighted sampling without replacement (operators/corpus.
+# weighted_sample_topk): Efraimidis-Spirakis exponential keys — a
+# fixed-size draw where each document's inclusion odds scale with
+# its own quality weight, the data-selection primitive Bernoulli
+# mixture_sample (per-domain rate) cannot express. The key
+# -ln(u)/w is quantized to round(1e6*key) BIGINT with id tie-break
+# so both engines select the identical 500 rows.
+# ---------------------------------------------------------------------------
+
+_X73_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST((n_chars % 97) + 1 AS BIGINT) AS wgt,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'wrs'), 1, 8)) AS BIGINT) AS u32
+  FROM documents
+)
+SELECT doc_id, wgt,
+       CAST(round(-ln((u32 + 1) / 4294967296.0) / CAST(wgt AS DOUBLE) * 1000000.0) AS BIGINT) AS sample_key
+FROM d
+WHERE wgt > 0
+ORDER BY sample_key, doc_id
+LIMIT 500
+"""
+
+
+@register("x73_weighted_sample", oracle=_X73_ORACLE)
+def x73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted fixed-size corpus draw (k=500, weight =
+    (n_chars % 97) + 1 as a deterministic quality proxy)."""
+    from docker_etl_spark.operators.corpus import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("n_chars") % 97) + 1).cast("bigint").alias("wgt")
+    )
+    return weighted_sample_topk(d, "wgt", 500)

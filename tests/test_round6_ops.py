@@ -1120,3 +1120,42 @@ def test_winnowing_guarantee_finds_embedded_passage(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= 1
     assert all(3 not in pair for pair in got)
+
+
+def test_weighted_sample_topk_without_replacement_and_weight_bias(spark):
+    """A-ES semantics: the draw is a fixed-size subset (no row twice),
+    deterministic across runs, excludes weight<=0 rows, and a row
+    with overwhelming weight is essentially always selected (its
+    Exp(w) key concentrates near 0)."""
+    from docker_etl_spark.operators.corpus import weighted_sample_topk
+
+    rows = [(i, 1 if i else 10_000_000) for i in range(200)] + [(900, 0), (901, -3)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    got = weighted_sample_topk(df, "wgt", 20).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 20 and len(set(ids)) == 20
+    assert 900 not in ids and 901 not in ids
+    assert 0 in ids  # weight 1e7 vs 1 -> key ~0, always drawn
+    again = [r["doc_id"] for r in weighted_sample_topk(df, "wgt", 20).collect()]
+    assert ids == again
+
+
+def test_weighted_sample_topk_matches_hand_formula(spark):
+    """The quantized key equals the hand-computed
+    round(1e6 * -ln((u32+1)/2^32) / w) for every selected row."""
+    import hashlib
+    import math
+
+    from docker_etl_spark.operators.corpus import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, (i % 5) + 1) for i in range(50)], "doc_id long, wgt long"
+    )
+    got = weighted_sample_topk(df, "wgt", 50).collect()
+    assert len(got) == 50
+    for r in got:
+        u32 = int(
+            hashlib.md5(f"{r['doc_id']}\x1fwrs".encode()).hexdigest()[:8], 16
+        )
+        expect = round(-math.log((u32 + 1) / 4294967296.0) / r["wgt"] * 1e6)
+        assert r["sample_key"] == expect, r
