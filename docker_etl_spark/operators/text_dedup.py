@@ -35,15 +35,28 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 
     array<string>; empty array when the text has fewer than ``n``
-    tokens. Pure expression: split → sliding join via transform over
-    an index sequence.
+    tokens.
+
+    Construction: zip_with over ``n`` shifted slices of the token
+    array. The obvious shape — transform over an index sequence with
+    ``slice(split(text), i, n)`` in the lambda — re-evaluates the
+    SPLIT once per gram (interpreted HOF lambdas re-evaluate every
+    embedded subexpression; there is no common-subexpression
+    elimination), i.e. O(tokens^2) character work per document. The
+    zip_with chain references the split only from top-level
+    expressions (~n+2 evaluations per row), so shingling is linear —
+    and it is the first stage of every MinHash/Jaccard kernel.
     """
     t = F.col(text) if isinstance(text, str) else text
     w = F.split(t, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-    )
+    m = F.size(w) - n + 1
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -935,28 +948,52 @@ def winnow_fingerprints(
     fingerprints lack (a global min can live anywhere; winnowing's
     mins cover every region of the document).
 
-    Pure array expressions (hash transform + per-window array_min +
+    Pure array expressions (hash transform + per-window least +
     distinct); one row per (doc, fingerprint). Hashes are the
     engine-wide md5-bucket idiom, so selection replays exactly in
     SQL.
+
+    Evaluation shape (the part that decides whether this is linear
+    or quadratic PER DOCUMENT): the token array and the gram-hash
+    array are each materialized behind their own projection so every
+    downstream lambda references a bound attribute. Embedding the
+    hash-transform expression directly inside the window lambda
+    re-evaluates ALL n gram md5s for EVERY window — interpreted HOFs
+    have no common-subexpression elimination, so that shape is
+    O(n^2) md5 calls per doc (measured: the 10x sweep ran minutes
+    instead of seconds before this split). The window minimum is
+    ``least`` over ``window`` O(1) array indexes — no per-window
+    slice allocation. Input is spread to full parallelism first
+    (spread_for_compute): the hash map-stage is the CPU-dominant
+    pass, and a one-file input would otherwise run it on one core.
     """
-    w = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - shingle_n),
-        lambda i: F.array_join(F.slice(w, i + 1, shingle_n), " "),
+    long_enough = (
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n + window - 1
     )
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    w = F.col("__w")
+    toks = _spread(docs.filter(long_enough)).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     )
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - shingle_n),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(w, i + 1, shingle_n), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ).alias("__h"),
+    )
+    h = F.col("__h")
     mins = F.transform(
-        F.sequence(F.lit(0), F.size(hashes) - window),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        F.sequence(F.lit(0), F.size(h) - window),
+        lambda i: F.least(*[F.get(h, i + j) for j in range(window)]),
     )
-    fps = F.array_distinct(mins)
-    return (
-        docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n + window - 1)
-        .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 
 

@@ -55,6 +55,7 @@ KERNELS = [
     "x69_source_containment",
     "x70_containment_join",
     "x71_estimator_precision",
+    "x72_winnow_pairs",
 ]
 
 
