@@ -42,17 +42,28 @@ def doc_tokens(text: Column | str) -> Column:
 
 def ngram_array(toks: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array (empty if < n
-    tokens). Built with one transform-over-index — O(len) per row."""
+    tokens).
+
+    Built as a zip_with chain over ``n`` shifted slices: every
+    reference to ``toks`` is a top-level expression (evaluated ~n+2
+    times per row), so callers may pass a raw expression (e.g.
+    ``doc_tokens(text)``) without quadratic blowup. The
+    transform-over-index shape with ``element_at(toks, i+k)`` in the
+    lambda re-evaluates ``toks`` once per gram PER POSITION —
+    interpreted HOF lambdas re-evaluate embedded subexpressions
+    (no CSE) — i.e. O(n_tokens^2) tokenization per document."""
     if n == 1:
         return toks
-    # sequence(1, 0) counts DOWN in Spark — short docs need an
-    # explicit empty branch, not a clamped upper bound.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        ),
-    )
+    m = F.size(toks) - n + 1
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # sequence/slice with a non-positive length would misbehave on
+    # short docs — keep the explicit empty branch.
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.expr("cast(array() as array<string>)")
     )
@@ -370,19 +381,23 @@ def passage_dup_stats(
     hashes differ).
 
     Scale: explode + hash-groupBy on the chunk digest — the classic
-    count-then-join-back, shuffling only (digest, count) pairs."""
-    toks = doc_tokens(text_col)
+    count-then-join-back, shuffling only (digest, count) pairs.
+    Tokens are materialized behind their own projection so the chunk
+    lambda indexes a bound attribute — embedding doc_tokens in the
+    lambda re-tokenizes the document once per chunk (interpreted
+    HOFs have no CSE; the word_shingles lesson)."""
+    tk = F.col("__toks")
     k = chunk_tokens
-    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    n_chunks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.md5(
-            F.array_join(F.slice(toks, i * k + 1, k), " ")
+            F.array_join(F.slice(tk, i * k + 1, k), " ")
         ),
     )
     per_chunk = docs.select(
-        F.col(id_col), F.explode(chunks).alias("chunk_md5")
-    )
+        F.col(id_col), doc_tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), F.explode(chunks).alias("chunk_md5"))
     counts = per_chunk.groupBy("chunk_md5").agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
@@ -457,16 +472,18 @@ def strip_boilerplate(
     removed_frac is the single IEEE division at the edge — all other
     outputs exact ints/strings, so DuckDB oracles hash-match.
     """
-    toks = doc_tokens(text_col)
+    tk = F.col("__toks")
     k = chunk_tokens
-    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    n_chunks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
 
     chunked = docs.select(
+        F.col(id_col), doc_tokens(text_col).alias("__toks")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+                lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
             )
         ).alias("pos", "chunk"),
     ).withColumn("chunk_md5", F.md5(F.col("chunk")))
@@ -500,7 +517,9 @@ def strip_boilerplate(
         ).alias("clean_text"),
     )
 
-    base = docs.select(F.col(id_col), n_chunks.cast("long").alias("n_chunks"))
+    base = docs.select(
+        F.col(id_col), doc_tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), n_chunks.cast("long").alias("n_chunks"))
     return (
         base.join(rebuilt, id_col, "left")
         .select(
@@ -705,17 +724,20 @@ def source_overlap(
     corpus size. Output is S^2-bounded — driver-safe. Each frac is a
     single IEEE division of two exact longs (oracle hash-exact).
     """
-    toks = doc_tokens(text_col)
+    tk = F.col("__toks")
     k = chunk_tokens
-    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    n_chunks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
     digests = (
         docs.select(
-            F.col(group_col).alias("grp"),
+            F.col(group_col).alias("grp"), doc_tokens(text_col).alias("__toks")
+        )
+        .select(
+            F.col("grp"),
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), n_chunks - 1),
                     lambda i: F.md5(
-                        F.array_join(F.slice(toks, i * k + 1, k), " ")
+                        F.array_join(F.slice(tk, i * k + 1, k), " ")
                     ),
                 )
             ).alias("h"),
@@ -878,14 +900,17 @@ def chunk_windows(
     if overlap >= window:
         raise ValueError(f"overlap={overlap} must be < window={window}")
     stride = window - overlap
-    toks = doc_tokens(text_col)
+    tk = F.col("__toks")
+    # Tokens materialize first so the starts-filter lambda compares
+    # against a bound attribute — size(doc_tokens(text)) inside the
+    # lambda would re-tokenize the document once per candidate start.
     starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)),
-        lambda s: (s == 1) | ((s + overlap) <= F.size(toks)),
+        F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | ((s + overlap) <= F.size(tk)),
     )
     base = df.select(
-        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("start_tok")
-    )
+        F.col(id_col), doc_tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), tk, F.explode(starts).alias("start_tok"))
     chunk = F.slice(F.col("__toks"), F.col("start_tok"), window)
     return base.select(
         F.col(id_col),
@@ -917,12 +942,12 @@ def dedup_repeated_chunks(
 
     Returns (id, clean_text, n_chunks, n_removed, removed_frac).
     """
-    toks = doc_tokens(text_col)
+    tk = F.col("__toks")
     k = chunk_tokens
-    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("long")
+    n_chunks = F.ceil(F.size(tk) / F.lit(k)).cast("long")
     chunks = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
     )
     kept = F.aggregate(
         chunks,
@@ -931,15 +956,30 @@ def dedup_repeated_chunks(
             F.concat(acc, F.array(c))
         ),
     )
-    return docs.select(
-        F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
-        n_chunks.alias("n_chunks"),
-        (n_chunks - F.size(kept)).cast("long").alias("n_removed"),
-        (
-            (n_chunks - F.size(kept)).cast("double")
-            / n_chunks.cast("double")
-        ).alias("removed_frac"),
+    # Three projection steps: tokens, then the fold result, then the
+    # outputs. n_chunks and kept are each referenced several times
+    # below — materializing them as columns makes those references
+    # bound attributes; embedding them would re-run the whole fold
+    # once per consuming output expression (3x per row, measured).
+    return (
+        docs.select(F.col(id_col), doc_tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            kept.alias("__kept"),
+            n_chunks.alias("n_chunks"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("__kept"), " ").alias("clean_text"),
+            F.col("n_chunks"),
+            (F.col("n_chunks") - F.size(F.col("__kept")))
+            .cast("long")
+            .alias("n_removed"),
+            (
+                (F.col("n_chunks") - F.size(F.col("__kept"))).cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("removed_frac"),
+        )
     )
 
 

@@ -281,13 +281,16 @@ def bigram_lm_scores(
     from docker_etl_spark.operators._util import spread_for_compute
 
     toks = tokens(text_col)
-    # sequence(1, 0) counts DOWN in Spark — docs with < 2 tokens need
-    # an explicit empty branch, not a clamped bound.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    # zip_with over shifted slices: toks referenced top-level only
+    # (element_at(toks, i) inside an index lambda re-tokenizes per
+    # bigram — no CSE in interpreted HOFs). Docs with < 2 tokens
+    # need the explicit empty branch (sequence/slice would count
+    # down / reject a non-positive length).
+    m = F.size(toks) - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bg = F.when(F.size(toks) >= 2, grams).otherwise(
         F.expr("cast(array() as array<string>)")
@@ -432,17 +435,17 @@ def bpe_train_merges(
     for r in range(1, n_merges + 1):
         inner = F.col("__enc").substr(F.lit(2), F.length("__enc") - 2)
         syms = F.split(inner, M + M)
-        # sequence(1, 0) counts DOWN in Spark: a fully-merged word
-        # (one symbol) must emit an explicit empty pair list.
+        # zip_with over shifted slices (top-level syms references —
+        # element_at(syms, i) in an index lambda re-splits the
+        # encoding per pair); a fully-merged word (one symbol) must
+        # emit an explicit empty pair list (sequence counts down).
+        npairs = F.size(syms) - 1
         pair_arr = F.when(
             F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.concat(
-                    F.element_at(syms, i),
-                    F.lit(" "),
-                    F.element_at(syms, i + 1),
-                ),
+            F.zip_with(
+                F.slice(syms, 1, npairs),
+                F.slice(syms, 2, npairs),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.expr("cast(array() as array<string>)"))
         pairs = cur.select(
@@ -591,13 +594,19 @@ def corpus_diversity(
     type_token_ratio, total_ngrams, distinct_ngrams, ngram_diversity).
     """
     w = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-    grams = F.when(
-        F.size(w) >= shingle_n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - shingle_n),
-            lambda i: F.array_join(F.slice(w, i + 1, shingle_n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Sliding grams via zip_with over shifted slices — every reference
+    # to w is top-level (evaluated ~shingle_n+2 times per ROW); the
+    # transform-over-indexes shape re-evaluates the filter+split once
+    # per GRAM inside the lambda (no CSE in interpreted HOFs).
+    m = F.size(w) - shingle_n + 1
+    sl = F.slice(w, 1, m)
+    for j in range(1, shingle_n):
+        sl = F.zip_with(
+            sl, F.slice(w, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.when(F.size(w) >= shingle_n, sl).otherwise(
+        F.array().cast("array<string>")
+    )
 
     doc_stats = df.select(
         F.col(group_col), F.size(w).alias("__nw")
