@@ -825,6 +825,22 @@ def token_budget_cap(
     )
 
 
+def _exp_sample_key(
+    w: Column, key_cols: tuple[str, ...], seed: str
+) -> Column:
+    """The quantized A-ES exponential key ``round(1e6 * -ln(u)/w)``
+    (BIGINT) with u = (md5_u32 + 1)/2^32 — ONE derivation shared by
+    the global and per-group weighted samplers and their oracles."""
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    return F.round(-F.log(u) / w.cast("double") * F.lit(1000000.0), 0).cast(
+        "bigint"
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight: Column | str,
@@ -858,19 +874,57 @@ def weighted_sample_topk(
     one map pass + k rows of traffic per partition.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
-    key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
-    )
-    u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-    u = (u32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
-    ekey = F.round(-F.log(u) / w.cast("double") * F.lit(1000000.0), 0).cast(
-        "bigint"
-    )
+    ekey = _exp_sample_key(w, key_cols, seed)
     return (
         df.filter(w > 0)
         .withColumn(key_out, ekey)
         .orderBy(F.col(key_out).asc(), *[F.col(c).asc() for c in key_cols])
         .limit(k)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight: Column | str,
+    k: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "wrs",
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Stratified weighted sampling without replacement: an exact
+    ``k``-row A-ES draw (see :func:`weighted_sample_topk`) inside
+    EVERY group — "k examples per domain, odds proportional to
+    quality" — the fixed-size-per-stratum complement of the global
+    top-k draw (and of Bernoulli :func:`mixture_sample`, which fixes
+    the RATE per domain, not the count).
+
+    Same deterministic quantized exponential key as the global
+    variant, so the two compose (a per-group draw followed by a
+    global draw re-uses the same key); rows with weight <= 0 are
+    excluded.
+
+    Scale: one shuffle on the group key; the per-group smallest-k is
+    a rank window (runs on the shuffled partitions, no second
+    exchange). Groups are domains/sources — thousands at most — and
+    the output is k·|groups| rows. A hot group costs one partition's
+    sort of its rows, bounded by the group's size, never corpus². At
+    100 TB pre-thin pathological groups with mixture_sample first,
+    as for domain_cap.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    ekey = _exp_sample_key(w, key_cols, seed)
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col(key_out).asc(), *[F.col(c).asc() for c in key_cols]
+        )
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn(key_out, ekey)
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 

@@ -8754,3 +8754,56 @@ def x73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", ((F.col("n_chars") % 97) + 1).cast("bigint").alias("wgt")
     )
     return weighted_sample_topk(d, "wgt", 500)
+
+
+# ---------------------------------------------------------------------------
+# x74 — stratified weighted sampling (operators/corpus.
+# weighted_sample_per_group): the fixed-count-per-stratum complement
+# of x73 — "k examples per domain, inclusion odds proportional to
+# quality weight" — one shuffle on the domain key, per-group rank
+# window, same quantized exponential key so both engines select the
+# identical rows.
+# ---------------------------------------------------------------------------
+
+_X74_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS INT) AS VARCHAR) AS dom,
+         CAST((n_chars % 97) + 1 AS BIGINT) AS wgt,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'wrs'), 1, 8)) AS BIGINT) AS u32
+  FROM documents
+),
+keyed AS (
+  SELECT dom, doc_id, wgt,
+         CAST(round(-ln((u32 + 1) / 4294967296.0) / CAST(wgt AS DOUBLE) * 1000000.0) AS BIGINT) AS sample_key
+  FROM d
+  WHERE wgt > 0
+),
+ranked AS (
+  SELECT dom, doc_id, wgt, sample_key,
+         row_number() OVER (PARTITION BY dom ORDER BY sample_key, doc_id) AS rk
+  FROM keyed
+)
+SELECT dom, doc_id, wgt, sample_key FROM ranked WHERE rk <= 25
+"""
+
+
+@register("x74_weighted_sample_per_group", oracle=_X74_ORACLE)
+def x74_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted draw of 25 documents per derived domain
+    (x38's domain construction; weight = (n_chars % 97) + 1)."""
+    from docker_etl_spark.operators.corpus import weighted_sample_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("d"),
+            F.floor(F.sqrt((F.col("doc_id") % 100).cast("double")))
+            .cast("int")
+            .cast("string"),
+        ).alias("dom"),
+        ((F.col("n_chars") % 97) + 1).cast("bigint").alias("wgt"),
+    )
+    return weighted_sample_per_group(d, "dom", "wgt", 25).select(
+        "dom", "doc_id", "wgt", "sample_key"
+    )

@@ -1159,3 +1159,35 @@ def test_weighted_sample_topk_matches_hand_formula(spark):
         )
         expect = round(-math.log((u32 + 1) / 4294967296.0) / r["wgt"] * 1e6)
         assert r["sample_key"] == expect, r
+
+
+def test_weighted_sample_per_group_exact_k_and_key_parity(spark):
+    """Exactly k rows per group (fewer when the group is smaller),
+    weight<=0 rows excluded, and the per-group draw's keys equal the
+    global sampler's keys row-for-row (shared derivation)."""
+    from docker_etl_spark.operators.corpus import (
+        weighted_sample_per_group,
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "g" + str(i % 3), (i % 7) + 1) for i in range(90)] + [
+        (500, "g0", 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, wgt long")
+    got = weighted_sample_per_group(df, "dom", "wgt", 5).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["dom"], []).append(r)
+    assert set(per) == {"g0", "g1", "g2"}
+    assert all(len(v) == 5 for v in per.values())
+    assert all(r["doc_id"] != 500 for r in got)
+    keys_global = {
+        r["doc_id"]: r["sample_key"]
+        for r in weighted_sample_topk(df, "wgt", 90).collect()
+    }
+    for r in got:
+        assert keys_global[r["doc_id"]] == r["sample_key"]
+    tiny = spark.createDataFrame(
+        [(1, "solo", 2), (2, "solo", 3)], "doc_id long, dom string, wgt long"
+    )
+    assert weighted_sample_per_group(tiny, "dom", "wgt", 5).count() == 2
