@@ -56,6 +56,8 @@ KERNELS = [
     "x70_containment_join",
     "x71_estimator_precision",
     "x72_winnow_pairs",
+    "x73_weighted_sample",
+    "x74_weighted_sample_per_group",
 ]
 
 

@@ -1191,3 +1191,22 @@ def test_weighted_sample_per_group_exact_k_and_key_parity(spark):
         [(1, "solo", 2), (2, "solo", 3)], "doc_id long, dom string, wgt long"
     )
     assert weighted_sample_per_group(tiny, "dom", "wgt", 5).count() == 2
+
+
+def test_weighted_sample_topk_inclusion_tracks_weight(spark):
+    """Statistical pin of the A-ES semantics: in a fixed deterministic
+    draw of 300 from 1500 rows weighted 1 vs 10 (750 each), the
+    weight-10 stratum's expected share is ~83% of the sample even
+    though it is 50% of the population (first-inclusion odds 10:1,
+    renormalized as the draw progresses). Deterministic: one exact
+    expected outcome per seed, asserted with a generous band that a
+    uniform sampler (~150) or an inverted one can never hit."""
+    from docker_etl_spark.operators.corpus import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, 10 if i < 750 else 1) for i in range(1500)],
+        "doc_id long, wgt long",
+    )
+    got = weighted_sample_topk(df, "wgt", 300).collect()
+    heavy = sum(1 for r in got if r["wgt"] == 10)
+    assert 200 <= heavy <= 295, heavy
