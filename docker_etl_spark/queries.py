@@ -8807,3 +8807,82 @@ def x74_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
     return weighted_sample_per_group(d, "dom", "wgt", 25).select(
         "dom", "doc_id", "wgt", "sample_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# x75 — exact-integer PageRank (operators/graph.pagerank_exact) over
+# the customer↔supplier trade graph (orders ⋈ lineitem; node ids
+# 2·custkey / 2·suppkey+1 keep the spaces disjoint). Fixed 5
+# iterations, damping 85/100, scaled-BIGINT ranks with documented
+# floor-division conventions — the oracle replays the iteration as 5
+# chained MATERIALIZED CTEs, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _x75_oracle(scale: int = 10**12, damp: int = 85, iters: int = 5) -> str:
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges
+  UNION
+  SELECT dst AS u, src AS v FROM edges
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u FROM und),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM und GROUP BY u
+),
+r0 AS MATERIALIZED (
+  SELECT u, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes
+)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT b.u,
+         CAST(({100 - damp} * ({scale} // (SELECT n FROM nn))) // 100
+            + ({damp} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes b
+  LEFT JOIN (
+    SELECT e.v AS u, SUM(r.r // d.outdeg) AS s
+    FROM und e JOIN r{k - 1} r ON e.u = r.u JOIN deg d ON e.u = d.u
+    GROUP BY e.v
+  ) s ON b.u = s.u
+)""")
+    return (
+        head
+        + "".join(rounds)
+        + f"\nSELECT u AS node, r AS rank_scaled FROM r{iters}"
+    )
+
+
+@register("x75_pagerank_trade_graph", oracle=_x75_oracle())
+def x75_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration exact-integer PageRank over the customer-supplier
+    bipartite trade graph."""
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    od = F.col("o_orderdate").cast("date")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # one quarter of trade: the registry keeps the graph at a
+        # bench-friendly size and the date predicate prunes at the
+        # scan; the operator itself has no such restriction
+        .filter((od >= F.lit("1997-01-01")) & (od < F.lit("1997-04-01")))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_exact(edges, iterations=5)

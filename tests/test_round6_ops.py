@@ -1210,3 +1210,36 @@ def test_weighted_sample_topk_inclusion_tracks_weight(spark):
     got = weighted_sample_topk(df, "wgt", 300).collect()
     heavy = sum(1 for r in got if r["wgt"] == 10)
     assert 200 <= heavy <= 295, heavy
+
+
+def test_pagerank_exact_hand_cases(spark):
+    """Two-node symmetric graph is a fixed point at scale//2 per node
+    (hand-derivable: contrib = 5e11, r1 = 15%*5e11 + 85%*5e11); a
+    star graph ranks the hub strictly above every leaf, leaves equal."""
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    pair = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank_exact(pair).collect()}
+    assert got == {1: 500000000000, 2: 500000000000}
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    ranks = {
+        r["node"]: r["rank_scaled"] for r in pagerank_exact(star).collect()
+    }
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 6)]
+    assert all(hub > lf for lf in leaves)
+    assert len(set(leaves)) == 1
+
+
+def test_pagerank_rejects_bad_params(spark):
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_exact(df, iterations=0)
+    with _pytest.raises(ValueError):
+        pagerank_exact(df, damping_pct=101)
