@@ -64,6 +64,11 @@ KERNELS = [
     "x64_fuzzy_decontamination",
     "x63_leakage_safe_split",
     "x66_cdc_chunk_census",
+    # x72: the zipf corpus's boilerplate clone block shares every
+    # winnowing fingerprint — posting lists of ~40% of the corpus,
+    # exactly what the hot-posting guard (max_posting=1000) exists
+    # to drop before the self-join goes quadratic.
+    "x72_winnow_pairs",
 ]
 
 
@@ -197,6 +202,12 @@ def probe_salted_twins(spark) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=4)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated kernel subset (skips the operator probes "
+        "unless they are named: semantic_dedup_cap, salted_twins)",
+    )
     args = ap.parse_args()
     spark = get_spark(
         app_name="skew-check", extra_conf={"spark.driver.memory": "12g"}
@@ -207,8 +218,11 @@ def main() -> None:
     build_scaled(spark, uniform_dir, args.replicas)
     build_zipf(spark, uniform_dir, zipf_dir)
 
+    only = set(args.only.split(",")) if args.only else None
     results: dict = {"kernels": {}}
     for name in KERNELS:
+        if only is not None and name not in only:
+            continue
         try:
             t_u = time_query(spark, name, uniform_dir)
             t_z = time_query(spark, name, zipf_dir)
@@ -221,10 +235,12 @@ def main() -> None:
             results["kernels"][name] = {"error": str(ex).split("\n")[0][:300]}
         print(name, results["kernels"][name], flush=True)
 
-    results["semantic_dedup_cap"] = probe_semantic_dedup_cap(spark, zipf_dir)
-    print("semantic_dedup_cap", results["semantic_dedup_cap"], flush=True)
-    results["salted_twins"] = probe_salted_twins(spark)
-    print("salted_twins", results["salted_twins"], flush=True)
+    if only is None or "semantic_dedup_cap" in only:
+        results["semantic_dedup_cap"] = probe_semantic_dedup_cap(spark, zipf_dir)
+        print("semantic_dedup_cap", results["semantic_dedup_cap"], flush=True)
+    if only is None or "salted_twins" in only:
+        results["salted_twins"] = probe_salted_twins(spark)
+        print("salted_twins", results["salted_twins"], flush=True)
     results["replicas"] = args.replicas
     print(json.dumps(results))
 
