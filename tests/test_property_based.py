@@ -380,3 +380,39 @@ def test_leakage_safe_split_is_cluster_constant(spark, raw_pairs):
         assert got[i]["rep_id"] == rep, (pairs, i)
         assert got[i]["split"] == got[rep]["split"]
         assert got[rep]["split"] == got[rep]["naive_split"]
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    w = text.split(" ")
+    if len(w) < n:
+        return []
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=8), st.integers(1, 4))
+def test_ngram_array_matches_python_model_ordered(spark, texts, n):
+    """ngram_array is ORDERED and keeps duplicates (unlike
+    word_shingles): exact list equality against the Python model —
+    pins the zip_with-over-shifted-slices construction, including
+    short-doc empty branches and duplicate grams."""
+    from docker_etl_spark.operators.corpus import doc_tokens, ngram_array
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i INT, t STRING"
+    )
+    got = {
+        r["i"]: list(r["g"])
+        for r in df.select(
+            "i", ngram_array(doc_tokens("t"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        # doc_tokens = lower + split(" "), KEEPING empty tokens
+        # (split("", " ") is [""]), the engine-wide semantics every
+        # oracle replays — the model must match it, not "clean" it.
+        toks = t.lower().split(" ")
+        expected = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+        assert got[i] == expected, (t, n, got[i], expected)
