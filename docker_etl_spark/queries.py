@@ -8886,3 +8886,83 @@ def x75_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_exact(edges, iterations=5)
+
+
+# ---------------------------------------------------------------------------
+# x76 — fuzzy decontamination on the xxhash64 PRODUCTION path: x64's
+# shape (corpus probed against the benchmark slice's signature store,
+# in-batch arm off) with native long hashes instead of md5 string
+# digests — the mode a 100-TB run would use (x53's measured ~25%
+# cheaper per-row envelope). xxhash64 values are engine-specific, so
+# the oracle is hash-INDEPENDENT in x53's style: ground truth = corpus
+# docs with an exact-shingle-Jaccard >= threshold twin in the
+# benchmark slice, brute-forced in SQL. Matching it asserts banding
+# recall AND estimator agreement at this corpus (maximally separated:
+# every true pair has J >= 0.9, no pair in (0.35, 0.9) — verified for
+# x53 at sf0.001/0.01/0.1 and the x64 slice split reuses the same
+# corpus). Output carries only the hash-independent columns.
+# ---------------------------------------------------------------------------
+
+_X76_ORACLE = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+shc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+  WHERE len(w) >= 3
+),
+shb AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench)
+  WHERE len(w) >= 3
+),
+truth AS (
+  SELECT DISTINCT c.doc_id FROM shc c JOIN shb b
+    ON CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+       / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.5
+)
+SELECT d.doc_id, t.doc_id IS NOT NULL AS is_contaminated
+FROM corpus d LEFT JOIN truth t ON t.doc_id = d.doc_id
+"""
+
+
+@register("x76_fuzzy_decontamination_fast", oracle=_X76_ORACLE)
+def x76_fuzzy_decontamination_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x64's decontamination probe on the xxhash64 production path
+    (12 perms, 3 bands, est >= 0.5, in-batch arm off)."""
+    from docker_etl_spark.operators._util import spread_for_compute
+    from docker_etl_spark.operators.text_dedup import (
+        incremental_minhash_dedup,
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 31 != 0).select("doc_id", "text")
+    bench_sigs = (
+        spread_for_compute(
+            d.filter(F.col("doc_id") % 31 == 0).filter(
+                F.size(F.split("text", " ")) >= 3
+            )
+        )
+        .select(
+            "doc_id",
+            minhash_signature(word_shingles("text", 3), 12, "xxhash64").alias(
+                "sig"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return incremental_minhash_dedup(
+        corpus,
+        bench_sigs,
+        num_perm=12,
+        bands=3,
+        est_threshold=0.5,
+        hash_fn="xxhash64",
+        include_batch_pairs=False,
+    ).select("doc_id", F.col("is_dup").alias("is_contaminated"))

@@ -321,7 +321,11 @@ def minhash_dedup_stream(
     Delivery contract: the survivors write is IDEMPOTENT per batch —
     rows land under ``out_path/__batch_id=N`` via dynamic partition
     overwrite, so a redelivered batch replaces its own partition
-    instead of duplicating rows. The store append after it is NOT
+    instead of duplicating rows. The dynamic mode is set PER WRITE
+    (``.option("partitionOverwriteMode", "dynamic")``), not assumed
+    from the session: under Spark's default STATIC mode the same
+    write would delete every earlier batch's partition, so the
+    contract must not depend on session config. The store append after it is NOT
     atomic with that write; on redelivery the same signatures may
     append twice, which is results-neutral (the candidate joins
     dropDuplicates on (new_id, store_id), so duplicate store rows
@@ -379,7 +383,8 @@ def minhash_dedup_stream(
         ).localCheckpoint(eager=True)
         (
             survivors.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .partitionBy("__batch_id")
             .parquet(out_path)
         )
@@ -470,7 +475,8 @@ def embedding_dedup_stream(
         )
         (
             survivors.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .partitionBy("__batch_id")
             .parquet(out_path)
         )
@@ -577,7 +583,8 @@ def psi_gate_stream(
         for frame, path in ((admitted, out_path), (quarantined, quarantine_path)):
             (
                 frame.withColumn("__batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
                 .partitionBy("__batch_id")
                 .parquet(path)
             )
@@ -644,7 +651,8 @@ def cdc_chunk_dedup_stream(
         ).localCheckpoint(eager=True)
         (
             survivors.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .partitionBy("__batch_id")
             .parquet(out_path)
         )
