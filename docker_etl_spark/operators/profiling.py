@@ -137,7 +137,10 @@ def psi_drift(
 
     over ``n_buckets`` fixed-width buckets with add-1 smoothing (so
     empty buckets contribute finitely). ``snapshot_col`` is 0 for the
-    baseline slice, 1 for the current one.
+    baseline slice, 1 for the current one. The bucket index is
+    clamped at BOTH ends — ``greatest(least(floor(v/w), n-1), 0)`` —
+    so negative values count in bucket 0 instead of silently falling
+    off the spine left-join and vanishing from the totals (ADVICE r6).
 
     Cross-engine exactness: with integer counts a_i, b_i and totals
     A, B, each component is num_i * lw_i where
@@ -157,8 +160,9 @@ def psi_drift(
 
     Output: (group_col, n_base, n_current, psi, drifted).
     """
-    bkt = F.least(
-        F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)
+    bkt = F.greatest(
+        F.least(F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)),
+        F.lit(0),
     ).cast("long")
     g = (
         df.select(
@@ -248,8 +252,9 @@ def value_histogram(
     PSI family uses — the tiny dim a drift baseline persists
     (groups x n_buckets rows). Sparse: absent buckets are implied 0
     (the spine is rebuilt at comparison time)."""
-    bkt = F.least(
-        F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)
+    bkt = F.greatest(
+        F.least(F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)),
+        F.lit(0),
     ).cast("long")
     return (
         df.select(F.col(group_col), bkt.alias("__bkt"))

@@ -1378,6 +1378,10 @@ def mmr_rerank(
                 f"mmr_rerank got > {max_pool} pool rows; MMR is O(|pool|^2) "
                 "— cut the pool to a bounded top-N first"
             )
+    # Key/id types follow the pool's actual id column (string ids are
+    # as legitimate as bigints; hard-coding bigint failed at analysis
+    # time for any other type — ADVICE r6)
+    id_type = pool.schema[id_col].dataType.simpleString()
     d = dot_int if exact_int else dot
     a = pool.select(
         F.col(id_col).alias("__a"), F.col(vec_col).alias("__av"),
@@ -1410,7 +1414,9 @@ def mmr_rerank(
                 F.coalesce(
                     F.col("__sims"),
                     F.map_from_entries(
-                        F.array().cast("array<struct<key:bigint,value:double>>")
+                        F.array().cast(
+                            f"array<struct<key:{id_type},value:double>>"
+                        )
                     ),
                 ).alias("sims"),
             ).alias("__c")
@@ -1443,13 +1449,13 @@ def mmr_rerank(
             F.col("__cands"), lambda c: ~F.array_contains(sel, c["id"])
         )
         init = F.struct(
-            F.lit(None).cast("bigint").alias("id"),
+            F.lit(None).cast(id_type).alias("id"),
             F.lit(None).cast("double").alias("rel"),
             F.lit(None).cast("double").alias("score"),
         )
         return F.aggregate(remaining, init, step)
 
-    df = cands.withColumn("__sel_0", F.array().cast("array<bigint>"))
+    df = cands.withColumn("__sel_0", F.array().cast(f"array<{id_type}>"))
     for r in range(1, select_k + 1):
         df = df.withColumn(f"__best_{r}", best_expr(F.col(f"__sel_{r-1}")))
         df = df.withColumn(

@@ -8042,7 +8042,7 @@ def x61_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X62_ORACLE = """
 WITH d AS (
     SELECT source,
-           CAST(least(floor(n_chars / 40), 9) AS BIGINT) AS bkt,
+           CAST(greatest(least(floor(n_chars / 40), 9), 0) AS BIGINT) AS bkt,
            doc_id % 2 AS snap
     FROM documents
 ),

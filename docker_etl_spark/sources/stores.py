@@ -41,6 +41,45 @@ class ConcurrentWriteError(RuntimeError):
     writer found its own lease broken mid-write)."""
 
 
+class LeaseAdapter:
+    """Injectable lease backend for store paths without POSIX O_EXCL
+    (object stores). The contract mirrors the local lease-file
+    semantics; implementations map it onto the store's conditional
+    write primitive (S3 If-None-Match PUT, GCS x-goog-if-generation-
+    match:0, ADLS lease API):
+
+    - ``acquire(store_path, token)``: create the lease ATOMICALLY
+      (conditional-put-if-absent); MUST raise
+      :class:`ConcurrentWriteError` when a live lease exists. May
+      implement its own staleness policy.
+    - ``verify(store_path, token) -> bool``: True iff the lease still
+      exists and carries exactly ``token`` (detects mid-write breaks).
+    - ``release(store_path, token)``: delete the lease; best-effort
+      (a failed delete surfaces as staleness to the next writer, not
+      corruption).
+
+    The engine ships no cloud implementation (no cloud SDKs in this
+    environment); the seam exists so a deployment can supply one —
+    the reference delegates the same transactionality to BigQuery
+    (fxci_etl/loaders/bigquery.py:129-220).
+    """
+
+    def acquire(self, store_path: str, token: str) -> None:
+        raise NotImplementedError
+
+    def verify(self, store_path: str, token: str) -> bool:
+        raise NotImplementedError
+
+    def release(self, store_path: str, token: str) -> None:
+        raise NotImplementedError
+
+
+#: store paths already warned about in this process (non-local +
+#: no adapter -> unserialized writers); warn once per path, not per
+#: mutation, so a streaming loop does not spam the log
+_WARNED_UNSERIALIZED: set[str] = set()
+
+
 def _local_path(path: str) -> str | None:
     """The filesystem path when ``path`` is local, else None (object
     stores have no POSIX O_EXCL; coordination must come from the
@@ -60,6 +99,7 @@ def store_writer_lock(
     store_path: str,
     owner: str | None = None,
     stale_after_sec: float | None = None,
+    adapter: LeaseAdapter | None = None,
 ):
     """Single-writer lease around a store mutation.
 
@@ -68,28 +108,56 @@ def store_writer_lock(
     the lease exists raises :class:`ConcurrentWriteError` LOUDLY —
     never waits, never proceeds. ``stale_after_sec`` lets a new writer
     break a lease older than the given age (a crashed writer's
-    leftover); the breaker logs the takeover. On release the lease
-    content is verified: if it no longer matches this writer's token,
-    someone broke the lease and wrote concurrently — the original
-    writer ALSO fails loudly rather than reporting success over a
-    possibly-interleaved store.
+    leftover). Takeover is ATOMIC: the breaker first ``os.rename``\\ s
+    the stale lock to a unique per-breaker name — rename succeeds for
+    exactly one breaker, so two writers reading the same stale lease
+    cannot both "win" and interleave (the loser's rename raises
+    ENOENT and it falls through to the O_EXCL attempt, which then
+    fails loudly against the winner's fresh lock). On release the
+    lease content is verified: if it no longer matches this writer's
+    token, someone broke the lease and wrote concurrently — the
+    original writer ALSO fails loudly rather than reporting success
+    over a possibly-interleaved store.
 
-    Non-local store paths skip the lease (no POSIX semantics there);
-    the caller's scheduler must serialize writers, and the skip is
-    logged at debug so the assumption is visible.
+    Non-local store paths have no POSIX O_EXCL; pass ``adapter`` (a
+    :class:`LeaseAdapter` mapping acquire/verify/release onto the
+    object store's conditional-put primitive) to keep the guarantee.
+    Without one the lease is SKIPPED and a WARNING is logged once per
+    path per process — at that point nothing serializes writers but
+    the caller's scheduler, which is exactly the silent trap the
+    warning names.
     """
+    token = f"{owner or 'writer'} pid={os.getpid()} t={time.time():.6f}"
+    if adapter is not None:
+        adapter.acquire(store_path, token)
+        try:
+            yield
+        finally:
+            if not adapter.verify(store_path, token):
+                raise ConcurrentWriteError(
+                    f"lease on {store_path} was broken mid-write; this "
+                    "writer's mutations may have interleaved with another's "
+                    "— verify the store before further appends"
+                )
+            adapter.release(store_path, token)
+        return
     local = _local_path(store_path)
     if local is None:
-        log.debug(
-            "store_writer_lock: %s is not a local path; relying on external "
-            "writer serialization",
-            store_path,
-        )
+        if store_path not in _WARNED_UNSERIALIZED:
+            _WARNED_UNSERIALIZED.add(store_path)
+            log.warning(
+                "store_writer_lock: %s is not a local path and no "
+                "LeaseAdapter was supplied — store mutations are NOT "
+                "serialized by the engine; a concurrent writer will "
+                "silently corrupt the store unless the scheduler "
+                "serializes jobs. Supply a LeaseAdapter (conditional-put "
+                "on the object store) to enforce single-writer.",
+                store_path,
+            )
         yield
         return
     lock = _lock_path(local)
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    token = f"{owner or 'writer'} pid={os.getpid()} t={time.time():.6f}"
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -110,8 +178,18 @@ def store_writer_lock(
                 age,
                 stale_after_sec,
             )
-            os.unlink(lock)
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # Atomic claim: exactly one breaker's rename succeeds.
+            claim = f"{lock}.break.{os.getpid()}.{time.time_ns()}"
+            with contextlib.suppress(FileNotFoundError):
+                os.rename(lock, claim)
+                os.unlink(claim)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as ex:
+                raise ConcurrentWriteError(
+                    f"store {store_path}: another writer won the stale-"
+                    "lease takeover; not proceeding"
+                ) from ex
         else:
             raise ConcurrentWriteError(
                 f"store {store_path} is locked by another writer ({holder}); "
@@ -197,10 +275,17 @@ def compact_partitioned_store(
 
     Swap discipline: the compacted copy is written to a sibling temp
     dir, the live store is renamed to a ``.bak``, the temp renamed
-    live, and the backup removed — so a crash leaves either the old
-    store or the new one, never a half-compacted mix. The writer
-    lease is held across the whole swap (compaction IS a store
-    mutation).
+    live, and the backup removed. The two renames are not one atomic
+    operation, so a crash CAN land between them (no live directory at
+    ``path``); entry therefore starts with crash RECOVERY — a leftover
+    ``.bak`` with no live store is rolled forward (rename the
+    fully-written ``.__compact`` live; the temp write completed
+    before any rename began, its ``_SUCCESS`` marker is checked) or
+    rolled back (restore the backup). Either way the next call sees a
+    whole store. Readers must not race compaction — the swap window
+    is writer-locked but reads take no lock (same contract as the
+    reference's load-job table swaps). The writer lease is held
+    across the whole swap (compaction IS a store mutation).
 
     Sizing comes from :func:`parquet_row_count` (footer metadata, no
     scan). Returns {"rows", "files_before", "files_after"}.
@@ -211,12 +296,30 @@ def compact_partitioned_store(
             "compact_partitioned_store requires a local store path; object-"
             "store layouts need a table format (Delta/Iceberg) for safe swaps"
         )
+    tmp = local.rstrip("/") + ".__compact"
+    bak = local.rstrip("/") + ".__bak"
     with store_writer_lock(path, owner=owner or "compact"):
+        if os.path.exists(bak) and not os.path.exists(local):
+            # Crash between the two swap renames of a previous run.
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                log.warning(
+                    "compact_partitioned_store: completing interrupted "
+                    "compaction swap at %s (rolling the compacted copy "
+                    "forward)",
+                    path,
+                )
+                os.rename(tmp, local)
+                shutil.rmtree(bak)
+            else:
+                log.warning(
+                    "compact_partitioned_store: restoring backup after "
+                    "interrupted compaction at %s",
+                    path,
+                )
+                os.rename(bak, local)
         files_before = parquet_file_count(local) or 0
         rows = parquet_row_count(local)
         df = spark.read.parquet(local)
-        tmp = local.rstrip("/") + ".__compact"
-        bak = local.rstrip("/") + ".__bak"
         shutil.rmtree(tmp, ignore_errors=True)
         (
             df.repartition(*[str(c) for c in partition_cols])

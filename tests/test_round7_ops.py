@@ -73,6 +73,213 @@ def test_minhash_fused_fold_matches_unfused(spark, hash_fn, num_perm):
 
 
 # ---------------------------------------------------------------------------
+# Store lease: adapter seam, non-local warning, atomic stale takeover
+# ---------------------------------------------------------------------------
+
+
+class _FakeLease:
+    """In-memory LeaseAdapter contract fake (conditional-put model)."""
+
+    def __init__(self):
+        self.leases = {}
+
+    def acquire(self, store_path, token):
+        from docker_etl_spark.sources.stores import ConcurrentWriteError
+
+        if store_path in self.leases:
+            raise ConcurrentWriteError(f"{store_path} leased")
+        self.leases[store_path] = token
+
+    def verify(self, store_path, token):
+        return self.leases.get(store_path) == token
+
+    def release(self, store_path, token):
+        self.leases.pop(store_path, None)
+
+
+def test_lease_adapter_contract():
+    from docker_etl_spark.sources.stores import (
+        ConcurrentWriteError,
+        store_writer_lock,
+    )
+
+    ad = _FakeLease()
+    path = "s3://bucket/store"
+    with store_writer_lock(path, owner="w1", adapter=ad):
+        assert path in ad.leases
+        # second writer through the same adapter fails loudly
+        with pytest.raises(ConcurrentWriteError):
+            with store_writer_lock(path, owner="w2", adapter=ad):
+                pass
+    assert path not in ad.leases  # released
+    # a mid-write break (lease replaced) fails the original writer too
+    with pytest.raises(ConcurrentWriteError):
+        with store_writer_lock(path, owner="w1", adapter=ad):
+            ad.leases[path] = "intruder"
+    ad.leases.clear()
+
+
+def test_lease_nonlocal_without_adapter_warns_once(caplog):
+    import logging
+
+    from docker_etl_spark.sources.stores import (
+        _WARNED_UNSERIALIZED,
+        store_writer_lock,
+    )
+
+    path = "s3://bucket/warnstore"
+    _WARNED_UNSERIALIZED.discard(path)
+    with caplog.at_level(logging.WARNING, logger="docker_etl_spark.sources.stores"):
+        with store_writer_lock(path):
+            pass
+        with store_writer_lock(path):
+            pass
+    hits = [r for r in caplog.records if "NOT" in r.getMessage() and path in r.getMessage()]
+    assert len(hits) == 1  # once per path per process, not per mutation
+
+
+def test_lease_stale_takeover_is_atomic(tmp_path):
+    import time as _time
+
+    from docker_etl_spark.sources.stores import (
+        ConcurrentWriteError,
+        _lock_path,
+        store_writer_lock,
+    )
+
+    store = str(tmp_path / "store")
+    lock = _lock_path(store)
+    # a crashed writer's stale lease
+    with open(lock, "w") as f:
+        f.write("dead pid=1 t=0")
+    old = _time.time() - 3600
+    import os as _os
+
+    _os.utime(lock, (old, old))
+    # breaker takes over and holds a fresh lease; a second (non-stale-
+    # breaking) writer arriving during the hold fails loudly
+    with store_writer_lock(store, owner="breaker", stale_after_sec=60):
+        with pytest.raises(ConcurrentWriteError):
+            with store_writer_lock(store, owner="late"):
+                pass
+    assert not _os.path.exists(lock)
+    # losing-breaker path: the stale lock vanished between the read and
+    # the rename (the other breaker claimed it) and the winner already
+    # holds a fresh lock -> this breaker must raise, never yield
+    with open(lock, "w") as f:
+        f.write("fresh-winner pid=2 t=now")
+    orig_rename = _os.rename
+
+    def _claimed(src, dst, **kw):
+        raise FileNotFoundError(src)
+
+    _os.rename = _claimed
+    try:
+        # lock looks stale (old mtime) but the rename claim fails AND a
+        # "winner" lock exists -> ConcurrentWriteError from O_EXCL
+        _os.utime(lock, (old, old))
+        with pytest.raises(ConcurrentWriteError):
+            with store_writer_lock(store, owner="loser", stale_after_sec=60):
+                pass
+    finally:
+        _os.rename = orig_rename
+        _os.unlink(lock)
+
+
+# ---------------------------------------------------------------------------
+# PSI: negative values clamp into bucket 0 (not silently dropped)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_counts_negative_values(spark):
+    from docker_etl_spark.operators.profiling import psi_drift, value_histogram
+
+    rows = [("g", -50, 0), ("g", -1, 0), ("g", 5, 0), ("g", 5, 1), ("g", 995, 1)]
+    df = spark.createDataFrame(rows, "grp string, v int, snap int")
+    out = psi_drift(df, "grp", "v", "snap", bucket_width=10, n_buckets=10).first()
+    # all 5 rows counted: 3 baseline (two negatives -> bucket 0), 2 current
+    assert out.n_base == 3 and out.n_current == 2
+    vh = value_histogram(df, "grp", "v", 10, 10)
+    got = {r["__bkt"]: r["__n"] for r in vh.collect()}
+    assert got[0] == 3 + 1  # two negatives + one v=5 baseline + one v=5 current
+    assert got[9] == 1  # 995 clamps to the top bucket
+
+
+# ---------------------------------------------------------------------------
+# Compaction: crash recovery at entry
+# ---------------------------------------------------------------------------
+
+
+def _mk_store(spark, path):
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "v int, band int"
+    ).write.partitionBy("band").parquet(path)
+
+
+def test_compaction_rolls_forward_after_crash(spark, tmp_path):
+    import os
+    import shutil
+
+    from docker_etl_spark.sources.stores import compact_partitioned_store
+
+    live = str(tmp_path / "store")
+    _mk_store(spark, live)
+    # simulate: previous compaction crashed between the two renames —
+    # live renamed to .bak, fully-written compacted copy left at tmp
+    tmp = live + ".__compact"
+    bak = live + ".__bak"
+    shutil.copytree(live, tmp)
+    os.rename(live, bak)
+    out = compact_partitioned_store(spark, live, ("band",))
+    assert os.path.exists(live) and not os.path.exists(bak)
+    assert out["rows"] == 30
+
+
+def test_compaction_restores_backup_after_crash(spark, tmp_path):
+    import os
+    import shutil
+
+    from docker_etl_spark.sources.stores import compact_partitioned_store
+
+    live = str(tmp_path / "store")
+    _mk_store(spark, live)
+    # simulate: crash with an INCOMPLETE compacted copy (no _SUCCESS)
+    tmp = live + ".__compact"
+    bak = live + ".__bak"
+    shutil.copytree(live, tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    os.rename(live, bak)
+    out = compact_partitioned_store(spark, live, ("band",))
+    assert os.path.exists(live) and not os.path.exists(bak)
+    assert out["rows"] == 30
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank: id type follows the pool schema (string ids work)
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rerank_string_ids(spark):
+    from docker_etl_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        ("alpha", 0.9, [1.0, 0.0]),
+        ("beta", 0.85, [1.0, 0.01]),   # near-dup of alpha
+        ("gamma", 0.5, [0.0, 1.0]),    # orthogonal
+    ]
+    pool = spark.createDataFrame(rows, "cand_id string, rel double, vec array<double>")
+    out = mmr_rerank(pool, select_k=2, lambda_=0.5).collect()
+    got = [r.cand_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    # rank 1 = highest rel; rank 2 = diverse gamma, not near-dup beta
+    assert got == ["alpha", "gamma"]
+    # and bigint pools still work identically
+    rows_i = [(1, 0.9, [1.0, 0.0]), (2, 0.85, [1.0, 0.01]), (3, 0.5, [0.0, 1.0])]
+    pool_i = spark.createDataFrame(rows_i, "cand_id long, rel double, vec array<double>")
+    out_i = mmr_rerank(pool_i, select_k=2, lambda_=0.5).collect()
+    assert [r.cand_id for r in sorted(out_i, key=lambda r: r.mmr_rank)] == [1, 3]
+
+
+# ---------------------------------------------------------------------------
 # Streaming delivery must not depend on session partitionOverwriteMode
 # ---------------------------------------------------------------------------
 
