@@ -28,21 +28,32 @@ def pagerank_exact(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 10**12,
+    directed: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over the UNDIRECTED expansion of an
-    edge list, in exact integer arithmetic.
+    """Fixed-iteration PageRank in exact integer arithmetic — over
+    the UNDIRECTED expansion of the edge list by default, or the
+    directed graph as given with ``directed=True`` (the textbook
+    link-graph semantics).
 
     Semantics (all floor divisions, every quantity a nonnegative
     BIGINT):
 
-    - nodes = distinct endpoints of the symmetrized, self-loop-free
-      edge set; n = |nodes|; r_0(v) = scale div n for every node.
+    - nodes = distinct endpoints of the self-loop-free, deduplicated
+      edge set (symmetrized first when undirected); n = |nodes|;
+      r_0(v) = scale div n for every node.
     - contribution u→v per round: r(u) div outdeg(u) — the division
       remainder is retained by nobody (dropped), a deterministic
-      convention both engines share; outdeg is in the symmetrized
-      graph, so there are no dangling nodes by construction.
+      convention both engines share. Undirected graphs have no
+      dangling nodes by construction (symmetrization gives every
+      endpoint an out-edge).
+    - DANGLING-MASS convention (directed only): a node with no
+      out-edges contributes its whole rank to a global pool D; every
+      node receives ``D div n`` of it that round (the standard
+      uniform redistribution, floored; the ``D mod n`` remainder is
+      dropped like every other floor remainder).
     - r_{k+1}(v) = ((100-damping_pct) * (scale div n)) div 100
-      + (damping_pct * sum_contribs(v)) div 100.
+      + (damping_pct * (sum_contribs(v) + dangling_share)) div 100,
+      where dangling_share = D div n when directed else 0.
 
     Total mass therefore decays slightly each round (floor remainders
     are dropped, not redistributed); rankings are unaffected and the
@@ -51,11 +62,13 @@ def pagerank_exact(
     Scale shape: per round ONE equi-join of the (u, rank) frame onto
     the edge list plus ONE hash aggregate on the destination — narrow
     (node, long) rows through both shuffles, partial aggregation
-    map-side. The edge list and per-node degree frame are computed
-    once and checkpointed; each round's rank frame is eagerly
-    checkpointed to truncate lineage (the x41 CC discipline), so plan
-    depth stays constant in ``iterations``. At 100 TB the edge list
-    partitions on u and every round reuses that partitioning.
+    map-side; the directed mode adds one 1-row aggregate over the
+    (static, checkpointed) dangling-node set, broadcast back. The
+    edge list and per-node degree frame are computed once and
+    checkpointed; each round's rank frame is eagerly checkpointed to
+    truncate lineage (the x41 CC discipline), so plan depth stays
+    constant in ``iterations``. At 100 TB the edge list partitions on
+    u and every round reuses that partitioning.
 
     Returns (node, rank_scaled).
     """
@@ -63,49 +76,65 @@ def pagerank_exact(
         raise ValueError(f"iterations must be >= 1 (got {iterations})")
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100] (got {damping_pct})")
-    und = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if not directed:
+        e = e.union(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+        if directed
+        else e.select("u").distinct()
     )
-    nodes = und.select("u").distinct()
-    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("outdeg"))
+    deg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("outdeg"))
     n_df = nodes.agg(F.count("*").cast("bigint").alias("n"))
     base = (
         nodes.crossJoin(F.broadcast(n_df))
         .select(
             "u",
+            "n",
             F.expr(f"cast({scale} div n as bigint)").alias("__r0"),
         )
         .localCheckpoint(eager=True)
     )
+    dang = None
+    if directed:
+        # static set: nodes with no out-edge (sinks); its per-round
+        # rank total is the dangling pool D
+        dang = nodes.join(deg, "u", "left_anti").localCheckpoint(eager=True)
     r = base.select("u", F.col("__r0").alias("r"))
     teleport = F.expr(
         f"cast(({100 - damping_pct} * __r0) div 100 as bigint)"
     )
     for _ in range(iterations):
         contribs = (
-            und.join(r, "u")
+            e.join(r, "u")
             .join(deg, "u")
             .select(F.col("v").alias("u"), F.expr("r div outdeg").alias("c"))
         )
         s = contribs.groupBy("u").agg(F.sum("c").cast("bigint").alias("s"))
-        r = (
-            base.join(s, "u", "left")
-            .select(
-                "u",
-                (
-                    teleport
-                    + F.expr(
-                        f"cast(({damping_pct} * coalesce(s, cast(0 as bigint)))"
-                        " div 100 as bigint)"
-                    )
-                ).alias("r"),
+        nxt = base.join(s, "u", "left")
+        if directed:
+            d_df = (
+                r.join(dang, "u", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0))
+                    .cast("bigint")
+                    .alias("__dmass")
+                )
             )
-            .localCheckpoint(eager=True)
+            nxt = nxt.crossJoin(F.broadcast(d_df))
+            gain = F.expr(
+                f"cast(({damping_pct} * (coalesce(s, cast(0 as bigint))"
+                " + (__dmass div n))) div 100 as bigint)"
+            )
+        else:
+            gain = F.expr(
+                f"cast(({damping_pct} * coalesce(s, cast(0 as bigint)))"
+                " div 100 as bigint)"
+            )
+        r = nxt.select("u", (teleport + gain).alias("r")).localCheckpoint(
+            eager=True
         )
     return r.select(F.col("u").alias("node"), F.col("r").alias("rank_scaled"))

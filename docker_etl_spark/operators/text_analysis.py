@@ -575,6 +575,8 @@ def corpus_diversity(
     group_col: str = "source",
     text_col: str = "text",
     shingle_n: int = 3,
+    exact: bool = True,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Per-group lexical diversity census: type-token ratio and
     distinct-n-gram ratio — the redundancy fingerprint mixture
@@ -582,13 +584,22 @@ def corpus_diversity(
     corpus shows high volume but low distinct-trigram ratio; dedup
     fixes documents, THIS flags the source).
 
-    Exact integer counts; each ratio is one double division, so the
-    output replays bit-identically cross-engine.
+    With ``exact=True``: integer counts; each ratio is one double
+    division, so the output replays bit-identically cross-engine.
 
-    Scale shape: the distinct-gram count is the one real shuffle
-    (explode -> groupBy (group, gram) -> per-group count); word
-    totals ride a doc-level aggregate (no explode). Both aggs are
-    partial-aggregatable; nothing is quadratic.
+    With ``exact=False``: distinct counts come from HLL++ sketches
+    (``approx_count_distinct`` at relative error ``rsd``) and the
+    n-gram TOTAL comes from doc-level gram-array sizes — so the
+    (group, gram) shuffle, the steepest non-envelope 100x curve in
+    the exact plan (14.9x, BASELINE.md), disappears entirely: the
+    only shuffled state is one HLL sketch per (partition, group)
+    partial. This is the 100 TB mode; the x77 guardrail query pins
+    its error against the exact census.
+
+    Scale shape (exact): the distinct-gram count is the one real
+    shuffle (explode -> groupBy (group, gram) -> per-group count);
+    word totals ride a doc-level aggregate (no explode). Both aggs
+    are partial-aggregatable; nothing is quadratic.
 
     Output: (group_col, n_docs, total_words, distinct_words,
     type_token_ratio, total_ngrams, distinct_ngrams, ngram_diversity).
@@ -609,27 +620,54 @@ def corpus_diversity(
     )
 
     doc_stats = df.select(
-        F.col(group_col), F.size(w).alias("__nw")
+        F.col(group_col),
+        F.size(w).alias("__nw"),
+        F.size(grams).alias("__ng"),
     ).groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("__nw").cast("long").alias("total_words"),
+        F.sum("__ng").cast("long").alias("__total_ngrams_doc"),
     )
-    dw = (
-        df.select(F.col(group_col), F.explode(w).alias("__t"))
-        .groupBy(group_col)
-        .agg(F.count_distinct("__t").cast("long").alias("distinct_words"))
-    )
-    gr = (
-        df.select(F.col(group_col), F.explode(grams).alias("__g"))
-        .groupBy(group_col, "__g")
-        .agg(F.count("*").cast("long").alias("__c"))
-        .groupBy(group_col)
-        .agg(
-            F.count("*").cast("long").alias("distinct_ngrams"),
-            F.sum("__c").cast("long").alias("total_ngrams"),
+    if exact:
+        dw = (
+            df.select(F.col(group_col), F.explode(w).alias("__t"))
+            .groupBy(group_col)
+            .agg(F.count_distinct("__t").cast("long").alias("distinct_words"))
         )
-    )
+        gr = (
+            df.select(F.col(group_col), F.explode(grams).alias("__g"))
+            .groupBy(group_col, "__g")
+            .agg(F.count("*").cast("long").alias("__c"))
+            .groupBy(group_col)
+            .agg(
+                F.count("*").cast("long").alias("distinct_ngrams"),
+                F.sum("__c").cast("long").alias("total_ngrams"),
+            )
+        )
+    else:
+        dw = (
+            df.select(F.col(group_col), F.explode(w).alias("__t"))
+            .groupBy(group_col)
+            .agg(
+                F.approx_count_distinct("__t", rsd)
+                .cast("long")
+                .alias("distinct_words")
+            )
+        )
+        gr = (
+            df.select(F.col(group_col), F.explode(grams).alias("__g"))
+            .groupBy(group_col)
+            .agg(
+                F.approx_count_distinct("__g", rsd)
+                .cast("long")
+                .alias("distinct_ngrams")
+            )
+            # totals come from the doc-level sizes — joined back below
+        )
     out = doc_stats.join(dw, group_col, "left").join(gr, group_col, "left")
+    if not exact:
+        out = out.withColumn("total_ngrams", F.col("__total_ngrams_doc"))
+    out = out.drop("__total_ngrams_doc")
     z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long"))  # noqa: E731
     ratio = lambda num, den: F.when(  # noqa: E731
         den > 0, num.cast("double") / den.cast("double")

@@ -8966,3 +8966,163 @@ def x76_fuzzy_decontamination_fast(spark: SparkSession, sf_dir: str) -> DataFram
         hash_fn="xxhash64",
         include_batch_pairs=False,
     ).select("doc_id", F.col("is_dup").alias("is_contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# x77 — corpus-diversity census, approximate (HLL) mode guardrail:
+# the exact census's (group, gram) distinct shuffle is its steepest
+# 100x curve (14.9x, BASELINE.md); exact=False replaces it with one
+# HLL++ sketch per group (approx_count_distinct, partial-aggregated
+# map-side) and derives the n-gram TOTAL from doc-level gram counts —
+# no wide shuffle at all. Sketch values are engine-specific, so the
+# differential contract is cd01's: publish the EXACT integers plus
+# within-bound flags comparing the approx estimates against them.
+# ---------------------------------------------------------------------------
+
+_X77_ORACLE = """
+WITH d AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+dw AS (
+  SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS distinct_words
+  FROM (SELECT source, unnest(w) AS t FROM d) GROUP BY source
+),
+g0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM d WHERE len(w) >= 3
+),
+gr AS (
+  SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         CAST(count(*) AS BIGINT) AS total_ngrams
+  FROM g0 GROUP BY source
+)
+SELECT dw.source, dw.distinct_words,
+       coalesce(gr.distinct_ngrams, 0) AS distinct_ngrams,
+       coalesce(gr.total_ngrams, 0) AS total_ngrams,
+       TRUE AS words_within_5pct,
+       TRUE AS ngrams_within_5pct,
+       TRUE AS totals_exactly_equal
+FROM dw LEFT JOIN gr ON gr.source = dw.source
+"""
+
+
+@register("x77_corpus_diversity_approx", oracle=_X77_ORACLE)
+def x77_corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (HLL) corpus-diversity census guardrailed against
+    the exact one: |approx - exact| <= 5% per distinct count, and the
+    sketch-free total must be EXACTLY the exact plan's total."""
+    from docker_etl_spark.operators.text_analysis import corpus_diversity
+
+    d = load_docs_spread(spark, sf_dir)
+    ex = corpus_diversity(d).select(
+        "source",
+        "distinct_words",
+        "distinct_ngrams",
+        "total_ngrams",
+    )
+    ap = corpus_diversity(d, exact=False, rsd=0.02).select(
+        "source",
+        F.col("distinct_words").alias("__aw"),
+        F.col("distinct_ngrams").alias("__ag"),
+        F.col("total_ngrams").alias("__at"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(a.cast("double") - e.cast("double"))
+        <= 0.05 * e.cast("double")
+    ) | ((e == 0) & (a == 0))
+    return ex.join(ap, "source").select(
+        "source",
+        "distinct_words",
+        "distinct_ngrams",
+        "total_ngrams",
+        within(F.col("__aw"), F.col("distinct_words")).alias("words_within_5pct"),
+        within(F.col("__ag"), F.col("distinct_ngrams")).alias("ngrams_within_5pct"),
+        (F.col("__at") == F.col("total_ngrams")).alias("totals_exactly_equal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x78 — DIRECTED exact-integer PageRank (customer → supplier trade
+# edges as given, no symmetrization). Every supplier is a sink, so
+# the dangling-mass convention (pool D redistributed as D div n to
+# every node, remainder dropped) is exercised on ~half the nodes —
+# the oracle replays all rounds incl. the dangling pool as chained
+# materialized CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _x78_oracle(scale: int = 10**12, damp: int = 85, iters: int = 3) -> str:
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT u FROM (SELECT u FROM edges UNION ALL SELECT v FROM edges)
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY u
+),
+dang AS MATERIALIZED (
+  SELECT n.u FROM nodes n LEFT JOIN deg d ON n.u = d.u WHERE d.u IS NULL
+),
+r0 AS MATERIALIZED (
+  SELECT u, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes
+)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dmass
+  FROM r{k - 1} r JOIN dang ON r.u = dang.u
+),
+r{k} AS MATERIALIZED (
+  SELECT b.u,
+         CAST(({100 - damp} * ({scale} // (SELECT n FROM nn))) // 100
+            + ({damp} * (COALESCE(s.s, 0)
+                 + ((SELECT dmass FROM d{k}) // (SELECT n FROM nn)))) // 100
+              AS BIGINT) AS r
+  FROM nodes b
+  LEFT JOIN (
+    SELECT e.v AS u, SUM(r.r // d.outdeg) AS s
+    FROM edges e JOIN r{k - 1} r ON e.u = r.u JOIN deg d ON e.u = d.u
+    GROUP BY e.v
+  ) s ON b.u = s.u
+)""")
+    return (
+        head
+        + "".join(rounds)
+        + f"\nSELECT u AS node, r AS rank_scaled FROM r{iters}"
+    )
+
+
+@register("x78_pagerank_directed", oracle=_x78_oracle())
+def x78_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration directed exact-integer PageRank over customer →
+    supplier trade edges (suppliers are sinks: the dangling pool is
+    live every round)."""
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    od = F.col("o_orderdate").cast("date")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((od >= F.lit("1997-01-01")) & (od < F.lit("1997-04-01")))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_exact(edges, iterations=3, directed=True)

@@ -332,7 +332,16 @@ def compact_parquet(
     ``repartitionByRange(n, zkey).sortWithinPartitions(zkey)`` — a
     single range shuffle, fully distributed (the lo02 census's
     production path); without it a plain ``repartition(n)``.
-    Returns the target file count.
+
+    File-count determinism: range boundaries are SAMPLED, so range
+    partitions are only approximately even; if ``maxRecordsPerFile``
+    were set on this path an over-sampled partition would split into
+    extra files nondeterministically (the round-6 flake). The zorder
+    path therefore writes exactly ONE file per range partition —
+    count exact (== the return value), per-file size absorbing the
+    sampling error (bounded ~2x target in the worst sample) — while
+    the plain path keeps ``maxRecordsPerFile`` as a safety on its
+    evenly-filled round-robin partitions. Returns the file count.
     """
     import math as _math
 
@@ -354,9 +363,11 @@ def compact_parquet(
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
         )
+        # one file per range partition — exact count, no split flake
+        out.write.mode("overwrite").parquet(out_path)
     else:
         out = df.repartition(n_files)
-    out.write.mode("overwrite").option(
-        "maxRecordsPerFile", target_rows_per_file
-    ).parquet(out_path)
+        out.write.mode("overwrite").option(
+            "maxRecordsPerFile", target_rows_per_file
+        ).parquet(out_path)
     return n_files

@@ -255,6 +255,96 @@ def test_compaction_restores_backup_after_crash(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Directed PageRank: exact-integer model equivalence + dangling mass
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_model(edges, iters, damp=85, scale=10**12, directed=True):
+    """Pure-Python replay of pagerank_exact's documented integer
+    recipe (floor divisions, dropped remainders, uniform dangling
+    redistribution of D div n)."""
+    E = set()
+    for u, v in edges:
+        if u != v:
+            E.add((u, v))
+            if not directed:
+                E.add((v, u))
+    nodes = sorted({u for u, _ in E} | {v for _, v in E})
+    n = len(nodes)
+    out = {}
+    for u, _v in E:
+        out[u] = out.get(u, 0) + 1
+    r = {u: scale // n for u in nodes}
+    for _ in range(iters):
+        s = dict.fromkeys(nodes, 0)
+        for u, v in E:
+            s[v] += r[u] // out[u]
+        share = (
+            sum(r[u] for u in nodes if u not in out) // n if directed else 0
+        )
+        r = {
+            u: ((100 - damp) * (scale // n)) // 100
+            + (damp * (s[u] + share)) // 100
+            for u in nodes
+        }
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3)],                          # chain; 3 is dangling
+        [(1, 2), (2, 1), (1, 3)],                  # cycle + dangling sink
+        [(1, 2), (1, 3), (2, 3), (4, 1)],          # DAG, two sinks' worth
+    ],
+)
+def test_pagerank_directed_matches_model(spark, edges):
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank_exact(df, iterations=3, directed=True).collect()
+    }
+    want = _pagerank_model(edges, iters=3, directed=True)
+    assert got == want
+    # dangling mass is redistributed, not lost: totals stay within n
+    # dropped remainders per round of the teleport+damp floor identity
+    assert sum(got.values()) > 0
+
+
+def test_pagerank_undirected_matches_model(spark):
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank_exact(df, iterations=3, directed=False).collect()
+    }
+    want = _pagerank_model(edges, iters=3, directed=False)
+    assert got == want
+
+
+def test_pagerank_directed_dangling_gets_rank(spark):
+    """In a→b→c the sink c must accumulate the most rank (it receives
+    b's whole contribution), and the dangling pool must flow back:
+    with NO redistribution a would keep only teleport mass."""
+    from docker_etl_spark.operators.graph import pagerank_exact
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank_exact(df, iterations=5, directed=True).collect()
+    }
+    assert got[3] > got[2] > 0
+    # a (node 1) receives ONLY teleport + dangling share; both present
+    scale, n = 10**12, 3
+    teleport = (15 * (scale // n)) // 100
+    assert got[1] > teleport  # strictly more than teleport -> dangling share arrived
+
+
+# ---------------------------------------------------------------------------
 # mmr_rerank: id type follows the pool schema (string ids work)
 # ---------------------------------------------------------------------------
 
