@@ -187,6 +187,62 @@ def test_lease_stale_takeover_is_atomic(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal census: planted payloads pin every decoder/format label
+# ---------------------------------------------------------------------------
+
+
+def test_media_census_planted_payload_labels(spark):
+    """One planted payload per label class, so per-corpus stub rates
+    stay visible: detect_media_format covers png/jpeg/gif/unknown,
+    and the decode dispatch covers png-stdlib / jpeg-stdlib / stub
+    (PIL is absent in this environment — the pil arm is env-gated)."""
+    import numpy as np
+
+    from docker_etl_spark.operators._jpeg import encode_jpeg
+    from docker_etl_spark.operators._png import encode_png
+    from docker_etl_spark.operators.multimodal import (
+        HAVE_PIL,
+        decode_image_features,
+        detect_media_format,
+    )
+
+    png = encode_png(np.full((4, 5, 3), 128, dtype=np.uint8))
+    jpg = encode_jpeg(np.full((8, 8, 3), 200, dtype=np.uint8), quality=95)
+    gif = b"GIF89a" + b"\x00" * 32          # valid signature, stub decode
+    blob = b"opaque sensor dump"            # unknown format, stub decode
+    rows = [(1, png), (2, jpg), (3, gif), (4, blob)]
+    df = spark.createDataFrame(rows, "media_id long, content binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ),
+    )
+    fmt = {
+        r.media_id: r.fmt
+        for r in df.select(
+            "media_id", detect_media_format("content").alias("fmt")
+        ).collect()
+    }
+    assert fmt == {1: "png", 2: "jpeg", 3: "gif", 4: "unknown"}
+
+    assert not HAVE_PIL  # env premise: the pil arm stays unexercised here
+    dec = {
+        r.media_id: r.decoder for r in decode_image_features(df).collect()
+    }
+    assert dec == {1: "png-stdlib", 2: "jpeg-stdlib", 3: "stub", 4: "stub"}
+    # the flat planted images have known luminance through the real codecs
+    lum = {
+        r.media_id: r.mean_luma for r in decode_image_features(df).collect()
+    }
+    assert abs(lum[1] - 128.0) < 1.0
+    assert abs(lum[2] - 200.0) < 3.0
+
+
+# ---------------------------------------------------------------------------
 # PSI: negative values clamp into bucket 0 (not silently dropped)
 # ---------------------------------------------------------------------------
 
