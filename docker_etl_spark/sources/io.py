@@ -353,6 +353,12 @@ def compact_parquet(
     df = spark.read.parquet(in_path)
     n_rows = parquet_row_count(in_path)
     if n_rows is None:
+        log.info(
+            "compact_parquet: %s is not locally walkable — sizing falls "
+            "back to a FULL count() pass over the input (footer-metadata "
+            "sizing needs a local path or a table format)",
+            in_path,
+        )
         n_rows = df.count()
     n_files = max(1, _math.ceil(n_rows / target_rows_per_file))
     if zorder is not None:

@@ -69,6 +69,9 @@ KERNELS = [
     # exactly what the hot-posting guard (max_posting=1000) exists
     # to drop before the self-join goes quadratic.
     "x72_winnow_pairs",
+    # round 7: the xxhash64 decontamination probe — same store-probe
+    # shape and hot-bucket guard as x64, fused signature fold
+    "x76_fuzzy_decontamination_fast",
 ]
 
 
