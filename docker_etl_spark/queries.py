@@ -9126,3 +9126,125 @@ def x78_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_exact(edges, iterations=3, directed=True)
+
+
+# ---------------------------------------------------------------------------
+# x79 — Count-Min frequency sketch (Cormode-Muthukrishnan): depth x
+# width exact-integer cells addressed by the engine's portable md5
+# bucket idiom, so the sketch replays bit-for-bit in the oracle (a
+# stronger contract than the HLL error-bound checks — this sketch is
+# state a pipeline can persist and merge ACROSS engines). The probe
+# set is the exact top-15 words; cms_count >= exact always (the CMS
+# one-sided guarantee, pinned as a column).
+# ---------------------------------------------------------------------------
+
+_X79_ORACLE = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+  FROM documents
+),
+ent AS (
+  SELECT w, k.k AS r,
+         CAST(('0x' || substr(md5(w || chr(31) || 'cms' || CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM words, (SELECT unnest(range(0, 4)) AS k) k
+),
+sketch AS (SELECT r, b, CAST(count(*) AS BIGINT) AS n FROM ent GROUP BY r, b),
+top AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+  FROM words GROUP BY w ORDER BY exact_n DESC, w LIMIT 15
+),
+probe AS (
+  SELECT t.w, t.exact_n, k.k AS r,
+         CAST(('0x' || substr(md5(t.w || chr(31) || 'cms' || CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM top t, (SELECT unnest(range(0, 4)) AS k) k
+),
+est AS (
+  SELECT p.w, p.exact_n, CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS cms_n
+  FROM probe p LEFT JOIN sketch s ON s.r = p.r AND s.b = p.b
+  GROUP BY p.w, p.exact_n
+)
+SELECT w AS word, exact_n, cms_n, cms_n >= exact_n AS overestimates FROM est
+"""
+
+
+@register("x79_count_min_frequencies", oracle=_X79_ORACLE)
+def x79_count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS over document words (d=4, w=1024); exact top-15 probed."""
+    from docker_etl_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+            )
+        ).alias("w")
+    ).localCheckpoint(eager=False)
+    sketch = count_min_sketch(words, "w", depth=4, width=1024)
+    top = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("w"))
+        .limit(15)
+    )
+    return cms_estimate(sketch, top, "w", depth=4, width=1024).select(
+        F.col("w").alias("word"),
+        "exact_n",
+        F.col("cms_count").alias("cms_n"),
+        (F.col("cms_count") >= F.col("exact_n")).alias("overestimates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x80 — mergeable quantile rollup: per-day fixed-width integer
+# histograms of order totals merged to per-month p50/p95/p99
+# estimates WITHOUT re-scanning raw values — cd02's incremental-MAU
+# recipe for quantiles. The estimate is the lower edge of the first
+# bucket whose running count reaches ceil(p*total/100): floor-
+# quantized exact quantile (within one bucket_width of truth by
+# construction — pinned in tests), pure integer arithmetic, replays
+# exactly cross-engine with no interpolation-convention drift.
+# ---------------------------------------------------------------------------
+
+_X80_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+         CAST(floor(o_totalprice / 512) AS BIGINT) AS bkt
+  FROM orders
+),
+m AS (SELECT month, bkt, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY month, bkt),
+c AS (
+  SELECT month, bkt,
+         SUM(n) OVER (PARTITION BY month ORDER BY bkt) AS cum,
+         SUM(n) OVER (PARTITION BY month) AS total
+  FROM m
+)
+SELECT month,
+       CAST(MAX(total) AS BIGINT) AS total_n,
+       CAST(MIN(CASE WHEN cum >= (50 * total + 99) // 100 THEN bkt END) * 512 AS BIGINT) AS p50_lo,
+       CAST(MIN(CASE WHEN cum >= (95 * total + 99) // 100 THEN bkt END) * 512 AS BIGINT) AS p95_lo,
+       CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN bkt END) * 512 AS BIGINT) AS p99_lo
+FROM c GROUP BY month
+"""
+
+
+@register("x80_quantile_rollup", oracle=_X80_ORACLE)
+def x80_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-total histograms -> monthly quantile estimates."""
+    from docker_etl_spark.operators.sketches import quantile_rollup
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month"),
+        "o_totalprice",
+    )
+    _daily, est = quantile_rollup(
+        o, "day", "month", "o_totalprice", bucket_width=512,
+        percentiles=(50, 95, 99),
+    )
+    return est
