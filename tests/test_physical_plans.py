@@ -125,6 +125,15 @@ def test_boilerplate_antijoin_broadcasts(spark, sf_dir):
     assert "SortMergeJoin LeftAnti" not in txt
 
 
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """x79: the Count-Min sketch is bounded (depth x width cells) and
+    must be BROADCAST into the probe join — probing never shuffles on
+    the sketch side however large the probe set grows."""
+    txt = formatted(QUERIES["x79_count_min_frequencies"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin LeftOuter" not in txt
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No registry query may plan a CartesianProduct — every join has
     equi keys, a broadcast, or a bounded non-equi broadcast-NL."""

@@ -306,6 +306,65 @@ def test_media_census_planted_payload_labels(spark):
     assert abs(lum[2] - 200.0) < 3.0
 
 
+def _make_wav(freq_hz=440, sr=8000, seconds=0.5, amp=10000):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(amp * math.sin(2 * math.pi * freq_hz * i / sr))
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_audio_decode_wav_stdlib_and_stub(spark):
+    """Planted PCM WAV decodes for real (duration/sample-rate exact,
+    RMS ~ amp/sqrt(2) for a sine); opaque payloads fall to the
+    labelled stub; the format census labels wav byte-for-byte."""
+    from docker_etl_spark.operators.multimodal import (
+        decode_audio_features,
+        detect_media_format,
+    )
+
+    wav = _make_wav()
+    rows = [(1, wav), (2, b"RIFFxxxxJUNK" + b"\x00" * 8), (3, b"opaque")]
+    df = spark.createDataFrame(rows, "media_id long, content binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("n_frames"),
+            F.lit(8000).alias("sample_rate"),
+        ),
+    )
+    fmt = {
+        r.media_id: r.fmt
+        for r in df.select(
+            "media_id", detect_media_format("content").alias("fmt")
+        ).collect()
+    }
+    assert fmt == {1: "wav", 2: "unknown", 3: "unknown"}
+    got = {r.media_id: r for r in decode_audio_features(df).collect()}
+    assert got[1].decoder == "wav-stdlib"
+    assert abs(got[1].duration_sec - 0.5) < 1e-9
+    assert got[1].sample_rate_hz == 8000
+    assert abs(got[1].rms - 10000 / 2**0.5) < 60  # sine RMS = amp/sqrt(2)
+    assert got[2].decoder == "stub" and got[3].decoder == "stub"
+
+
 # ---------------------------------------------------------------------------
 # PSI: negative values clamp into bucket 0 (not silently dropped)
 # ---------------------------------------------------------------------------
