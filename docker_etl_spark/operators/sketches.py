@@ -162,3 +162,39 @@ def quantile_rollup(
         (F.col(f"__pb{p}") * bucket_width).alias(f"p{p}_lo") for p in percentiles
     ]
     return daily, est.select(*out_cols)
+
+
+def write_cms_store(
+    sketch: DataFrame, path: str, batch_id: int | None = None
+) -> None:
+    """Persist a CMS sketch (or per-batch delta) into a mergeable
+    store layout. CMS cells merge by SUM, so the store is append-only
+    per-batch deltas under ``__batch_id=N`` partitions — redelivery
+    of a batch overwrites only its own partition (the engine's
+    idempotent streaming delivery contract), and no rewrite of prior
+    state is ever needed. Reads go through :func:`load_cms_store`,
+    which sums across deltas. Writer-lease-guarded like every store
+    mutation."""
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    with store_writer_lock(path, owner="write_cms_store"):
+        (
+            sketch.withColumn(
+                "__batch_id", F.lit(-1 if batch_id is None else batch_id)
+            )
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+
+def load_cms_store(spark, path: str) -> DataFrame:
+    """Merged view of a CMS store: per-cell sum across all batch
+    deltas — at most depth*width rows out regardless of batch count
+    (compaction is therefore optional; the merge IS the read)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("__row", "__bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

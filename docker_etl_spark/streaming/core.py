@@ -664,3 +664,37 @@ def cdc_chunk_dedup_stream(
         )
 
     return _sink
+
+
+def cms_sketch_stream(
+    store_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a cumulative Count-Min sketch
+    over a key stream — the frequency-profiling twin of the dedup
+    stores: per micro-batch ONE sketch delta (<= depth*width cells)
+    lands under ``__batch_id=N`` via dynamic partition overwrite, so
+    delivery is idempotent per batch and NO prior state is ever
+    rewritten (CMS cells merge by sum, so the merge happens at READ:
+    :func:`~docker_etl_spark.operators.sketches.load_cms_store`).
+
+    This is the streaming shape a 100 TB ingest wants for "how often
+    has this key appeared so far": per-batch work is one bounded
+    aggregate, store growth is depth*width rows per batch (compaction
+    optional — the read-side merge is already cheap), and the batch
+    twin (``count_min_sketch`` over the concatenated corpus) produces
+    the identical merged sketch, pinned by
+    tests/test_round7_ops.py::test_cms_stream_matches_batch.
+    """
+    from docker_etl_spark.operators.sketches import (
+        count_min_sketch,
+        write_cms_store,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = count_min_sketch(batch_df, key_col, depth=depth, width=width)
+        write_cms_store(sk, store_path, batch_id=batch_id)
+
+    return _sink

@@ -416,3 +416,42 @@ def test_ngram_array_matches_python_model_ordered(spark, texts, n):
             " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
         ]
         assert got[i] == expected, (t, n, got[i], expected)
+
+
+def _py_minhash_md5(text: str, n: int, num_perm: int) -> list:
+    """Pure-Python model of the md5-mode MinHash signature: per
+    permutation i, lexicographic min of md5(shingle || 'p{i}') hex
+    over the distinct shingles (None when no shingles)."""
+    import hashlib
+
+    sh = _py_shingles(text, n)
+    if not sh:
+        return [None] * num_perm
+    return [
+        min(hashlib.md5((s + f"p{i}").encode()).hexdigest() for s in sh)
+        for i in range(num_perm)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=8), st.integers(1, 6))
+def test_minhash_signature_matches_python_model(spark, texts, num_perm):
+    """The round-7 fused aggregate fold must agree with the
+    definitional per-permutation min on arbitrary corpora, including
+    empty/short texts (all-NULL signatures)."""
+    from docker_etl_spark.operators.text_dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i INT, t STRING"
+    )
+    got = {
+        r["i"]: list(r["sig"])
+        for r in df.select(
+            "i",
+            minhash_signature(word_shingles("t", 3), num_perm, "md5").alias(
+                "sig"
+            ),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_minhash_md5(t, 3, num_perm), (t, num_perm)

@@ -250,6 +250,33 @@ def test_quantile_rollup_within_bucket_width(spark):
     assert daily.agg(F.sum("n")).first()[0] == 400
 
 
+def test_cms_stream_matches_batch(spark, tmp_path):
+    """The streaming CMS store (per-batch deltas, merged at read)
+    must equal the one-shot batch sketch over the full corpus, and
+    batch redelivery must not double-count (idempotent __batch_id
+    partition overwrite)."""
+    from docker_etl_spark.operators.sketches import (
+        count_min_sketch,
+        load_cms_store,
+    )
+    from docker_etl_spark.streaming import cms_sketch_stream
+
+    rows = [(i, f"k{i % 11}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    store = str(tmp_path / "cms_store")
+    sink = cms_sketch_stream(store, "k", depth=3, width=64)
+    b0, b1 = df.filter("i < 150"), df.filter("i >= 150")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # redelivery: replaces its own partition, no double count
+    merged = load_cms_store(spark, store)
+    full = count_min_sketch(df, "k", depth=3, width=64)
+    assert (
+        merged.exceptAll(full).count() == 0
+        and full.exceptAll(merged).count() == 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal census: planted payloads pin every decoder/format label
 # ---------------------------------------------------------------------------
