@@ -9248,3 +9248,132 @@ def x80_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         percentiles=(50, 95, 99),
     )
     return est
+
+
+# ---------------------------------------------------------------------------
+# x81 — product quantization + ADC top-k (Jégou 2011), the
+# compression half of IVF-PQ (the production ANN layout at 100 TB:
+# codes are m small ints per vector; ADC search costs m table
+# lookups per candidate instead of dim multiplies). Everything is
+# the engine's deterministic integer spec — quantized grid, Lloyd
+# codebooks (k-smallest-id init, argmin ties -> lower cid,
+# floor-mean update, empty cluster keeps its centroid), exact-int
+# ADC distances — so the oracle replays TRAINING, ENCODING and the
+# SEARCH bit-for-bit as chained CTEs (m=2 subspaces, k=4, 1 round).
+# ---------------------------------------------------------------------------
+
+
+def _x81_subspace_ctes(s: int, lo: int, hi: int) -> str:
+    """Per-subspace training + encoding CTEs: init -> one assignment
+    round -> floor-mean centroids (init fallback) -> codes."""
+    nd = hi - lo + 1
+    return f""",
+sub{s} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS sv FROM vq),
+init{s} AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, sv AS cv
+  FROM sub{s} ORDER BY id LIMIT 4
+),
+a{s} AS MATERIALIZED (
+  SELECT id, sv, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY id
+           ORDER BY list_sum(list_transform(range(1, {nd + 1}),
+                    i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cid ASC
+         ) AS rn
+  FROM sub{s}, init{s}
+),
+centu{s} AS MATERIALIZED (
+  SELECT cid, list(val ORDER BY dim) AS cv FROM (
+    SELECT a.cid, r.i AS dim,
+           CAST(FLOOR(CAST(SUM(a.sv[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+    FROM (SELECT id, sv, cid FROM a{s} WHERE rn = 1) a
+    CROSS JOIN range(1, {nd + 1}) r(i)
+    GROUP BY a.cid, r.i
+  ) GROUP BY cid
+),
+cent{s} AS MATERIALIZED (
+  SELECT i.cid, COALESCE(u.cv, i.cv) AS cv
+  FROM init{s} i LEFT JOIN centu{s} u ON i.cid = u.cid
+),
+code{s} AS MATERIALIZED (
+  SELECT id, cid AS code FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY id
+             ORDER BY list_sum(list_transform(range(1, {nd + 1}),
+                      i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cid ASC
+           ) AS rn
+    FROM sub{s}, cent{s}
+  ) WHERE rn = 1
+),
+t{s} AS MATERIALIZED (
+  SELECT q.id AS qid, c.cid,
+         CAST(list_sum(list_transform(range(1, {nd + 1}),
+              i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM sub{s} q, cent{s} c WHERE q.id < 3
+)"""
+
+
+_X81_ORACLE = (
+    """
+WITH src AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+vq AS MATERIALIZED (
+  SELECT id, list_transform(dv, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v
+  FROM vq_src
+)"""
+    .replace("vq_src", "src")
+    + _x81_subspace_ctes(0, 1, 32)
+    + _x81_subspace_ctes(1, 33, 64)
+    + """,
+cand AS (
+  SELECT t0.qid, c0.id AS neighbor_id, t0.d + t1.d AS adc_dist
+  FROM code0 c0
+  JOIN code1 c1 ON c1.id = c0.id
+  JOIN t0 ON t0.cid = c0.code
+  JOIN t1 ON t1.cid = c1.code AND t1.qid = t0.qid
+  WHERE c0.id <> t0.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY adc_dist ASC, neighbor_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+FROM ranked WHERE rank <= 3
+"""
+)
+
+
+@register("x81_pq_adc_topk", oracle=_X81_ORACLE)
+def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebooks (m=2, k=4, 1 Lloyd round) over the embeddings;
+    vectors encoded to 2-int codes; ADC top-3 for queries vec_id<3."""
+    from docker_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    books = pq_train(em, "dv", "vec_id", dim=64, m=2, k=4, iterations=1)
+    codes = pq_encode(em, "dv", "vec_id", books)
+    queries = em.filter(F.col("vec_id") < 3)
+    out = pq_adc_topk(
+        queries, codes, books, vec_col="dv", query_id_col="vec_id",
+        code_id_col="vec_id", topk=3,
+    )
+    return out.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+    )

@@ -250,6 +250,49 @@ def test_quantile_rollup_within_bucket_width(spark):
     assert daily.agg(F.sum("n")).first()[0] == 400
 
 
+# ---------------------------------------------------------------------------
+# Product quantization: duplicates share codes; ADC finds planted twins
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_adc_finds_planted_twin(spark):
+    from docker_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    far = [rng.uniform(5, 6) for _ in range(8)]
+    rows = [
+        (0, base),
+        (1, list(base)),                      # exact twin of 0
+        (2, far),
+        (3, [x + 4.0 for x in far]),
+        (4, [x - 3.0 for x in base]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, dv array<double>")
+    books = pq_train(df, "dv", "vec_id", dim=8, m=2, k=2, iterations=1)
+    assert len(books) == 2 and len(books[0]) == 2 and len(books[0][0]) == 4
+    codes = pq_encode(df, "dv", "vec_id", books)
+    got = {r.vec_id: list(r.pq_code) for r in codes.collect()}
+    assert got[0] == got[1]  # identical vectors -> identical codes
+    out = pq_adc_topk(
+        df.filter("vec_id = 0"), codes, books,
+        vec_col="dv", query_id_col="vec_id", code_id_col="vec_id", topk=1,
+    ).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 1  # the twin wins rank 1
+    # query-bound guard
+    with pytest.raises(ValueError):
+        pq_adc_topk(
+            df, codes, books, vec_col="dv", query_id_col="vec_id",
+            code_id_col="vec_id", topk=1, max_queries=2,
+        )
+
+
 def test_cms_stream_matches_batch(spark, tmp_path):
     """The streaming CMS store (per-batch deltas, merged at read)
     must equal the one-shot batch sketch over the full corpus, and
