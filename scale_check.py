@@ -57,12 +57,13 @@ KERNELS = [
     "x71_estimator_precision",
     "x72_winnow_pairs",
     "x73_weighted_sample",
+    "x74_weighted_sample_per_group",
     "x76_fuzzy_decontamination_fast",
     "x77_corpus_diversity_approx",
+    "x81_pq_adc_topk",
     # x78 (directed PageRank) reads orders/lineitem, which the scaled
     # corpus does not replicate; its per-round shape is x75's (already
     # covered) plus one 1-row dangling aggregate.
-    "x74_weighted_sample_per_group",
 ]
 
 
