@@ -1680,3 +1680,194 @@ def pq_adc_topk(
             "adc_dist",
         )
     )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_cells: int = 4,
+    coarse_iterations: int = 2,
+    m: int = 2,
+    k: int = 4,
+    pq_iterations: int = 1,
+    quant_scale: int = 1000,
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
+    """Build the full IVF-PQ index layout (Jégou 2011): coarse-assign
+    every vector to one of ``n_cells`` integer-Lloyd cells, then
+    product-quantize the RESIDUAL (vector − its cell centroid) — the
+    composition production ANN systems (FAISS IVFPQ) ship, because
+    residuals concentrate near the origin where a small codebook
+    spends its codewords well.
+
+    Returns (index, coarse_centroids, codebooks):
+    - index: (id_col, __cell, pq_code) — the persistable layout, one
+      row per vector, m small ints of payload;
+    - coarse_centroids[cid] / codebooks[s][cid]: bounded driver
+      state (plan literals downstream).
+
+    Scale shape: coarse training/assignment is the
+    :func:`kmeans_assign_quantized` recipe (broadcast centroids,
+    map-side argmin); residuals are a zip_with against the assigned
+    centroid literal (map-only, via a CASE over n_cells literals);
+    PQ training sees only the residual frame. Everything integer.
+    """
+    assigned, coarse = kmeans_assign_quantized(
+        df, vec_col, id_col, n_cells, coarse_iterations, quant_scale
+    )
+    # Cells are RE-ASSIGNED against the FINAL centroids (the FAISS
+    # convention: encode with the trained quantizer, not the last
+    # Lloyd round's pre-update assignment), then residual = quantized
+    # vector - final cell centroid (per-cell literal CASE, map-only).
+    cell = _pq_argmin(F.col("__vq"), coarse)
+    cdf = assigned.select(
+        F.col("__id").alias(id_col), F.col("__vq"), cell.alias("__cell")
+    )
+    cent_of_cell = None
+    for j, c in enumerate(coarse):
+        lit = _int_array_literal(c)
+        cent_of_cell = (
+            F.when(F.col("__cell") == j, lit)
+            if cent_of_cell is None
+            else cent_of_cell.when(F.col("__cell") == j, lit)
+        )
+    resid = F.zip_with(F.col("__vq"), cent_of_cell, lambda x, y: x - y)
+    rdf = cdf.select(
+        F.col(id_col), F.col("__cell"), resid.alias("__resid")
+    ).localCheckpoint(eager=False)
+    # PQ codebooks train on residuals; quant_scale=1 (already integers)
+    books = pq_train(
+        rdf, "__resid", id_col, dim=dim, m=m, k=k,
+        iterations=pq_iterations, quant_scale=1,
+    )
+    codes = pq_encode(rdf, "__resid", id_col, books, quant_scale=1)
+    index = rdf.select(id_col, "__cell").join(codes, id_col)
+    return index, coarse, books
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    vec_col: str,
+    query_id_col: str,
+    topk: int = 3,
+    quant_scale: int = 1000,
+    max_queries: int | None = 1024,
+) -> DataFrame:
+    """IVF-PQ search, nprobe=1: each query routes to its nearest
+    coarse cell (argmin over the centroid literals, the Lloyd spec),
+    builds ADC tables against its RESIDUAL in that cell, and scans
+    only that cell's codes — the candidate set shrinks ~n_cells-fold
+    before any per-candidate work, and each survivor costs m table
+    lookups. The cell equi-join replaces pq_adc_topk's cross join:
+    candidates shuffle once on the cell id, queries broadcast.
+
+    Output: (query_id_col, rank, neighbor_id, adc_dist); self-pairs
+    excluded. Exact integers end-to-end, lower-id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    if max_queries is not None:
+        queries = queries.localCheckpoint(eager=True)
+        nq = queries.limit(max_queries + 1).count()
+        if nq > max_queries:
+            raise ValueError(
+                f"ivfpq_topk got > {max_queries} queries; bound the query "
+                "set (the index side is already cell-pruned)"
+            )
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
+    )
+    q = queries.select(F.col(query_id_col).alias("__qid"), vq.alias("__qv"))
+    # route to the nearest coarse cell (ties -> lower cid)
+    cdists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"), _int_array_literal(c), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        for c in coarse
+    ]
+    best = F.lit(0)
+    best_d = cdists[0]
+    for j in range(1, len(coarse)):
+        cond = cdists[j] < best_d
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        best_d = F.when(cond, cdists[j]).otherwise(best_d)
+    qcell = q.select("__qid", "__qv", best.alias("__cell"))
+    cent_of_cell = None
+    for j, c in enumerate(coarse):
+        lit = _int_array_literal(c)
+        cent_of_cell = (
+            F.when(F.col("__cell") == j, lit)
+            if cent_of_cell is None
+            else cent_of_cell.when(F.col("__cell") == j, lit)
+        )
+    qr = qcell.select(
+        "__qid",
+        "__cell",
+        F.zip_with(F.col("__qv"), cent_of_cell, lambda x, y: x - y).alias(
+            "__qres"
+        ),
+    )
+    tables = [
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("__qres"), s * d + 1, d),
+                        _int_array_literal(c),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                )
+                for c in codebooks[s]
+            ]
+        ).alias(f"__t{s}")
+        for s in range(m)
+    ]
+    qt = qr.select("__qid", "__cell", *tables)
+    dist = sum(
+        (
+            F.element_at(
+                F.col(f"__t{s}"),
+                F.element_at(F.col("pq_code"), s + 1) + F.lit(1),
+            )
+            for s in range(1, m)
+        ),
+        F.element_at(
+            F.col("__t0"), F.element_at(F.col("pq_code"), 1) + F.lit(1)
+        ),
+    )
+    id_name = index.columns[0]
+    cand = (
+        index.join(F.broadcast(qt), "__cell")
+        .filter(F.col("__qid") != F.col(id_name))
+        .select(
+            F.col("__qid"),
+            F.col(id_name).alias("neighbor_id"),
+            dist.cast("bigint").alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "rank",
+            "neighbor_id",
+            "adc_dist",
+        )
+    )

@@ -9263,17 +9263,19 @@ def x80_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _x81_subspace_ctes(s: int, lo: int, hi: int) -> str:
+def _x81_subspace_ctes(s: int, lo: int, hi: int, src: str = "vq") -> str:
     """Per-subspace training + encoding CTEs: init -> one assignment
-    round -> floor-mean centroids (init fallback) -> codes."""
+    round -> floor-mean centroids (init fallback) -> codes. ``src``
+    must expose (id, v: bigint list); x81 trains on quantized
+    vectors, x82 on IVF residuals."""
     nd = hi - lo + 1
     return f""",
-sub{s} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS sv FROM vq),
+sub{s} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS sv FROM {src}),
 init{s} AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, sv AS cv
   FROM sub{s} ORDER BY id LIMIT 4
 ),
-a{s} AS MATERIALIZED (
+sa{s} AS MATERIALIZED (
   SELECT id, sv, cid,
          ROW_NUMBER() OVER (
            PARTITION BY id
@@ -9286,12 +9288,12 @@ centu{s} AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,
            CAST(FLOOR(CAST(SUM(a.sv[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
-    FROM (SELECT id, sv, cid FROM a{s} WHERE rn = 1) a
+    FROM (SELECT id, sv, cid FROM sa{s} WHERE rn = 1) a
     CROSS JOIN range(1, {nd + 1}) r(i)
     GROUP BY a.cid, r.i
   ) GROUP BY cid
 ),
-cent{s} AS MATERIALIZED (
+pcent{s} AS MATERIALIZED (
   SELECT i.cid, COALESCE(u.cv, i.cv) AS cv
   FROM init{s} i LEFT JOIN centu{s} u ON i.cid = u.cid
 ),
@@ -9303,14 +9305,14 @@ code{s} AS MATERIALIZED (
              ORDER BY list_sum(list_transform(range(1, {nd + 1}),
                       i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cid ASC
            ) AS rn
-    FROM sub{s}, cent{s}
+    FROM sub{s}, pcent{s}
   ) WHERE rn = 1
 ),
 t{s} AS MATERIALIZED (
   SELECT q.id AS qid, c.cid,
          CAST(list_sum(list_transform(range(1, {nd + 1}),
               i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS BIGINT) AS d
-  FROM sub{s} q, cent{s} c WHERE q.id < 3
+  FROM sub{s} q, pcent{s} c WHERE q.id < 3
 )"""
 
 
@@ -9370,6 +9372,101 @@ def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pq_adc_topk(
         queries, codes, books, vec_col="dv", query_id_col="vec_id",
         code_id_col="vec_id", topk=3,
+    )
+    return out.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x82 — residual IVF-PQ, the full production ANN composition (FAISS
+# IVFPQ): vectors coarse-assign to integer-Lloyd cells (re-assigned
+# against the FINAL centroids — the encode-with-trained-quantizer
+# convention), PQ codebooks train on the RESIDUALS, and nprobe=1
+# search routes each query to its nearest cell, builds ADC tables
+# against its residual, and scans only that cell's codes. The oracle
+# replays coarse training (x23's shared CTEs), re-assignment,
+# residuals, per-subspace PQ training/encoding (x81's CTEs sourced
+# from the residual frame), routing and the cell-pruned ADC scan —
+# every stage bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_X82_ORACLE = (
+    _kmeans_ctes(_X23_SRC)
+    + """,
+cent2 AS MATERIALIZED (
+  SELECT cid, list(val ORDER BY dim) AS cv FROM (
+    SELECT a.cid, r.i AS dim,
+           CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+    FROM assign2 a CROSS JOIN range(1, 65) r(i)
+    GROUP BY a.cid, r.i
+  ) GROUP BY cid
+),
+cellassign AS MATERIALIZED (
+  SELECT id, v, cid AS cell FROM (
+    SELECT q.id, q.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) ASC,
+                      c.cid ASC
+           ) AS rn
+    FROM vq q, cent2 c
+  ) WHERE rn = 1
+),
+rq AS MATERIALIZED (
+  SELECT a.id,
+         list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
+  FROM cellassign a JOIN cent2 c ON c.cid = a.cell
+)"""
+    + _x81_subspace_ctes(0, 1, 32, src="rq")
+    + _x81_subspace_ctes(1, 33, 64, src="rq")
+    + """,
+qcell AS (SELECT id AS qid, cell FROM cellassign WHERE id < 3),
+cand AS (
+  SELECT t0.qid, c0.id AS neighbor_id, t0.d + t1.d AS adc_dist
+  FROM cellassign ix
+  JOIN qcell ON qcell.cell = ix.cell
+  JOIN code0 c0 ON c0.id = ix.id
+  JOIN code1 c1 ON c1.id = ix.id
+  JOIN t0 ON t0.cid = c0.code AND t0.qid = qcell.qid
+  JOIN t1 ON t1.cid = c1.code AND t1.qid = qcell.qid
+  WHERE ix.id <> qcell.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY adc_dist ASC, neighbor_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+FROM ranked WHERE rank <= 3
+"""
+)
+
+
+@register("x82_ivfpq_topk", oracle=_X82_ORACLE)
+def x82_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ over the embeddings (4 cells x 2 Lloyd rounds;
+    PQ m=2/k=4/1 round on residuals); nprobe=1 ADC top-3, vec_id<3."""
+    from docker_etl_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    index, coarse, books = ivfpq_build(
+        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1,
+    )
+    queries = em.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(
+        queries, index, coarse, books, vec_col="dv",
+        query_id_col="vec_id", topk=3,
     )
     return out.select(
         F.col("vec_id").alias("query_id"),

@@ -293,6 +293,40 @@ def test_pq_encode_adc_finds_planted_twin(spark):
         )
 
 
+def test_ivfpq_finds_twin_in_cell_and_prunes_cross_cell(spark):
+    """Residual IVF-PQ, nprobe=1: a planted twin in the query's cell
+    wins rank 1; vectors in OTHER cells never appear as candidates
+    (the cell pruning that makes the scan cheap — and the recall
+    trade nprobe controls)."""
+    from docker_etl_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    import random
+
+    rng = random.Random(5)
+    a = [rng.uniform(0, 1) for _ in range(8)]
+    b = [rng.uniform(90, 91) for _ in range(8)]  # far cluster
+    rows = [
+        (0, a),
+        (1, list(a)),                 # twin of 0, same cell
+        (2, [x + 0.4 for x in a]),    # same neighborhood
+        (3, b),
+        (4, [x + 0.2 for x in b]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, dv array<double>")
+    index, coarse, books = ivfpq_build(
+        df, "dv", "vec_id", dim=8, n_cells=2, coarse_iterations=2,
+        m=2, k=2, pq_iterations=1,
+    )
+    out = ivfpq_topk(
+        df.filter("vec_id = 0"), index, coarse, books,
+        vec_col="dv", query_id_col="vec_id", topk=4,
+    ).collect()
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got[0] == 1                      # twin wins
+    assert set(got) <= {1, 2, 3, 4}
+    assert 3 not in got and 4 not in got    # other cell pruned away
+
+
 def test_cms_stream_matches_batch(spark, tmp_path):
     """The streaming CMS store (per-batch deltas, merged at read)
     must equal the one-shot batch sketch over the full corpus, and
