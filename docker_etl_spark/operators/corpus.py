@@ -1539,3 +1539,63 @@ def training_order(
             ((pos - 1) / batch_size).cast("long").alias("batch_id"),
         )
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Token-balanced shard assignment — the corpus-assembly finisher
+    after :func:`training_order`: every document lands in one of
+    ``n_shards`` output shards such that per-shard token totals are
+    near-equal (training data loaders stall on the largest shard, so
+    shard spread IS tail latency).
+
+    Recipe: global rank by (weight DESC, id) — the longest-processing-
+    time order — then SERPENTINE round-robin over the rank
+    (shard = slot on even passes, n-1-slot on odd passes), the
+    classic folded assignment whose per-shard totals differ by at
+    most ~one document weight on sorted input. Deterministic integer
+    construction end-to-end, so an independent engine replays the
+    exact assignment.
+
+    The global rank reuses :func:`training_order`'s scale shape: NO
+    single-partition window — range partition on the (negated
+    weight, id) key, local ranks, bounded per-partition counts as
+    broadcast prefix offsets, checkpoint-pinned so the counts pass
+    and the rank pass read one materialized partitioning.
+
+    Output: (id_col, weight, shard).
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).withColumn("__negw", -F.col("__w"))
+    ranged = (
+        keyed.repartitionByRange(range_partitions, "__negw", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy("__negw", id_col)
+    pos0 = (F.col("__off") + F.row_number().over(w) - 1).cast("long")
+    ride = F.floor(pos0 / n_shards) % 2
+    slot = pos0 % n_shards
+    shard = F.when(ride == 0, slot).otherwise(F.lit(n_shards - 1) - slot)
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .select(
+            id_col,
+            F.col("__w").alias("weight"),
+            shard.cast("int").alias("shard"),
+        )
+    )

@@ -9474,3 +9474,53 @@ def x82_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "adc_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# x83 — token-balanced shard packing (corpus-assembly finisher):
+# longest-processing-time order (weight DESC, id) + serpentine
+# round-robin = near-equal per-shard token totals (data loaders
+# stall on the largest shard). Global rank computed with x67's
+# no-single-partition-window recipe; pure integer construction, so
+# the oracle replays the exact assignment with one window.
+# ---------------------------------------------------------------------------
+
+_X83_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+              AS BIGINT) AS w
+  FROM documents
+),
+r AS (
+  SELECT doc_id, w,
+         ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) - 1 AS p
+  FROM d
+),
+s AS (
+  SELECT doc_id, w,
+         CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS shard
+  FROM r
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_tokens
+FROM s GROUP BY shard
+"""
+
+
+@register("x83_shard_packing", oracle=_X83_ORACLE)
+def x83_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents packed into 8 token-balanced shards; per-shard census."""
+    from docker_etl_spark.operators.corpus import pack_shards
+
+    d = load_docs_spread(spark, sf_dir)
+    wc = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    )
+    weighted = d.select("doc_id", wc.cast("long").alias("n_tokens"))
+    assigned = pack_shards(weighted, "n_tokens", n_shards=8, id_col="doc_id")
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("total_tokens"),
+    )

@@ -293,6 +293,32 @@ def test_pq_encode_adc_finds_planted_twin(spark):
         )
 
 
+def test_pack_shards_balances_and_is_partition_invariant(spark):
+    """Serpentine LPT packing: per-shard totals spread by at most the
+    max single weight on this input; assignment identical across
+    range_partitions settings (the x67 invariance property); every
+    doc lands in exactly one shard."""
+    import random
+
+    from docker_etl_spark.operators.corpus import pack_shards
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_shards(df, "n_tokens", n_shards=4, id_col="doc_id")
+    per = {
+        r.shard: r.t
+        for r in out.groupBy("shard").agg(F.sum("weight").alias("t")).collect()
+    }
+    assert set(per) == {0, 1, 2, 3}
+    assert out.count() == 400 and out.select("doc_id").distinct().count() == 400
+    spread = max(per.values()) - min(per.values())
+    assert spread <= 500, per  # bounded by the max single weight
+    a = pack_shards(df, "n_tokens", 4, "doc_id", range_partitions=3)
+    b = pack_shards(df, "n_tokens", 4, "doc_id", range_partitions=17)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_ivfpq_finds_twin_in_cell_and_prunes_cross_cell(spark):
     """Residual IVF-PQ, nprobe=1: a planted twin in the query's cell
     wins rank 1; vectors in OTHER cells never appear as candidates
