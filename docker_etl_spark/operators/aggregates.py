@@ -192,3 +192,114 @@ def retention_cohorts(
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+#: Poisson(1) CDF thresholds quantized to floor(cdf * 2^32) — the
+#: deterministic inverse-CDF lookup both engines share (multiplicity
+#: truncated at 5; P(X >= 5) < 0.37%).
+POISSON1_CDF_U32 = (
+    1580030168,  # P(X <= 0)
+    3160060337,  # P(X <= 1)
+    3950075421,  # P(X <= 2)
+    4213413783,  # P(X <= 3)
+    4279248373,  # P(X <= 4)
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 40,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
+    seed: str = "boot",
+) -> DataFrame:
+    """Bootstrap confidence interval for a per-group mean via the
+    POISSON bootstrap (Chamandy 2012 — the resampling scheme that
+    works in one distributed pass: each row's multiplicity in
+    replicate b is an independent Poisson(1) draw, so no replicate
+    ever needs a global sample of fixed size N). The streaming/
+    map-reduce-native alternative to :func:`jackknife_sum_ci`.
+
+    Determinism: the draw is the md5 of (id, b, seed) reduced to a
+    u32 and pushed through the quantized Poisson(1) inverse CDF
+    (:data:`POISSON1_CDF_U32`, multiplicity 0-5) — integer compares,
+    so every engine reproduces every multiplicity. Replicate means
+    are one IEEE division of exact integer sums; the CI endpoints
+    are the ``lo_rank``/``hi_rank``-th smallest replicate means
+    (defaults: ceil(0.025*B) and ceil(0.975*B) — rank statistics,
+    no interpolation convention to drift).
+
+    Scale shape: one explode of the corpus by B into a groupBy
+    (group, b) whose partial aggregation collapses map-side to
+    B rows per group per partition; the CI step sorts B means per
+    group (bounded arrays). Replicates with an empty draw (possible
+    only for tiny groups) drop out of the order statistics in both
+    engines.
+
+    Output: (group_by..., n_rows, mean, ci_lo, ci_hi).
+    """
+    B = n_replicates
+    lo = lo_rank if lo_rank is not None else max(1, -(-25 * B // 1000))
+    hi = hi_rank if hi_rank is not None else -(-975 * B // 1000)
+    gb = list(group_by)
+    b = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.col("__b").cast("string"),
+                    F.lit(seed),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    m = F.when(u < POISSON1_CDF_U32[0], 0)
+    for k in range(1, 5):
+        m = m.when(u < POISSON1_CDF_U32[k], k)
+    m = m.otherwise(5).cast("bigint")
+    base = df.select(
+        *gb, F.col(id_col), F.col(value_col).cast("long").alias("__v")
+    )
+    reps = (
+        base.select(*gb, F.col(id_col), "__v", b)
+        .withColumn("__m", m)
+        .groupBy(*gb, "__b")
+        .agg(
+            F.sum(F.col("__m") * F.col("__v")).cast("long").alias("__s"),
+            F.sum("__m").cast("long").alias("__n"),
+        )
+        .withColumn(
+            "__mean",
+            F.when(
+                F.col("__n") > 0,
+                F.col("__s").cast("double") / F.col("__n").cast("double"),
+            ),
+        )
+        .filter(F.col("__mean").isNotNull())
+        .groupBy(*gb)
+        .agg(F.sort_array(F.collect_list("__mean")).alias("__means"))
+    )
+    exact = base.groupBy(*gb).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum("__v").cast("double") / F.count("*").cast("double")).alias(
+            "mean"
+        ),
+    )
+    return exact.join(reps, gb).select(
+        *gb,
+        "n_rows",
+        "mean",
+        F.element_at("__means", lo).alias("ci_lo"),
+        F.element_at("__means", F.least(F.lit(hi), F.size("__means"))).alias(
+            "ci_hi"
+        ),
+    )

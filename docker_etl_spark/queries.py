@@ -9524,3 +9524,66 @@ def x83_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("weight").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x84 — Poisson bootstrap CI for per-source mean document length
+# (Chamandy 2012, "Estimating uncertainty for massive data streams":
+# per-row Poisson(1) multiplicities make the bootstrap a single
+# distributed pass — no fixed-N global resample). Deterministic:
+# md5(id:b:seed) -> u32 -> quantized Poisson inverse CDF (integer
+# compares); replicate means are one IEEE division of exact integer
+# sums; CI endpoints are rank statistics over the B=40 replicate
+# means. The oracle replays draws, sums and order statistics.
+# ---------------------------------------------------------------------------
+
+_X84_ORACLE = """
+WITH d AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+reps AS (
+  SELECT source, b,
+         CAST(SUM(CASE
+           WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+           WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+           WHEN u < 4279248373 THEN 4 ELSE 5 END * v) AS BIGINT) AS s,
+         CAST(SUM(CASE
+           WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+           WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+           WHEN u < 4279248373 THEN 4 ELSE 5 END) AS BIGINT) AS n
+  FROM (
+    SELECT d.source, d.doc_id, d.v, b.b,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(b.b AS VARCHAR) || ':boot'), 1, 8)) AS BIGINT) AS u
+    FROM d, (SELECT unnest(range(0, 40)) AS b) b
+  )
+  GROUP BY source, b
+),
+means AS (
+  SELECT source, list_sort(list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS ms
+  FROM reps WHERE n > 0 GROUP BY source
+),
+exact AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+  FROM d GROUP BY source
+)
+SELECT e.source, e.n_rows, e.mean,
+       m.ms[1] AS ci_lo,
+       m.ms[least(39, len(m.ms))] AS ci_hi
+FROM exact e JOIN means m ON m.source = e.source
+"""
+
+
+@register("x84_bootstrap_mean_ci", oracle=_X84_ORACLE)
+def x84_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean n_chars with a 40-replicate Poisson-bootstrap
+    rank CI (ranks 1 and 39)."""
+    from docker_etl_spark.operators.aggregates import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    return poisson_bootstrap_mean_ci(
+        d, ["source"], "n_chars", "doc_id", n_replicates=40,
+    )

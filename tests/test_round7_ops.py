@@ -293,6 +293,29 @@ def test_pq_encode_adc_finds_planted_twin(spark):
         )
 
 
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """The rank CI must bracket the exact mean on a well-behaved
+    sample, and the whole construction must be partitioning-
+    independent (pure integer draws keyed on ids)."""
+    import random
+
+    from docker_etl_spark.operators.aggregates import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    rng = random.Random(13)
+    rows = [("g", i, rng.randint(50, 150)) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = poisson_bootstrap_mean_ci(df, ["grp"], "v", "id").first()
+    assert out.n_rows == 500
+    assert out.ci_lo <= out.mean <= out.ci_hi
+    assert out.ci_hi - out.ci_lo < 20  # tight for n=500, sd~29
+    out2 = poisson_bootstrap_mean_ci(
+        df.repartition(17), ["grp"], "v", "id"
+    ).first()
+    assert (out.ci_lo, out.ci_hi) == (out2.ci_lo, out2.ci_hi)
+
+
 def test_pack_shards_balances_and_is_partition_invariant(spark):
     """Serpentine LPT packing: per-shard totals spread by at most the
     max single weight on this input; assignment identical across
