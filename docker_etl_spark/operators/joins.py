@@ -250,3 +250,66 @@ def asof_join(
         *[F.col(f"__match.{c}").alias(c) for c in right_cols],
     )
     return out
+
+
+def fuzzy_entity_match(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 2,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Entity-resolution self-match: pairs whose names are within
+    ``max_distance`` Levenshtein edits — the classic data-cleaning
+    join (near-identical vendor/customer records from typos and
+    formatting drift; the reference's schema-sync jobs assume
+    upstream already did this — here it is an engine operator).
+
+    Candidate generation is a LOSSLESS length band: edit distance is
+    bounded below by the length difference, so bucketing lengths at
+    width ``max_distance + 1`` and emitting the right side into
+    bucket ± 1 (the x04/ngram_jaccard recipe) covers every
+    |Δlen| ≤ max_distance pair with a pure EQUI join — no recall
+    loss, unlike phonetic blocking. ``block_cols`` add exact-match
+    blocking attributes (region, type, …) that bound the per-bucket
+    population; at 100 TB a name-only band over a giant entity table
+    is the quadratic trap, an attribute block is what caps it.
+    Verification is JVM ``levenshtein`` (integer, identical in any
+    engine).
+
+    Output: (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+    """
+    width = max_distance + 1
+    blocks = list(block_cols)
+    a = df.select(
+        *blocks,
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        (F.length(name_col).cast("long") / width)
+        .cast("long")
+        .alias("__band"),
+    )
+    bb = df.select(
+        *blocks,
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.length(name_col).cast("long") / width).cast("long")
+                        + d
+                    )
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("__band"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(bb, [*blocks, "__band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", dist.alias("distance"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -9587,3 +9587,37 @@ def x84_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean_ci(
         d, ["source"], "n_chars", "doc_id", n_replicates=40,
     )
+
+
+# ---------------------------------------------------------------------------
+# x85 — fuzzy entity matching (entity resolution): supplier-name
+# pairs within 2 Levenshtein edits inside the same nation. Candidate
+# generation is a LOSSLESS length band (edit distance >= |Δlen|, so
+# width-3 buckets with ±1 emission cover every qualifying pair as an
+# equi join); the nation attribute block bounds per-bucket
+# population. The oracle brute-forces within nation — candidate
+# completeness and the integer distance both verified.
+# ---------------------------------------------------------------------------
+
+_X85_ORACLE = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS distance
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
+@register("x85_fuzzy_entity_match", oracle=_X85_ORACLE)
+def x85_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier near-name pairs (ed <= 2) within nation blocks."""
+    from docker_etl_spark.operators.joins import fuzzy_entity_match
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return fuzzy_entity_match(
+        s, id_col="s_suppkey", name_col="s_name", max_distance=2,
+        block_cols=("s_nationkey",),
+    )

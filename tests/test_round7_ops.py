@@ -293,6 +293,25 @@ def test_pq_encode_adc_finds_planted_twin(spark):
         )
 
 
+def test_fuzzy_entity_match_lossless_band(spark):
+    """The length band must be COMPLETE for edit distance: pairs with
+    |Δlen| <= max_distance always share an emitted bucket, including
+    across a bucket boundary; unrelated names don't match."""
+    from docker_etl_spark.operators.joins import fuzzy_entity_match
+
+    rows = [
+        (1, "acme corp"),     # len 9 (bucket 3 at width 3)
+        (2, "acme corps"),    # len 10 (bucket 3) — ed 1
+        (3, "acme cor"),      # len 8 (bucket 2, boundary case) — ed 1 to #1
+        (4, "zzzzzz tools"),
+    ]
+    df = spark.createDataFrame(rows, "eid long, name string")
+    out = fuzzy_entity_match(df, "eid", "name", max_distance=2)
+    got = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 2
+    assert all(4 not in pair for pair in got)
+
+
 def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     """The rank CI must bracket the exact mean on a well-behaved
     sample, and the whole construction must be partitioning-
