@@ -198,3 +198,38 @@ def load_cms_store(spark, path: str) -> DataFrame:
         .groupBy("__row", "__bucket")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def write_histogram_store(
+    daily: DataFrame, path: str, batch_id: int | None = None
+) -> None:
+    """Persist per-unit histogram state (quantile_rollup's ``daily``
+    frame, or any (…, __bkt, n) delta) into the same append-only
+    per-batch store layout as :func:`write_cms_store` — histogram
+    cells also merge by SUM, so deltas never rewrite prior state and
+    redelivery overwrites only its own ``__batch_id`` partition."""
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    with store_writer_lock(path, owner="write_histogram_store"):
+        (
+            daily.withColumn(
+                "__batch_id", F.lit(-1 if batch_id is None else batch_id)
+            )
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+
+def load_histogram_store(
+    spark, path: str, key_cols: Sequence[str]
+) -> DataFrame:
+    """Merged view of a histogram store: per-(key, bucket) sum across
+    batch deltas — bounded by keys x buckets regardless of batch
+    count."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*key_cols, "__bkt")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

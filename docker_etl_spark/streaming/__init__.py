@@ -10,6 +10,7 @@ from docker_etl_spark.streaming.core import (  # noqa: F401
     foreach_batch_with_dead_letter,
     minhash_dedup_stream,
     psi_gate_stream,
+    quantile_rollup_stream,
     streaming_dedupe,
     tumbling_window_agg,
 )

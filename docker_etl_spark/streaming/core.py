@@ -698,3 +698,35 @@ def cms_sketch_stream(
         write_cms_store(sk, store_path, batch_id=batch_id)
 
     return _sink
+
+
+def quantile_rollup_stream(
+    store_path: str,
+    unit_col: str,
+    rollup_col: str,
+    value_col: str,
+    bucket_width: int,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining cumulative per-unit histogram
+    state for quantile rollups — the x80 recipe fed by a stream: each
+    micro-batch lands its (unit, rollup, bucket, n) delta under
+    ``__batch_id=N`` (idempotent dynamic overwrite, lease-guarded);
+    histogram cells merge by sum at READ
+    (:func:`~docker_etl_spark.operators.sketches.load_histogram_store`),
+    and the quantile estimates are recomputed from the merged state —
+    raw values are scanned exactly once, at ingest. Twin-pinned
+    against the one-shot :func:`~docker_etl_spark.operators.sketches.
+    quantile_rollup` daily state in tests/test_round7_ops.py.
+    """
+    from docker_etl_spark.operators.sketches import (
+        quantile_rollup,
+        write_histogram_store,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        daily, _est = quantile_rollup(
+            batch_df, unit_col, rollup_col, value_col, bucket_width
+        )
+        write_histogram_store(daily, store_path, batch_id=batch_id)
+
+    return _sink

@@ -422,6 +422,32 @@ def test_cms_stream_matches_batch(spark, tmp_path):
     )
 
 
+def test_quantile_rollup_stream_matches_batch(spark, tmp_path):
+    """The streaming histogram store (per-batch deltas, merged at
+    read) must equal the one-shot quantile_rollup daily state —
+    including under batch redelivery."""
+    from docker_etl_spark.operators.sketches import (
+        load_histogram_store,
+        quantile_rollup,
+    )
+    from docker_etl_spark.streaming import quantile_rollup_stream
+
+    rows = [(i % 7, "m", float((i * 37) % 1000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "day int, month string, v double")
+    store = str(tmp_path / "hist_store")
+    sink = quantile_rollup_stream(store, "day", "month", "v", bucket_width=100)
+    b0, b1 = df.filter("day < 4"), df.filter("day >= 4")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # redelivery replaces its own partition
+    merged = load_histogram_store(spark, store, ["day", "month"])
+    daily, _ = quantile_rollup(df, "day", "month", "v", bucket_width=100)
+    assert (
+        merged.exceptAll(daily).count() == 0
+        and daily.exceptAll(merged).count() == 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal census: planted payloads pin every decoder/format label
 # ---------------------------------------------------------------------------
