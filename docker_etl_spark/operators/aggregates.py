@@ -294,12 +294,15 @@ def poisson_bootstrap_mean_ci(
             "mean"
         ),
     )
+    # guard both ranks against a short means array (a tiny group can
+    # draw empty replicates; ANSI element_at would throw out-of-bounds)
+    sz = F.size("__means")
+    safe_lo = F.when(sz >= lo, F.element_at("__means", lo))
+    safe_hi = F.when(sz >= 1, F.element_at("__means", F.least(F.lit(hi), sz)))
     return exact.join(reps, gb).select(
         *gb,
         "n_rows",
         "mean",
-        F.element_at("__means", lo).alias("ci_lo"),
-        F.element_at("__means", F.least(F.lit(hi), F.size("__means"))).alias(
-            "ci_hi"
-        ),
+        safe_lo.alias("ci_lo"),
+        safe_hi.alias("ci_hi"),
     )

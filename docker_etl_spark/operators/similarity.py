@@ -1848,7 +1848,8 @@ def ivfpq_topk(
             F.col("__t0"), F.element_at(F.col("pq_code"), 1) + F.lit(1)
         ),
     )
-    id_name = index.columns[0]
+    # the index id column is whatever isn't the cell/code payload
+    id_name = [c for c in index.columns if c not in ("__cell", "pq_code")][0]
     cand = (
         index.join(F.broadcast(qt), "__cell")
         .filter(F.col("__qid") != F.col(id_name))
