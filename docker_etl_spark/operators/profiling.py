@@ -506,3 +506,65 @@ def psi_drift_equidepth(
         F.coalesce(F.col("__b"), F.lit(0)).cast("long").alias("__b"),
     )
     return psi_from_counts(f, group_col, n_buckets, drift_threshold)
+
+
+def cusum_alarm(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    threshold_scaled: int,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided CUSUM change-point detection over a per-period
+    metric series — the LEVEL-SHIFT monitor complementing the PSI
+    family's distribution drift (reference analogue: search-alert's
+    lag-window anomaly checks, generalized to the textbook
+    sequential statistic).
+
+    The textbook recurrence S_t = max(0, S_{t-1} + d_t) is not a
+    window function, but it has a windowable closed form:
+    ``S_t = P_t - min(P_0..P_t)`` where P is the running prefix sum
+    of deviations (the min term includes P_t itself, so S_t >= 0
+    automatically). Deviations are exact scaled integers:
+    d_t = n_periods * x_t - total (i.e. x_t - mean, scaled by
+    n_periods), so the whole statistic replays bit-for-bit and the
+    alarm is an integer compare against ``threshold_scaled`` (in the
+    same n_periods scale).
+
+    Scale shape: the input is already a per-period aggregate (one row
+    per period per group) — the two windows order by time within
+    each group, bounded by the TIME domain, not the data (the x80
+    bucket-window class). The raw-event aggregation upstream is the
+    caller's normal groupBy.
+
+    Output: (group_by..., time_col, value, cusum_scaled, alarm).
+    """
+    gb = list(group_by)
+    w_all = Window.partitionBy(*gb) if gb else Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stats = df.select(
+        *gb,
+        F.col(time_col),
+        F.col(value_col).cast("long").alias("__x"),
+        F.count("*").over(w_all).cast("long").alias("__n"),
+        F.sum(F.col(value_col).cast("long")).over(w_all).alias("__tot"),
+    )
+    dev = F.col("__n") * F.col("__x") - F.col("__tot")
+    with_pref = stats.select(
+        *gb,
+        time_col,
+        F.col("__x").alias("value"),
+        F.sum(dev).over(w_ord).alias("__p"),
+    )
+    run_min = F.min(F.least(F.col("__p"), F.lit(0).cast("long"))).over(w_ord)
+    with_p = with_pref.select(*gb, time_col, "value", "__p", run_min.alias("__m"))
+    cusum = (F.col("__p") - F.col("__m")).cast("bigint")
+    return with_p.select(
+        *gb,
+        time_col,
+        "value",
+        cusum.alias("cusum_scaled"),
+        (cusum >= threshold_scaled).alias("alarm"),
+    )

@@ -9621,3 +9621,70 @@ def x85_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, id_col="s_suppkey", name_col="s_name", max_distance=2,
         block_cols=("s_nationkey",),
     )
+
+
+# ---------------------------------------------------------------------------
+# x86 — CUSUM change-point alarm over daily order counts per
+# priority (the level-shift monitor complementing x62/x68's
+# distribution drift; reference analogue: search-alert's lag-window
+# anomaly checks). The recurrence S_t = max(0, S_{t-1} + d_t) is
+# windowable via S_t = P_t - min(0, running_min(P)) over the prefix
+# sums of exact scaled deviations (d_t = n_days*x_t - total), so the
+# statistic and every alarm replay bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_X86_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT priority, day, n,
+         COUNT(*) OVER (PARTITION BY priority) AS nd,
+         SUM(n) OVER (PARTITION BY priority) AS tot
+  FROM daily
+),
+pref AS (
+  SELECT priority, day, n,
+         SUM(nd * n - tot) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p
+  FROM stats
+),
+run AS (
+  SELECT priority, day, n, p,
+         MIN(least(p, 0)) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS m
+  FROM pref
+)
+SELECT priority, day, n AS value,
+       CAST(p - m AS BIGINT) AS cusum_scaled,
+       (p - m) >= 20000 AS alarm
+FROM run
+"""
+
+
+@register("x86_cusum_changepoint", oracle=_X86_ORACLE)
+def x86_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority CUSUM over 1995 daily order counts."""
+    from docker_etl_spark.operators.profiling import cusum_alarm
+
+    od = F.col("o_orderdate").cast("date")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter((od >= F.lit("1995-01-01")) & (od < F.lit("1996-01-01")))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), od.alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return cusum_alarm(
+        daily, "day", "n", threshold_scaled=20000, group_by=("priority",)
+    )

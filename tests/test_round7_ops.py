@@ -422,6 +422,24 @@ def test_cms_stream_matches_batch(spark, tmp_path):
     )
 
 
+def test_cusum_matches_textbook_recurrence(spark):
+    """The windowed closed form S_t = P_t - min(0, min P_j) must equal
+    the textbook recurrence S_t = max(0, S_{t-1} + d_t) row for row,
+    and the alarm fires after a planted level shift."""
+    from docker_etl_spark.operators.profiling import cusum_alarm
+
+    rows = [(i, 10 if i < 20 else 14) for i in range(30)]
+    df = spark.createDataFrame(rows, "t int, x int")
+    out = cusum_alarm(df, "t", "x", threshold_scaled=200).orderBy("t").collect()
+    n, tot = 30, sum(x for _, x in rows)
+    s, model = 0, []
+    for _t, x in rows:
+        s = max(0, s + (n * x - tot))
+        model.append(s)
+    assert [r.cusum_scaled for r in out] == model
+    assert not out[19].alarm and out[22].alarm  # fires after the shift
+
+
 def test_quantile_rollup_stream_matches_batch(spark, tmp_path):
     """The streaming histogram store (per-batch deltas, merged at
     read) must equal the one-shot quantile_rollup daily state —
