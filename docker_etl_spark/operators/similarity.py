@@ -1754,16 +1754,21 @@ def ivfpq_topk(
     vec_col: str,
     query_id_col: str,
     topk: int = 3,
+    nprobe: int = 1,
     quant_scale: int = 1000,
     max_queries: int | None = 1024,
 ) -> DataFrame:
-    """IVF-PQ search, nprobe=1: each query routes to its nearest
-    coarse cell (argmin over the centroid literals, the Lloyd spec),
-    builds ADC tables against its RESIDUAL in that cell, and scans
-    only that cell's codes — the candidate set shrinks ~n_cells-fold
-    before any per-candidate work, and each survivor costs m table
-    lookups. The cell equi-join replaces pq_adc_topk's cross join:
-    candidates shuffle once on the cell id, queries broadcast.
+    """IVF-PQ search: each query routes to its ``nprobe`` nearest
+    coarse cells (sorted (dist, cid) — argmin ties to the lower cid,
+    the Lloyd spec), builds ADC tables against its RESIDUAL in each
+    probed cell, and scans only those cells' codes — the candidate
+    set shrinks ~n_cells/nprobe-fold before any per-candidate work,
+    and each survivor costs m table lookups. ``nprobe`` is THE
+    recall/cost knob of IVF search: 1 is the cheapest scan (misses
+    neighbors whose cell differs from the query's), n_cells
+    degenerates to the flat ADC scan. The cell equi-join replaces
+    pq_adc_topk's cross join: candidates shuffle once on the cell
+    id, queries (x nprobe rows) broadcast.
 
     Output: (query_id_col, rank, neighbor_id, adc_dist); self-pairs
     excluded. Exact integers end-to-end, lower-id tiebreak.
@@ -1785,7 +1790,8 @@ def ivfpq_topk(
         lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
     )
     q = queries.select(F.col(query_id_col).alias("__qid"), vq.alias("__qv"))
-    # route to the nearest coarse cell (ties -> lower cid)
+    # route to the nprobe nearest coarse cells (ties -> lower cid:
+    # struct sort on (dist, cid) is exactly the Lloyd argmin order)
     cdists = [
         F.aggregate(
             F.zip_with(
@@ -1796,13 +1802,16 @@ def ivfpq_topk(
         )
         for c in coarse
     ]
-    best = F.lit(0)
-    best_d = cdists[0]
-    for j in range(1, len(coarse)):
-        cond = cdists[j] < best_d
-        best = F.when(cond, F.lit(j)).otherwise(best)
-        best_d = F.when(cond, cdists[j]).otherwise(best_d)
-    qcell = q.select("__qid", "__qv", best.alias("__cell"))
+    cellarr = F.array(
+        *[
+            F.struct(cdists[j].alias("d"), F.lit(j).alias("cid"))
+            for j in range(len(coarse))
+        ]
+    )
+    probed = F.slice(F.sort_array(cellarr), 1, min(nprobe, len(coarse)))
+    qcell = q.select(
+        "__qid", "__qv", F.explode(probed).alias("__pc")
+    ).select("__qid", "__qv", F.col("__pc.cid").alias("__cell"))
     cent_of_cell = None
     for j, c in enumerate(coarse):
         lit = _int_array_literal(c)

@@ -9688,3 +9688,113 @@ def x86_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_alarm(
         daily, "day", "n", threshold_scaled=20000, group_by=("priority",)
     )
+
+
+# ---------------------------------------------------------------------------
+# x87 — IVF-PQ with nprobe=2, the recall/cost knob exercised: each
+# query scans its TWO nearest cells (sorted (dist, cid), ties ->
+# lower cid). Identical pipeline to x82 otherwise; the oracle extends
+# x82's replay with a rank <= 2 cell routing per query.
+# ---------------------------------------------------------------------------
+
+_X87_ORACLE = (
+    _kmeans_ctes(_X23_SRC)
+    + """,
+cent2 AS MATERIALIZED (
+  SELECT cid, list(val ORDER BY dim) AS cv FROM (
+    SELECT a.cid, r.i AS dim,
+           CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+    FROM assign2 a CROSS JOIN range(1, 65) r(i)
+    GROUP BY a.cid, r.i
+  ) GROUP BY cid
+),
+cellrank AS MATERIALIZED (
+  SELECT id, v, cid, rn FROM (
+    SELECT q.id, q.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) ASC,
+                      c.cid ASC
+           ) AS rn
+    FROM vq q, cent2 c
+  )
+),
+cellassign AS MATERIALIZED (
+  SELECT id, v, cid AS cell FROM cellrank WHERE rn = 1
+),
+rq AS MATERIALIZED (
+  SELECT a.id,
+         list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
+  FROM cellassign a JOIN cent2 c ON c.cid = a.cell
+)"""
+    + _x81_subspace_ctes(0, 1, 32, src="rq")
+    + _x81_subspace_ctes(1, 33, 64, src="rq")
+    + """,
+qcell AS (SELECT id AS qid, cid AS cell FROM cellrank WHERE id < 3 AND rn <= 2),
+qres AS MATERIALIZED (
+  -- the query residual is taken against EACH probed cell's centroid
+  -- (the FAISS per-cell ADC convention), not only the home cell
+  SELECT q.id AS qid, qc.cell,
+         list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS v
+  FROM vq q JOIN qcell qc ON qc.qid = q.id JOIN cent2 c ON c.cid = qc.cell
+),
+qt0 AS MATERIALIZED (
+  SELECT r.qid, r.cell, pc.cid,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> (r.v[i] - pc.cv[i]) * (r.v[i] - pc.cv[i]))) AS BIGINT) AS d
+  FROM qres r, pcent0 pc
+),
+qt1 AS MATERIALIZED (
+  SELECT r.qid, r.cell, pc.cid,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> (r.v[i + 32] - pc.cv[i]) * (r.v[i + 32] - pc.cv[i]))) AS BIGINT) AS d
+  FROM qres r, pcent1 pc
+),
+cand AS (
+  SELECT qcell.qid, c0.id AS neighbor_id, qt0.d + qt1.d AS adc_dist
+  FROM cellassign ix
+  JOIN qcell ON qcell.cell = ix.cell
+  JOIN code0 c0 ON c0.id = ix.id
+  JOIN code1 c1 ON c1.id = ix.id
+  JOIN qt0 ON qt0.qid = qcell.qid AND qt0.cell = qcell.cell AND qt0.cid = c0.code
+  JOIN qt1 ON qt1.qid = qcell.qid AND qt1.cell = qcell.cell AND qt1.cid = c1.code
+  WHERE ix.id <> qcell.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY adc_dist ASC, neighbor_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
+FROM ranked WHERE rank <= 3
+"""
+)
+
+
+@register("x87_ivfpq_nprobe2", oracle=_X87_ORACLE)
+def x87_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x82's residual IVF-PQ with nprobe=2 (the recall knob)."""
+    from docker_etl_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    index, coarse, books = ivfpq_build(
+        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1,
+    )
+    queries = em.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(
+        queries, index, coarse, books, vec_col="dv",
+        query_id_col="vec_id", topk=3, nprobe=2,
+    )
+    return out.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+    )

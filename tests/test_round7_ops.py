@@ -393,6 +393,13 @@ def test_ivfpq_finds_twin_in_cell_and_prunes_cross_cell(spark):
     assert got[0] == 1                      # twin wins
     assert set(got) <= {1, 2, 3, 4}
     assert 3 not in got and 4 not in got    # other cell pruned away
+    # nprobe = n_cells recovers the pruned candidates (flat-scan limit)
+    out2 = ivfpq_topk(
+        df.filter("vec_id = 0"), index, coarse, books,
+        vec_col="dv", query_id_col="vec_id", topk=4, nprobe=2,
+    ).collect()
+    got2 = [r.neighbor_id for r in sorted(out2, key=lambda r: r.rank)]
+    assert got2[0] == 1 and {3, 4} <= set(got2)
 
 
 def test_cms_stream_matches_batch(spark, tmp_path):
