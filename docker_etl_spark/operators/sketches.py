@@ -189,13 +189,24 @@ def write_cms_store(
         )
 
 
-def load_cms_store(spark, path: str) -> DataFrame:
+def load_cms_store(
+    spark, path: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Merged view of a CMS store: per-cell sum across all batch
     deltas — at most depth*width rows out regardless of batch count
-    (compaction is therefore optional; the merge IS the read)."""
+    (compaction is therefore optional; the merge IS the read).
+
+    ``as_of_batch`` gives TIME TRAVEL for free: deltas are
+    partitioned by ``__batch_id``, so filtering ``<= N`` is partition
+    pruning at the scan (no data pages of later batches are read)
+    and reproduces the sketch exactly as it stood after batch N —
+    the lightweight version of a table format's snapshot read.
+    """
+    df = spark.read.parquet(path)
+    if as_of_batch is not None:
+        df = df.filter(F.col("__batch_id") <= as_of_batch)
     return (
-        spark.read.parquet(path)
-        .groupBy("__row", "__bucket")
+        df.groupBy("__row", "__bucket")
         .agg(F.sum("n").cast("long").alias("n"))
     )
 
@@ -223,13 +234,16 @@ def write_histogram_store(
 
 
 def load_histogram_store(
-    spark, path: str, key_cols: Sequence[str]
+    spark, path: str, key_cols: Sequence[str], as_of_batch: int | None = None
 ) -> DataFrame:
     """Merged view of a histogram store: per-(key, bucket) sum across
     batch deltas — bounded by keys x buckets regardless of batch
-    count."""
+    count. ``as_of_batch`` = partition-pruned snapshot read (see
+    :func:`load_cms_store`)."""
+    df = spark.read.parquet(path)
+    if as_of_batch is not None:
+        df = df.filter(F.col("__batch_id") <= as_of_batch)
     return (
-        spark.read.parquet(path)
-        .groupBy(*key_cols, "__bkt")
+        df.groupBy(*key_cols, "__bkt")
         .agg(F.sum("n").cast("long").alias("n"))
     )

@@ -427,6 +427,16 @@ def test_cms_stream_matches_batch(spark, tmp_path):
         merged.exceptAll(full).count() == 0
         and full.exceptAll(merged).count() == 0
     )
+    # time travel: as-of batch 0 reproduces the sketch as it stood
+    # then, via partition pruning (plan-checked for the prune)
+    asof = load_cms_store(spark, store, as_of_batch=0)
+    b0_only = count_min_sketch(b0, "k", depth=3, width=64)
+    assert (
+        asof.exceptAll(b0_only).count() == 0
+        and b0_only.exceptAll(asof).count() == 0
+    )
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert "__batch_id" in plan  # the filter reaches the partitioned scan
 
 
 def test_cusum_matches_textbook_recurrence(spark):
