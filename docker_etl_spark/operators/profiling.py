@@ -568,3 +568,68 @@ def cusum_alarm(
         cusum.alias("cusum_scaled"),
         (cusum >= threshold_scaled).alias("alarm"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    z_num: int = 6745,
+    z_den: int = 30000,
+) -> DataFrame:
+    """Robust per-period outlier flags via the median absolute
+    deviation — the heavy-tail-safe sibling of mean/std z-scores
+    (one genuine anomaly inflates a standard deviation enough to
+    hide itself; the median and MAD don't move). Flag when
+
+        0.6745 * |x - median| / MAD > 3
+        <=> z_num * |x - median| >= z_den * MAD   (exact integers)
+
+    with 0.6745 the normal-consistency constant, folded with the
+    3-sigma threshold into one integer cross-multiplication — no
+    floating step anywhere, so every flag replays cross-engine.
+
+    Medians are RANK statistics (the ceil(n/2)-th smallest value, no
+    interpolation): med = the k-th smallest value, MAD = the k-th
+    smallest |x - med|. Both come from row_number windows over the
+    per-period aggregate — time-domain-bounded rows per group (the
+    x80/x86 window class), never the raw corpus.
+
+    Output: (group_by..., time_col, value, median, mad, outlier).
+    MAD = 0 (over half the values identical) flags every deviating
+    period — documented behaviour of the estimator, not a bug.
+    """
+    gb = list(group_by)
+    part = Window.partitionBy(*gb) if gb else Window.partitionBy(F.lit(1))
+    base = df.select(
+        *gb, F.col(time_col), F.col(value_col).cast("long").alias("value")
+    )
+    w1 = part.orderBy(F.asc("value"), F.asc(time_col))
+    k = F.ceil(F.count("*").over(part) / 2).cast("long")
+    with_med = base.select(
+        *gb,
+        time_col,
+        "value",
+        F.max(
+            F.when(F.row_number().over(w1) == k, F.col("value"))
+        ).over(part).alias("median"),
+    )
+    dev = F.abs(F.col("value") - F.col("median"))
+    w2 = part.orderBy(F.asc(dev), F.asc(time_col))
+    with_mad = with_med.select(
+        *gb,
+        time_col,
+        "value",
+        "median",
+        F.max(F.when(F.row_number().over(w2) == k, dev)).over(part).alias(
+            "mad"
+        ),
+    )
+    flag = (
+        F.lit(z_num) * F.abs(F.col("value") - F.col("median"))
+        >= F.lit(z_den) * F.col("mad")
+    )
+    return with_mad.select(
+        *gb, time_col, "value", "median", "mad", flag.alias("outlier")
+    )

@@ -9798,3 +9798,69 @@ def x87_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "adc_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# x88 — MAD-based robust outlier flags over daily order counts per
+# priority (the heavy-tail-safe sibling of an01's rule thresholds
+# and x86's CUSUM level shifts: a genuine spike inflates a stddev
+# enough to hide itself; the median/MAD don't move). Medians are
+# rank statistics (ceil(n/2)-th smallest, no interpolation) and the
+# 0.6745-consistency x 3-sigma threshold folds into one integer
+# cross-multiplication — every flag replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_X88_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS value
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1, 2
+),
+withk AS (
+  SELECT *, CAST(ceil(COUNT(*) OVER (PARTITION BY priority) / 2.0) AS BIGINT) AS k,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY value ASC, day ASC) AS rn
+  FROM daily
+),
+med AS (
+  SELECT priority, day, value, k,
+         MAX(CASE WHEN rn = k THEN value END)
+           OVER (PARTITION BY priority) AS median
+  FROM withk
+),
+withd AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY priority ORDER BY abs(value - median) ASC, day ASC
+         ) AS rn2
+  FROM med
+),
+madt AS (
+  SELECT priority, day, value, median,
+         MAX(CASE WHEN rn2 = k THEN abs(value - median) END)
+           OVER (PARTITION BY priority) AS mad
+  FROM withd
+)
+SELECT priority, day, value,
+       CAST(median AS BIGINT) AS median, CAST(mad AS BIGINT) AS mad,
+       6745 * abs(value - median) >= 30000 * mad AS outlier
+FROM madt
+"""
+
+
+@register("x88_mad_outliers", oracle=_X88_ORACLE)
+def x88_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority MAD outlier flags over 1995 daily order counts."""
+    from docker_etl_spark.operators.profiling import mad_outliers
+
+    od = F.col("o_orderdate").cast("date")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter((od >= F.lit("1995-01-01")) & (od < F.lit("1996-01-01")))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), od.alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return mad_outliers(daily, "day", "n", group_by=("priority",))

@@ -439,6 +439,25 @@ def test_cms_stream_matches_batch(spark, tmp_path):
     assert "__batch_id" in plan  # the filter reaches the partitioned scan
 
 
+def test_mad_outliers_robust_to_the_spike_itself(spark):
+    """A single huge spike must be flagged, and must NOT drag the
+    median/MAD enough to unflag itself (the failure mode of
+    mean/stddev z-scores); a flat series flags nothing new."""
+    from docker_etl_spark.operators.profiling import mad_outliers
+
+    rows = [(i, 100 + (i % 5)) for i in range(30)] + [(30, 5000)]
+    df = spark.createDataFrame(rows, "t int, x int")
+    out = {r.t: r for r in mad_outliers(df, "t", "x").collect()}
+    assert out[30].outlier and out[30].median <= 104
+    normal_flags = [t for t in range(30) if out[t].outlier]
+    assert normal_flags == []  # the spike never poisons the estimator
+    # rank-median check vs a Python model
+    import statistics
+    vals = sorted(x for _, x in rows)
+    k = -(-len(vals) // 2)
+    assert out[0].median == vals[k - 1]
+
+
 def test_cusum_matches_textbook_recurrence(spark):
     """The windowed closed form S_t = P_t - min(0, min P_j) must equal
     the textbook recurrence S_t = max(0, S_{t-1} + d_t) row for row,
