@@ -633,3 +633,72 @@ def mad_outliers(
     return with_mad.select(
         *gb, time_col, "value", "median", "mad", flag.alias("outlier")
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Robust per-group trend slope: the Theil–Sen estimator — the
+    MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i), tolerant
+    of ~29% arbitrary outliers where least squares is poisoned by
+    one. Completes the robust-monitoring family (x88 flags point
+    outliers, x86 level shifts; THIS answers "is the metric actually
+    trending, ignoring the junk?").
+
+    Determinism: x is the per-period index (day number), so each
+    slope is ONE IEEE division of exact integers — bit-identical in
+    any engine — and the median is a rank statistic (the
+    ceil(n_pairs/2)-th smallest slope), no interpolation.
+
+    Scale shape: the pairwise self-join is quadratic in PERIODS, not
+    rows — the input contract is a per-period aggregate (the
+    x80/x86/x88 class), so a year of daily points is ~66k pairs per
+    group; the join is a cell-bounded equi-join on the group key and
+    the raw corpus is never touched.
+
+    Output: (group_by..., n_periods, slope_per_period).
+    """
+    gb = list(group_by)
+    base = df.select(
+        *gb,
+        F.col(time_col),
+        F.col(value_col).cast("long").alias("__y"),
+    )
+    part = Window.partitionBy(*gb) if gb else Window.partitionBy(F.lit(1))
+    idx = base.select(
+        *gb,
+        F.row_number().over(part.orderBy(time_col)).cast("long").alias("__x"),
+        "__y",
+    )
+    a = idx.select(
+        *gb, F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = idx.select(
+        *gb, F.col("__x").alias("__xb"), F.col("__y").alias("__yb")
+    )
+    on = gb if gb else None
+    pairs = (
+        (a.join(b, on) if on else a.crossJoin(b))
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            *gb,
+            (
+                (F.col("__yb") - F.col("__ya")).cast("double")
+                / (F.col("__xb") - F.col("__xa")).cast("double")
+            ).alias("__slope"),
+        )
+    )
+    return (
+        pairs.groupBy(*gb)
+        .agg(F.sort_array(F.collect_list("__slope")).alias("__s"))
+        .select(
+            *gb,
+            F.size("__s").cast("long").alias("n_pairs"),
+            F.element_at(
+                "__s", F.ceil(F.size("__s") / 2).cast("int")
+            ).alias("slope_per_period"),
+        )
+    )

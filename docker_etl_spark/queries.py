@@ -9864,3 +9864,57 @@ def x88_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     return mad_outliers(daily, "day", "n", group_by=("priority",))
+
+
+# ---------------------------------------------------------------------------
+# x89 — Theil–Sen robust trend per priority over 1995 daily order
+# counts (median of all pairwise slopes — tolerant of ~29% arbitrary
+# outliers where least squares is poisoned by one; completes the
+# robust-monitoring family with x86/x88). Slopes are one IEEE
+# division of exact integers each; the median is a rank statistic.
+# ---------------------------------------------------------------------------
+
+_X89_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT priority,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY day) AS x,
+         n AS y
+  FROM daily
+),
+pairs AS (
+  SELECT a.priority,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM idx a JOIN idx b ON a.priority = b.priority AND a.x < b.x
+),
+s AS (
+  SELECT priority, list_sort(list(slope)) AS sl FROM pairs GROUP BY priority
+)
+SELECT priority, CAST(len(sl) AS BIGINT) AS n_pairs,
+       sl[CAST(ceil(len(sl) / 2.0) AS BIGINT)] AS slope_per_period
+FROM s
+"""
+
+
+@register("x89_theil_sen_trend", oracle=_X89_ORACLE)
+def x89_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Theil-Sen slope over 1995 daily order counts."""
+    from docker_etl_spark.operators.profiling import theil_sen_trend
+
+    od = F.col("o_orderdate").cast("date")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter((od >= F.lit("1995-01-01")) & (od < F.lit("1996-01-01")))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), od.alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return theil_sen_trend(daily, "day", "n", group_by=("priority",))

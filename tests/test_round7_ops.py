@@ -439,6 +439,22 @@ def test_cms_stream_matches_batch(spark, tmp_path):
     assert "__batch_id" in plan  # the filter reaches the partitioned scan
 
 
+def test_theil_sen_ignores_outliers(spark):
+    """On y = 3x + noise-free data with two wild outliers, the
+    Theil-Sen slope stays exactly 3.0 (the median of pairwise slopes
+    is untouched by a minority of corrupted points); least squares
+    would not."""
+    from docker_etl_spark.operators.profiling import theil_sen_trend
+
+    rows = [(i, 3 * i) for i in range(1, 31)]
+    rows[4] = (5, 100000)   # wild outliers
+    rows[20] = (21, -5000)
+    df = spark.createDataFrame(rows, "t int, y int")
+    out = theil_sen_trend(df, "t", "y").first()
+    assert out.slope_per_period == 3.0
+    assert out.n_pairs == 30 * 29 // 2
+
+
 def test_mad_outliers_robust_to_the_spike_itself(spark):
     """A single huge spike must be flagged, and must NOT drag the
     median/MAD enough to unflag itself (the failure mode of
