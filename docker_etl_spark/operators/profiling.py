@@ -681,7 +681,9 @@ def theil_sen_trend(
     )
     on = gb if gb else None
     pairs = (
-        (a.join(b, on) if on else a.crossJoin(b))
+        # ungrouped: one side broadcasts (periods are bounded), so the
+        # pair join is BroadcastNestedLoop, never a CartesianProduct
+        (a.join(b, on) if on else a.crossJoin(F.broadcast(b)))
         .filter(F.col("__xa") < F.col("__xb"))
         .select(
             *gb,
