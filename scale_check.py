@@ -62,6 +62,7 @@ KERNELS = [
     "x77_corpus_diversity_approx",
     "x81_pq_adc_topk",
     "x82_ivfpq_topk",
+    "x87_ivfpq_nprobe2",
     # x78 (directed PageRank) reads orders/lineitem, which the scaled
     # corpus does not replicate; its per-round shape is x75's (already
     # covered) plus one 1-row dangling aggregate.
