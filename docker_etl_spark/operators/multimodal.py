@@ -132,9 +132,13 @@ def _audio_stats(payload: bytes) -> tuple[float, float, int, str]:
     (duration_sec, rms, sample_rate, decoder).
 
     RIFF/WAVE PCM decodes for real via the stdlib ``wave`` module
-    (16/8/32-bit integer PCM; channels averaged); anything else gets
-    the deterministic digest stub — the same per-payload dispatch
-    contract as the image path."""
+    (16/8/32-bit integer PCM; RMS is computed over the raw
+    interleaved sample array — channels are NOT averaged, so for
+    stereo this is the RMS across both channels' samples, which
+    equals the root-mean of the per-channel mean squares).
+    24-bit PCM (sampwidth=3) has no numpy dtype and falls through to
+    the digest stub, as does any non-RIFF payload — the same
+    per-payload dispatch contract as the image path."""
     b = payload or b""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         import io

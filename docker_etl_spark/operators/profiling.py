@@ -584,7 +584,7 @@ def mad_outliers(
     hide itself; the median and MAD don't move). Flag when
 
         0.6745 * |x - median| / MAD > 3
-        <=> z_num * |x - median| >= z_den * MAD   (exact integers)
+        <=> z_num * |x - median| > z_den * MAD   (exact integers)
 
     with 0.6745 the normal-consistency constant, folded with the
     3-sigma threshold into one integer cross-multiplication — no
@@ -597,8 +597,9 @@ def mad_outliers(
     x80/x86 window class), never the raw corpus.
 
     Output: (group_by..., time_col, value, median, mad, outlier).
-    MAD = 0 (over half the values identical) flags every deviating
-    period — documented behaviour of the estimator, not a bug.
+    MAD = 0 (over half the values identical) flags every period
+    with value != median (the strict > keeps value == median rows
+    clean even then) — documented behaviour of the estimator.
     """
     gb = list(group_by)
     part = Window.partitionBy(*gb) if gb else Window.partitionBy(F.lit(1))
@@ -628,7 +629,7 @@ def mad_outliers(
     )
     flag = (
         F.lit(z_num) * F.abs(F.col("value") - F.col("median"))
-        >= F.lit(z_den) * F.col("mad")
+        > F.lit(z_den) * F.col("mad")
     )
     return with_mad.select(
         *gb, time_col, "value", "median", "mad", flag.alias("outlier")

@@ -1733,9 +1733,13 @@ def ivfpq_build(
             else cent_of_cell.when(F.col("__cell") == j, lit)
         )
     resid = F.zip_with(F.col("__vq"), cent_of_cell, lambda x, y: x - y)
+    # Eager: a lazy local checkpoint materializes at first action,
+    # which would land inside pq_train's Lloyd loop and re-evaluate
+    # the residual CASE chain there AND again in pq_encode (house
+    # discipline, cf. corpus.py pack_shards offsets).
     rdf = cdf.select(
         F.col(id_col), F.col("__cell"), resid.alias("__resid")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # PQ codebooks train on residuals; quant_scale=1 (already integers)
     books = pq_train(
         rdf, "__resid", id_col, dim=dim, m=m, k=k,
@@ -1857,8 +1861,17 @@ def ivfpq_topk(
             F.col("__t0"), F.element_at(F.col("pq_code"), 1) + F.lit(1)
         ),
     )
-    # the index id column is whatever isn't the cell/code payload
-    id_name = [c for c in index.columns if c not in ("__cell", "pq_code")][0]
+    # the index id column is whatever isn't the cell/code payload;
+    # refuse ambiguity rather than silently binding a joined-on extra
+    # column as the neighbour id
+    id_cands = [c for c in index.columns if c not in ("__cell", "pq_code")]
+    if len(id_cands) != 1:
+        raise ValueError(
+            "ivfpq_topk: index must have exactly one id column besides "
+            f"__cell/pq_code, found {id_cands}; select the id column "
+            "explicitly before calling"
+        )
+    id_name = id_cands[0]
     cand = (
         index.join(F.broadcast(qt), "__cell")
         .filter(F.col("__qid") != F.col(id_name))

@@ -83,6 +83,12 @@ def cms_estimate(
 
     Output: probes' columns + ``cms_count``.
     """
+    clash = {"n", "__row", "__bucket"} & set(probes.columns)
+    if clash:
+        raise ValueError(
+            "cms_estimate: probe columns collide with sketch-internal "
+            f"names {sorted(clash)}; rename them before probing"
+        )
     p = probes.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row")
     ).withColumn("__bucket", _cms_bucket(F.col(key_col), F.col("__row"), width))

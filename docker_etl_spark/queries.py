@@ -4186,7 +4186,7 @@ a1 AS (
   FROM vq, init
 ),
 assign1 AS (SELECT id, v, cid FROM a1 WHERE rn = 1),
-cent1 AS (
+cent1u AS (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,
            CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
@@ -4194,6 +4194,11 @@ cent1 AS (
     FROM assign1 a CROSS JOIN range(1, 65) r(i)
     GROUP BY a.cid, r.i
   ) GROUP BY cid
+),
+cent1 AS (
+  -- empty cluster keeps its centroid (mirrors kmeans_assign_quantized)
+  SELECT i.cid, COALESCE(u.cv, i.cv) AS cv
+  FROM init i LEFT JOIN cent1u u ON i.cid = u.cid
 ),
 a2 AS (
   SELECT id, v, cid,
@@ -9397,13 +9402,18 @@ def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X82_ORACLE = (
     _kmeans_ctes(_X23_SRC)
     + """,
-cent2 AS MATERIALIZED (
+cent2u AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,
            CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
     FROM assign2 a CROSS JOIN range(1, 65) r(i)
     GROUP BY a.cid, r.i
   ) GROUP BY cid
+),
+cent2 AS MATERIALIZED (
+  -- empty cluster keeps its round-1 centroid (mirrors the kernel)
+  SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
+  FROM cent1 c LEFT JOIN cent2u u ON c.cid = u.cid
 ),
 cellassign AS MATERIALIZED (
   SELECT id, v, cid AS cell FROM (
@@ -9700,13 +9710,18 @@ def x86_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X87_ORACLE = (
     _kmeans_ctes(_X23_SRC)
     + """,
-cent2 AS MATERIALIZED (
+cent2u AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,
            CAST(FLOOR(CAST(SUM(a.v[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
     FROM assign2 a CROSS JOIN range(1, 65) r(i)
     GROUP BY a.cid, r.i
   ) GROUP BY cid
+),
+cent2 AS MATERIALIZED (
+  -- empty cluster keeps its round-1 centroid (mirrors the kernel)
+  SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
+  FROM cent1 c LEFT JOIN cent2u u ON c.cid = u.cid
 ),
 cellrank AS MATERIALIZED (
   SELECT id, v, cid, rn FROM (
@@ -9844,7 +9859,7 @@ madt AS (
 )
 SELECT priority, day, value,
        CAST(median AS BIGINT) AS median, CAST(mad AS BIGINT) AS mad,
-       6745 * abs(value - median) >= 30000 * mad AS outlier
+       6745 * abs(value - median) > 30000 * mad AS outlier
 FROM madt
 """
 
