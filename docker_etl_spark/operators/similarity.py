@@ -523,6 +523,8 @@ def kmeans_fit_quantized(
     k: int,
     iterations: int = 2,
     quant_scale: int = 1000,
+    max_training_points: int | None = None,
+    sample_seed: str = "kmtrain",
 ) -> DataFrame:
     """Train IVF coarse centroids with Lloyd's algorithm, entirely in
     integer arithmetic so every assignment is exact and
@@ -548,7 +550,8 @@ def kmeans_fit_quantized(
     the centroid's dims (training-result fingerprint).
     """
     assigned, centroids = kmeans_assign_quantized(
-        df, vec_col, id_col, k, iterations, quant_scale
+        df, vec_col, id_col, k, iterations, quant_scale,
+        max_training_points=max_training_points, sample_seed=sample_seed,
     )
     return (
         assigned.groupBy(F.col("__cluster").alias("cluster_id"))
@@ -575,28 +578,70 @@ def kmeans_assign_quantized(
     k: int,
     iterations: int = 2,
     quant_scale: int = 1000,
+    max_training_points: int | None = None,
+    sample_seed: str = "kmtrain",
 ) -> tuple[DataFrame, list[list[int]]]:
     """The assignment-level kernel under ``kmeans_fit_quantized``:
     returns (assigned frame with columns (__id, __vq, __cluster),
     final centroids). Same deterministic integer spec; exposed so
     composites (IVF layout, :func:`semantic_dedup`) can reuse the
     per-vector cluster labels without re-deriving them.
+
+    ``max_training_points`` bounds TRAINING cost at a constant
+    (FAISS practice: quantizers train on a sample, encode covers
+    everything): the training set is the ``n`` rows with the
+    smallest md5(id || ':' || sample_seed) digests (ties -> lower
+    id) — a deterministic, engine-replayable draw (any engine that
+    agrees on md5 agrees on the sample; the x21/x26 recipe turned
+    into an exact-count top-n). Init centroids come from the k
+    smallest ids OF THE SAMPLE and every Lloyd round scans only the
+    sample; the returned ``assigned`` frame then labels the FULL
+    input against the FINAL centroids (encode-with-trained-quantizer
+    — note this differs from the unsampled mode, whose labels are
+    the last round's pre-update assignment). Scale shape: the draw
+    plans as TakeOrderedAndProject (map-side partial top-n) up to
+    spark.sql.execution.topKSortFallbackThreshold (default 65536)
+    and a bounded sort-limit beyond; each training round then costs
+    O(n * k * dim) instead of a full-corpus pass.
     """
     vq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
     )
+    sel = df.select(F.col(id_col).alias("__id"), vq.alias("__vq"))
     # Spread BEFORE checkpointing: the checkpoint freezes its
     # partitioning, and every Lloyd round's distance/argmin fold (the
     # CPU-heavy interpreted-HOF part) runs map-side on exactly those
     # partitions — a single-file scan would otherwise pin the whole
     # training loop to 1-2 cores.
-    base = _spread(df.select(F.col(id_col).alias("__id"), vq.alias("__vq")))
-    base = base.localCheckpoint(eager=True)
+    if max_training_points is None:
+        base = _spread(sel).localCheckpoint(eager=True)
+        train = base
+    else:
+        hkey = F.md5(
+            F.concat(
+                F.col("__id").cast("string"), F.lit(":" + sample_seed)
+            )
+        )
+        drawn = sel.orderBy(hkey.asc(), F.col("__id").asc()).limit(
+            int(max_training_points)
+        )
+        # Spread by SAMPLE size, not session parallelism: ~64 rows
+        # per partition keeps the Lloyd rounds parallel for big
+        # samples without paying 32 near-empty partitions' scheduling
+        # latency per round when the sample is small.
+        n_parts = max(
+            1,
+            min(
+                df.sparkSession.sparkContext.defaultParallelism,
+                int(max_training_points) // 64,
+            ),
+        )
+        train = drawn.repartition(n_parts).localCheckpoint(eager=True)
 
     # Init: k smallest ids' vectors, pulled as plan literals (k rows).
     init_rows = (
-        base.orderBy("__id").limit(k).select("__id", "__vq").collect()
+        train.orderBy("__id").limit(k).select("__id", "__vq").collect()
     )
     centroids = [
         list(r["__vq"]) for r in sorted(init_rows, key=lambda r: r["__id"])
@@ -627,7 +672,7 @@ def kmeans_assign_quantized(
             cond = dists[j] < best_d
             best = F.when(cond, F.lit(j)).otherwise(best)
             best_d = F.when(cond, dists[j]).otherwise(best_d)
-        assigned = base.withColumn("__cluster", best)
+        assigned = train.withColumn("__cluster", best)
         new_rows = (
             assigned.groupBy("__cluster")
             .agg(
@@ -651,6 +696,13 @@ def kmeans_assign_quantized(
             else centroids[j]  # empty cluster keeps its centroid
             for j in range(k)
         ]
+    if max_training_points is not None:
+        # Label the FULL input against the final centroids. Lazy: a
+        # caller that only wants the centroids (pq_train) never pays
+        # this pass — Catalyst prunes the unused argmin column.
+        assigned = _spread(sel).withColumn(
+            "__cluster", _pq_argmin(F.col("__vq"), centroids)
+        )
     assert assigned is not None
     return assigned, centroids
 
@@ -1498,6 +1550,8 @@ def pq_train(
     k: int = 16,
     iterations: int = 1,
     quant_scale: int = 1000,
+    max_training_points: int | None = None,
+    sample_seed: str = "pqtrain",
 ) -> list[list[list[int]]]:
     """Train product-quantization codebooks (Jégou et al. 2011): the
     vector splits into ``m`` subspaces of dim/m dims, each trained
@@ -1514,6 +1568,12 @@ def pq_train(
     multiplies per candidate with m table lookups
     (:func:`pq_adc_topk`). Compose with the IVF cell layout
     (:func:`ivf_topk`'s coarse quantizer) to prune candidates first.
+
+    ``max_training_points``: every subspace trains on the SAME
+    deterministic md5-drawn id sample (the draw keys on id + the
+    shared seed, so the sampled id set is identical across
+    subspaces — one sample CTE replays it in an oracle); encoding
+    still covers every vector.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -1525,7 +1585,9 @@ def pq_train(
             F.slice(F.col(vec_col), s * d + 1, d).alias("__sub"),
         )
         _assigned, cents = kmeans_assign_quantized(
-            sub, "__sub", id_col, k, iterations, quant_scale
+            sub, "__sub", id_col, k, iterations, quant_scale,
+            max_training_points=max_training_points,
+            sample_seed=sample_seed,
         )
         books.append(cents)
     return books
@@ -1693,6 +1755,7 @@ def ivfpq_build(
     k: int = 4,
     pq_iterations: int = 1,
     quant_scale: int = 1000,
+    max_training_points: int | None = None,
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
     """Build the full IVF-PQ index layout (Jégou 2011): coarse-assign
     every vector to one of ``n_cells`` integer-Lloyd cells, then
@@ -1712,9 +1775,17 @@ def ivfpq_build(
     map-side argmin); residuals are a zip_with against the assigned
     centroid literal (map-only, via a CASE over n_cells literals);
     PQ training sees only the residual frame. Everything integer.
+
+    ``max_training_points`` bounds BOTH training stages (coarse
+    Lloyd via seed 'kmtrain', PQ Lloyd on residuals via seed
+    'pqtrain') at a constant number of vectors — FAISS practice:
+    quantizers train on a sample, the index still encodes every
+    vector. At 100 TB this turns several full-corpus passes per
+    index build into one bounded draw + one full encode pass.
     """
     assigned, coarse = kmeans_assign_quantized(
-        df, vec_col, id_col, n_cells, coarse_iterations, quant_scale
+        df, vec_col, id_col, n_cells, coarse_iterations, quant_scale,
+        max_training_points=max_training_points,
     )
     # Cells are RE-ASSIGNED against the FINAL centroids (the FAISS
     # convention: encode with the trained quantizer, not the last
@@ -1744,6 +1815,7 @@ def ivfpq_build(
     books = pq_train(
         rdf, "__resid", id_col, dim=dim, m=m, k=k,
         iterations=pq_iterations, quant_scale=1,
+        max_training_points=max_training_points,
     )
     codes = pq_encode(rdf, "__resid", id_col, books, quant_scale=1)
     index = rdf.select(id_col, "__cell").join(codes, id_col)

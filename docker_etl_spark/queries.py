@@ -4164,17 +4164,33 @@ _X23_K = 4
 # assignment) — reused by x23 (training fingerprint) and x37
 # (SemDeDup over the same assignments). ``src_sql`` provides
 # (id, dv: double list) so fixtures can plant near-duplicates.
-def _kmeans_ctes(src_sql: str) -> str:
+def _kmeans_ctes(
+    src_sql: str, sample_n: int | None = None, sample_seed: str = "kmtrain"
+) -> str:
+    # sample_n replays kmeans_assign_quantized's max_training_points:
+    # training rounds (init/a1/a2) see only the sample_n rows with
+    # the smallest md5(id || ':' || seed) digests; consumers of the
+    # final centroids (x82/x87's cellassign) still read full vq.
+    t = "vq"
+    sample = ""
+    if sample_n is not None:
+        t = "vqt"
+        sample = f""",
+vqt AS MATERIALIZED (
+  SELECT id, v FROM vq
+  ORDER BY md5(CAST(id AS VARCHAR) || ':{sample_seed}') ASC, id ASC
+  LIMIT {sample_n}
+)"""
     return f"""
 WITH src AS ({src_sql}),
 vq AS (
   SELECT id,
          list_transform(dv, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v
   FROM src
-),
+){sample},
 init AS (
   SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
-  FROM vq ORDER BY id LIMIT 4
+  FROM {t} ORDER BY id LIMIT 4
 ),
 a1 AS (
   SELECT id, v, cid,
@@ -4183,7 +4199,7 @@ a1 AS (
            ORDER BY list_sum(list_transform(range(1, 65),
                     i -> (v[i] - cv[i]) * (v[i] - cv[i]))) ASC, cid ASC
          ) AS rn
-  FROM vq, init
+  FROM {t}, init
 ),
 assign1 AS (SELECT id, v, cid FROM a1 WHERE rn = 1),
 cent1u AS (
@@ -4207,7 +4223,7 @@ a2 AS (
            ORDER BY list_sum(list_transform(range(1, 65),
                     i -> (v[i] - cv[i]) * (v[i] - cv[i]))) ASC, cid ASC
          ) AS rn
-  FROM vq, cent1
+  FROM {t}, cent1
 ),
 assign2 AS (SELECT id, v, cid FROM a2 WHERE rn = 1)"""
 
@@ -9268,17 +9284,46 @@ def x80_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _x81_subspace_ctes(s: int, lo: int, hi: int, src: str = "vq") -> str:
+def _pq_sample_cte(src: str, n: int, seed: str = "pqtrain") -> str:
+    """The shared PQ training-sample id set — pq_train draws one
+    md5-keyed sample per INPUT FRAME (same seed for every subspace,
+    so the id set is identical across them); emit this once and pass
+    ``train_ids='pqt'`` to each subspace's CTEs."""
+    return f""",
+pqt AS MATERIALIZED (
+  SELECT id FROM {src}
+  ORDER BY md5(CAST(id AS VARCHAR) || ':{seed}') ASC, id ASC
+  LIMIT {n}
+)"""
+
+
+def _x81_subspace_ctes(
+    s: int,
+    lo: int,
+    hi: int,
+    src: str = "vq",
+    train_ids: str | None = None,
+) -> str:
     """Per-subspace training + encoding CTEs: init -> one assignment
     round -> floor-mean centroids (init fallback) -> codes. ``src``
     must expose (id, v: bigint list); x81 trains on quantized
-    vectors, x82 on IVF residuals."""
+    vectors, x82 on IVF residuals. ``train_ids`` (a CTE name from
+    :func:`_pq_sample_cte`) restricts TRAINING rows to the sampled
+    ids — encoding (code{s}) always covers the full frame."""
     nd = hi - lo + 1
+    t = f"sub{s}"
+    sample = ""
+    if train_ids is not None:
+        t = f"sub{s}t"
+        sample = f""",
+sub{s}t AS MATERIALIZED (
+  SELECT id, sv FROM sub{s} WHERE id IN (SELECT id FROM {train_ids})
+)"""
     return f""",
-sub{s} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS sv FROM {src}),
+sub{s} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS sv FROM {src}){sample},
 init{s} AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, sv AS cv
-  FROM sub{s} ORDER BY id LIMIT 4
+  FROM {t} ORDER BY id LIMIT 4
 ),
 sa{s} AS MATERIALIZED (
   SELECT id, sv, cid,
@@ -9287,7 +9332,7 @@ sa{s} AS MATERIALIZED (
            ORDER BY list_sum(list_transform(range(1, {nd + 1}),
                     i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cid ASC
          ) AS rn
-  FROM sub{s}, init{s}
+  FROM {t}, init{s}
 ),
 centu{s} AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
@@ -9333,8 +9378,9 @@ vq AS MATERIALIZED (
   FROM vq_src
 )"""
     .replace("vq_src", "src")
-    + _x81_subspace_ctes(0, 1, 32)
-    + _x81_subspace_ctes(1, 33, 64)
+    + _pq_sample_cte("vq", 128)
+    + _x81_subspace_ctes(0, 1, 32, train_ids="pqt")
+    + _x81_subspace_ctes(1, 33, 64, train_ids="pqt")
     + """,
 cand AS (
   SELECT t0.qid, c0.id AS neighbor_id, t0.d + t1.d AS adc_dist
@@ -9371,7 +9417,10 @@ def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
     )
-    books = pq_train(em, "dv", "vec_id", dim=64, m=2, k=4, iterations=1)
+    books = pq_train(
+        em, "dv", "vec_id", dim=64, m=2, k=4, iterations=1,
+        max_training_points=128,
+    )
     codes = pq_encode(em, "dv", "vec_id", books)
     queries = em.filter(F.col("vec_id") < 3)
     out = pq_adc_topk(
@@ -9400,7 +9449,7 @@ def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _X82_ORACLE = (
-    _kmeans_ctes(_X23_SRC)
+    _kmeans_ctes(_X23_SRC, sample_n=128)
     + """,
 cent2u AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
@@ -9432,8 +9481,9 @@ rq AS MATERIALIZED (
          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
   FROM cellassign a JOIN cent2 c ON c.cid = a.cell
 )"""
-    + _x81_subspace_ctes(0, 1, 32, src="rq")
-    + _x81_subspace_ctes(1, 33, 64, src="rq")
+    + _pq_sample_cte("rq", 128)
+    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
+    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
     + """,
 qcell AS (SELECT id AS qid, cell FROM cellassign WHERE id < 3),
 cand AS (
@@ -9471,7 +9521,7 @@ def x82_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index, coarse, books = ivfpq_build(
         em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
-        m=2, k=4, pq_iterations=1,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
     )
     queries = em.filter(F.col("vec_id") < 3)
     out = ivfpq_topk(
@@ -9708,7 +9758,7 @@ def x86_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _X87_ORACLE = (
-    _kmeans_ctes(_X23_SRC)
+    _kmeans_ctes(_X23_SRC, sample_n=128)
     + """,
 cent2u AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
@@ -9743,8 +9793,9 @@ rq AS MATERIALIZED (
          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
   FROM cellassign a JOIN cent2 c ON c.cid = a.cell
 )"""
-    + _x81_subspace_ctes(0, 1, 32, src="rq")
-    + _x81_subspace_ctes(1, 33, 64, src="rq")
+    + _pq_sample_cte("rq", 128)
+    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
+    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
     + """,
 qcell AS (SELECT id AS qid, cid AS cell FROM cellrank WHERE id < 3 AND rn <= 2),
 qres AS MATERIALIZED (
@@ -9800,7 +9851,7 @@ def x87_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index, coarse, books = ivfpq_build(
         em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
-        m=2, k=4, pq_iterations=1,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
     )
     queries = em.filter(F.col("vec_id") < 3)
     out = ivfpq_topk(

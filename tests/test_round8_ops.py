@@ -42,6 +42,81 @@ def test_ivfpq_topk_rejects_ambiguous_index_columns(spark):
         )
 
 
+# ---------------------------------------------------------------------------
+# Sample-trained quantizers (max_training_points)
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark, n=200, dim=8):
+    rows = [
+        (i, [float((i * 7 + d * 13) % 23) / 3.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, dv array<double>")
+
+
+def test_kmeans_training_sample_is_the_md5_topn_draw(spark):
+    """max_training_points trains on exactly the n smallest
+    md5(id || ':seed') digests: centroids must equal an unsampled
+    fit over that id set filtered out by hand."""
+    import hashlib
+
+    from docker_etl_spark.operators.similarity import (
+        kmeans_assign_quantized,
+    )
+
+    df = _toy_vectors(spark)
+    ids = list(range(200))
+    drawn = sorted(
+        ids, key=lambda i: (hashlib.md5(f"{i}:kmtrain".encode()).hexdigest(), i)
+    )[:32]
+    _, cents_sampled = kmeans_assign_quantized(
+        df, "dv", "vec_id", k=3, iterations=2, max_training_points=32
+    )
+    sub = df.filter(F.col("vec_id").isin(drawn))
+    _, cents_manual = kmeans_assign_quantized(
+        sub, "dv", "vec_id", k=3, iterations=2
+    )
+    assert cents_sampled == cents_manual
+
+
+def test_kmeans_sampled_mode_labels_the_full_input(spark):
+    """The sample bounds TRAINING only: the returned frame labels
+    every input row, against the FINAL centroids."""
+    from docker_etl_spark.operators.similarity import (
+        _pq_argmin,
+        kmeans_assign_quantized,
+    )
+
+    df = _toy_vectors(spark)
+    assigned, cents = kmeans_assign_quantized(
+        df, "dv", "vec_id", k=3, iterations=2, max_training_points=32
+    )
+    rows = assigned.collect()
+    assert len(rows) == 200
+    # spot-check: labels are the argmin against the final centroids
+    relabeled = (
+        assigned.withColumn("__re", _pq_argmin(F.col("__vq"), cents))
+        .filter(F.col("__cluster") != F.col("__re"))
+        .count()
+    )
+    assert relabeled == 0
+
+
+def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
+    """Oversampling (n >= N) must degrade to the unsampled
+    codebooks (same init, same rounds, every row in the sample)."""
+    from docker_etl_spark.operators.similarity import pq_train
+
+    df = _toy_vectors(spark, n=60)
+    full = pq_train(df, "dv", "vec_id", dim=8, m=2, k=4, iterations=1)
+    oversampled = pq_train(
+        df, "dv", "vec_id", dim=8, m=2, k=4, iterations=1,
+        max_training_points=10_000,
+    )
+    assert full == oversampled
+
+
 def test_cms_estimate_rejects_reserved_probe_columns(spark):
     from docker_etl_spark.operators.sketches import (
         cms_estimate,
