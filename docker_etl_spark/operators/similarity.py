@@ -1616,6 +1616,22 @@ def _pq_argmin(slice_q: Column, book: list[list[int]]) -> Column:
     return best
 
 
+def _pq_codes(vq_col: Column, codebooks: list[list[list[int]]]) -> Column:
+    """The m-int PQ code of an ALREADY-QUANTIZED vector column: per
+    subspace, argmin over the codebook of integer squared L2 on the
+    slice (ties -> lower cid)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    return F.array(
+        *[
+            _pq_argmin(F.slice(vq_col, s * d + 1, d), codebooks[s]).cast(
+                "int"
+            )
+            for s in range(m)
+        ]
+    )
+
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
@@ -1628,19 +1644,13 @@ def pq_encode(
     literals (m*k centroid arrays), every row pays m*k slice
     distances once — no join, no shuffle.
     """
-    m = len(codebooks)
-    d = len(codebooks[0][0])
     vq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
     )
     base = df.select(F.col(id_col), vq.alias("__vq"))
-    codes = [
-        _pq_argmin(F.slice(F.col("__vq"), s * d + 1, d), codebooks[s])
-        for s in range(m)
-    ]
     return base.select(
-        F.col(id_col), F.array(*[c.cast("int") for c in codes]).alias("pq_code")
+        F.col(id_col), _pq_codes(F.col("__vq"), codebooks).alias("pq_code")
     )
 
 
@@ -1817,8 +1827,13 @@ def ivfpq_build(
         iterations=pq_iterations, quant_scale=1,
         max_training_points=max_training_points,
     )
-    codes = pq_encode(rdf, "__resid", id_col, books, quant_scale=1)
-    index = rdf.select(id_col, "__cell").join(codes, id_col)
+    # Cell and codes both derive from the checkpointed residual frame
+    # — one map-side select, no join.
+    index = rdf.select(
+        F.col(id_col),
+        F.col("__cell"),
+        _pq_codes(F.col("__resid"), books).alias("pq_code"),
+    )
     return index, coarse, books
 
 
@@ -1833,6 +1848,7 @@ def ivfpq_topk(
     nprobe: int = 1,
     quant_scale: int = 1000,
     max_queries: int | None = 1024,
+    prune_index_partitions: bool = False,
 ) -> DataFrame:
     """IVF-PQ search: each query routes to its ``nprobe`` nearest
     coarse cells (sorted (dist, cid) — argmin ties to the lower cid,
@@ -1848,6 +1864,13 @@ def ivfpq_topk(
 
     Output: (query_id_col, rank, neighbor_id, adc_dist); self-pairs
     excluded. Exact integers end-to-end, lower-id tiebreak.
+
+    ``prune_index_partitions``: collect the distinct probed cell ids
+    (bounded by n_cells, the library-collect class) and filter the
+    index with a STATIC IN on ``__cell`` — against a
+    :func:`write_ivfpq_store` layout (partitionBy ``__cell``) this
+    pushes PartitionFilters into the scan, so only the probed cells'
+    directories are read at all.
     """
     from pyspark.sql import Window
 
@@ -1888,6 +1911,12 @@ def ivfpq_topk(
     qcell = q.select(
         "__qid", "__qv", F.explode(probed).alias("__pc")
     ).select("__qid", "__qv", F.col("__pc.cid").alias("__cell"))
+    if prune_index_partitions:
+        probed_cells = sorted(
+            r["__cell"]
+            for r in qcell.select("__cell").distinct().collect()
+        )
+        index = index.filter(F.col("__cell").isin(probed_cells))
     cent_of_cell = None
     for j, c in enumerate(coarse):
         lit = _int_array_literal(c)
@@ -1966,3 +1995,194 @@ def ivfpq_topk(
             "adc_dist",
         )
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Encode vectors against ALREADY-TRAINED IVF-PQ quantizers →
+    (id_col, __cell, pq_code) — the no-retraining half of the index
+    lifecycle (:func:`ivfpq_append` uses it to ingest new batches
+    against a stored index's quantizers; reference analogue: the
+    persist-and-merge ledger pattern, etl/user_reports_aggregate.py:17).
+
+    One map-only pass: quantize → coarse argmin (cell) → residual
+    against the cell centroid (a CASE over n_cells literals) →
+    per-subspace code argmin. No shuffle, no join, no driver state
+    beyond the quantizer literals.
+    """
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
+    )
+    base = df.select(F.col(id_col), vq.alias("__vq"))
+    cdf = base.select(
+        F.col(id_col),
+        F.col("__vq"),
+        _pq_argmin(F.col("__vq"), coarse).alias("__cell"),
+    )
+    cent_of_cell = None
+    for j, c in enumerate(coarse):
+        lit = _int_array_literal(c)
+        cent_of_cell = (
+            F.when(F.col("__cell") == j, lit)
+            if cent_of_cell is None
+            else cent_of_cell.when(F.col("__cell") == j, lit)
+        )
+    resid = F.zip_with(F.col("__vq"), cent_of_cell, lambda x, y: x - y)
+    # Bind the residual behind its own projection: _pq_codes slices
+    # it m times and interpreted HOF lambdas have no CSE.
+    rdf = cdf.select(F.col(id_col), F.col("__cell"), resid.alias("__resid"))
+    return rdf.select(
+        F.col(id_col),
+        F.col("__cell"),
+        _pq_codes(F.col("__resid"), codebooks).alias("pq_code"),
+    )
+
+
+def write_ivfpq_store(
+    index: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    path: str,
+    quant_scale: int = 1000,
+    batch_id: int | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF-PQ index in its 100 TB layout: codes under
+    ``{path}/codes`` partitioned by (``__cell``, ``__batch_id``) —
+    probe-side cell pruning is directory pruning, and each ingest
+    batch owns its own leaf partitions — plus a small quantizer
+    sidecar under ``{path}/quantizer`` (coarse centroids + PQ
+    codebooks + meta as k·dim integer rows, the bounded driver
+    state, so later batches encode WITHOUT retraining).
+
+    Delivery discipline: per-write dynamic partition overwrite. The
+    (cell, batch) partitions a batch writes are a DETERMINISTIC
+    function of its rows (cell = argmin against stored centroids),
+    so a redelivery touches a superset of any crashed partial
+    attempt's partitions — leftovers cannot survive. Writer-lease-
+    guarded like every store mutation.
+    """
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    spark = index.sparkSession
+    qrows = [
+        ("meta", 0, 0, [len(coarse), len(codebooks), len(codebooks[0]),
+                        len(codebooks[0][0]), quant_scale])
+    ]
+    qrows += [("coarse", 0, cid, list(c)) for cid, c in enumerate(coarse)]
+    qrows += [
+        ("codebook", s, cid, list(c))
+        for s, book in enumerate(codebooks)
+        for cid, c in enumerate(book)
+    ]
+    quant = spark.createDataFrame(
+        qrows, "part string, idx0 int, idx1 int, vals array<bigint>"
+    )
+    with store_writer_lock(path, owner="write_ivfpq_store"):
+        (
+            index.select(
+                F.col(id_col),
+                F.col("pq_code"),
+                F.col("__cell"),
+                F.lit(-1 if batch_id is None else batch_id).alias(
+                    "__batch_id"
+                ),
+            )
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__cell", "__batch_id")
+            .parquet(path + "/codes")
+        )
+        quant.coalesce(1).write.mode("overwrite").parquet(path + "/quantizer")
+
+
+def load_ivfpq_store(
+    spark,
+    path: str,
+    as_of_batch: int | None = None,
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]], dict]:
+    """Reload a :func:`write_ivfpq_store` index →
+    (index frame (id, __cell, pq_code), coarse, codebooks, meta).
+
+    The quantizer sidecar is a bounded collect (n_cells·dim +
+    m·k·(dim/m) integer rows); the codes frame is the lazily-scanned
+    store — cell pruning happens at probe time
+    (``ivfpq_topk(..., prune_index_partitions=True)``), and
+    ``as_of_batch`` is the partition-pruned snapshot read
+    (``__batch_id <= N``, the load_cms_store convention).
+    """
+    q = spark.read.parquet(path + "/quantizer").collect()
+    meta_row = next(r for r in q if r["part"] == "meta")
+    n_cells, m, k, d, quant_scale = (int(x) for x in meta_row["vals"])
+    coarse_rows = {r["idx1"]: list(r["vals"]) for r in q if r["part"] == "coarse"}
+    coarse = [coarse_rows[j] for j in range(n_cells)]
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        by_cid = {
+            r["idx1"]: list(r["vals"])
+            for r in q
+            if r["part"] == "codebook" and r["idx0"] == s
+        }
+        books.append([by_cid[c] for c in range(k)])
+    meta = {
+        "n_cells": n_cells,
+        "m": m,
+        "k": k,
+        "subspace_dim": d,
+        "quant_scale": quant_scale,
+    }
+    codes = spark.read.parquet(path + "/codes")
+    if as_of_batch is not None:
+        codes = codes.filter(F.col("__batch_id") <= as_of_batch)
+    id_name = [
+        c for c in codes.columns
+        if c not in ("__cell", "pq_code", "__batch_id")
+    ]
+    index = codes.select(*id_name, "__cell", "pq_code")
+    return index, coarse, books, meta
+
+
+def ivfpq_append(
+    new_vecs: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    batch_id: int,
+) -> None:
+    """Ingest a new vector batch into a stored IVF-PQ index: encode
+    against the STORED quantizers (no retraining — coarse cells and
+    codebooks stay fixed, the FAISS add-after-train contract) and
+    write the codes as this batch's ``__batch_id`` delta. A 100 TB
+    pipeline thus pays one map-only encode pass per batch instead of
+    rebuilding cells and codebooks; redelivery of the same batch
+    overwrites exactly its own partitions (see
+    :func:`write_ivfpq_store`).
+    """
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    spark = new_vecs.sparkSession
+    _idx, coarse, books, meta = load_ivfpq_store(spark, path)
+    enc = ivfpq_encode(
+        new_vecs, vec_col, id_col, coarse, books,
+        quant_scale=meta["quant_scale"],
+    )
+    with store_writer_lock(path, owner="ivfpq_append"):
+        (
+            enc.select(
+                F.col(id_col),
+                F.col("pq_code"),
+                F.col("__cell"),
+                F.lit(batch_id).alias("__batch_id"),
+            )
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__cell", "__batch_id")
+            .parquet(path + "/codes")
+        )

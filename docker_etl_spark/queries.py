@@ -4165,19 +4165,24 @@ _X23_K = 4
 # (SemDeDup over the same assignments). ``src_sql`` provides
 # (id, dv: double list) so fixtures can plant near-duplicates.
 def _kmeans_ctes(
-    src_sql: str, sample_n: int | None = None, sample_seed: str = "kmtrain"
+    src_sql: str,
+    sample_n: int | None = None,
+    sample_seed: str = "kmtrain",
+    sample_where: str = "",
 ) -> str:
     # sample_n replays kmeans_assign_quantized's max_training_points:
     # training rounds (init/a1/a2) see only the sample_n rows with
     # the smallest md5(id || ':' || seed) digests; consumers of the
     # final centroids (x82/x87's cellassign) still read full vq.
+    # sample_where further restricts the draw POOL (x91: the index
+    # was built — and therefore trained — on the even-id batch only).
     t = "vq"
     sample = ""
     if sample_n is not None:
         t = "vqt"
         sample = f""",
 vqt AS MATERIALIZED (
-  SELECT id, v FROM vq
+  SELECT id, v FROM vq {sample_where}
   ORDER BY md5(CAST(id AS VARCHAR) || ':{sample_seed}') ASC, id ASC
   LIMIT {sample_n}
 )"""
@@ -9448,9 +9453,11 @@ def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every stage bit-for-bit.
 # ---------------------------------------------------------------------------
 
-_X82_ORACLE = (
-    _kmeans_ctes(_X23_SRC, sample_n=128)
-    + """,
+# The middle (coarse-centroid finalize -> full-corpus cell assignment
+# -> residuals) and tail (nprobe=1 routing + cell-pruned ADC scan) of
+# the x82 chain, shared with x91 (which restricts the training-sample
+# POOLS to the even-id build batch but probes the full index).
+_X82_MID = """,
 cent2u AS MATERIALIZED (
   SELECT cid, list(val ORDER BY dim) AS cv FROM (
     SELECT a.cid, r.i AS dim,
@@ -9481,10 +9488,8 @@ rq AS MATERIALIZED (
          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
   FROM cellassign a JOIN cent2 c ON c.cid = a.cell
 )"""
-    + _pq_sample_cte("rq", 128)
-    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
-    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
-    + """,
+
+_X82_TAIL = """,
 qcell AS (SELECT id AS qid, cell FROM cellassign WHERE id < 3),
 cand AS (
   SELECT t0.qid, c0.id AS neighbor_id, t0.d + t1.d AS adc_dist
@@ -9506,6 +9511,14 @@ ranked AS (
 SELECT qid AS query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
 FROM ranked WHERE rank <= 3
 """
+
+_X82_ORACLE = (
+    _kmeans_ctes(_X23_SRC, sample_n=128)
+    + _X82_MID
+    + _pq_sample_cte("rq", 128)
+    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
+    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
+    + _X82_TAIL
 )
 
 
@@ -9984,3 +9997,125 @@ def x89_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     return theil_sen_trend(daily, "day", "n", group_by=("priority",))
+
+
+# ---------------------------------------------------------------------------
+# x90 — the IVF-PQ index through its STORE lifecycle: build (sampled
+# training), persist the (codes, quantizer-sidecar) layout, reload,
+# and probe the RELOADED index with static cell partition pruning.
+# Semantically identical to x82 — the oracle IS x82's chain — so a
+# hash match proves the persist/reload roundtrip is lossless and the
+# pruned probe reads enough. The store write is the registry's only
+# disk-mutating query family (s05/s07 precedent); the path is
+# pid-keyed tmp.
+# ---------------------------------------------------------------------------
+
+
+def _x90_store_path(tag: str, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"docker_etl_spark_{tag}_{os.getpid()}_{h}"
+    )
+
+
+@register("x90_ivfpq_store_probe", oracle=_X82_ORACLE)
+def x90_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x82's index built once, persisted, reloaded, probed pruned."""
+    import shutil
+
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    index, coarse, books = ivfpq_build(
+        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
+    )
+    path = _x90_store_path("x90", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivfpq_store(index, coarse, books, path, id_col="vec_id")
+    idx2, coarse2, books2, meta = load_ivfpq_store(spark, path)
+    queries = em.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(
+        queries, idx2, coarse2, books2, vec_col="dv",
+        query_id_col="vec_id", topk=3, prune_index_partitions=True,
+    )
+    return out.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x91 — incremental index ingest: build+persist the index from the
+# EVEN-id batch (quantizers train on a sample of evens only), then
+# ivfpq_append the ODD-id batch — encoded against the STORED
+# quantizers, no retraining — and probe the merged store. The oracle
+# replays the split exactly: the coarse and PQ training-sample pools
+# restrict to even ids, while cell assignment, encoding and the ADC
+# scan cover every vector — a 100 TB pipeline's per-batch cost is one
+# map-only encode pass, and this query pins that contract bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_X91_ORACLE = (
+    _kmeans_ctes(_X23_SRC, sample_n=128, sample_where="WHERE id % 2 = 0")
+    + _X82_MID
+    + _pq_sample_cte("rq WHERE id % 2 = 0", 128)
+    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
+    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
+    + _X82_TAIL
+)
+
+
+@register("x91_ivfpq_append_probe", oracle=_X91_ORACLE)
+def x91_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-id build + odd-id append, probed as one merged index."""
+    import shutil
+
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_topk,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    evens = em.filter(F.col("vec_id") % 2 == 0)
+    odds = em.filter(F.col("vec_id") % 2 == 1)
+    index, coarse, books = ivfpq_build(
+        evens, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
+    )
+    path = _x90_store_path("x91", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivfpq_store(index, coarse, books, path, batch_id=0, id_col="vec_id")
+    ivfpq_append(odds, path, "dv", "vec_id", batch_id=1)
+    idx2, coarse2, books2, meta = load_ivfpq_store(spark, path)
+    queries = em.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(
+        queries, idx2, coarse2, books2, vec_col="dv",
+        query_id_col="vec_id", topk=3, prune_index_partitions=True,
+    )
+    return out.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+    )

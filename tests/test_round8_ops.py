@@ -117,6 +117,99 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+# ---------------------------------------------------------------------------
+# Persistable IVF-PQ store
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_store_roundtrip_and_partition_pruning(spark, tmp_path):
+    """Persist -> reload -> probe must equal the one-shot probe
+    bit-for-bit, and the pruned probe must push a static IN on
+    __cell into the store scan (PartitionFilters)."""
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    df = _toy_vectors(spark, n=120, dim=8)
+    index, coarse, books = ivfpq_build(
+        df, "dv", "vec_id", dim=8, n_cells=3, m=2, k=3,
+        max_training_points=40,
+    )
+    queries = df.filter(F.col("vec_id") < 2)
+    direct = ivfpq_topk(
+        queries, index, coarse, books, vec_col="dv",
+        query_id_col="vec_id", topk=3,
+    ).collect()
+
+    path = str(tmp_path / "ivfpq_store")
+    write_ivfpq_store(index, coarse, books, path, id_col="vec_id")
+    idx2, coarse2, books2, meta = load_ivfpq_store(spark, path)
+    assert coarse2 == coarse and books2 == books
+    assert meta["n_cells"] == 3 and meta["m"] == 2 and meta["k"] == 3
+    out = ivfpq_topk(
+        queries, idx2, coarse2, books2, vec_col="dv",
+        query_id_col="vec_id", topk=3, prune_index_partitions=True,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    txt = buf.getvalue()
+    pf_lines = [l for l in txt.splitlines() if "PartitionFilters" in l]
+    assert any("__cell" in l and " IN " in l for l in pf_lines), pf_lines
+
+
+def test_ivfpq_append_encodes_without_retraining_and_is_idempotent(
+    spark, tmp_path
+):
+    """Appended vectors must carry codes equal to ivfpq_encode
+    against the stored quantizers, and redelivering the same batch
+    must leave the store byte-identical (dynamic overwrite of the
+    batch's own partitions)."""
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_encode,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    df = _toy_vectors(spark, n=120, dim=8)
+    first = df.filter(F.col("vec_id") < 60)
+    second = df.filter(F.col("vec_id") >= 60)
+    index, coarse, books = ivfpq_build(
+        first, "dv", "vec_id", dim=8, n_cells=3, m=2, k=3,
+        max_training_points=40,
+    )
+    path = str(tmp_path / "store")
+    write_ivfpq_store(index, coarse, books, path, batch_id=0, id_col="vec_id")
+    ivfpq_append(second, path, "dv", "vec_id", batch_id=1)
+    idx, c2, b2, _meta = load_ivfpq_store(spark, path)
+    assert idx.count() == 120
+    expected = {
+        (r["vec_id"], r["__cell"], tuple(r["pq_code"]))
+        for r in ivfpq_encode(second, "dv", "vec_id", c2, b2).collect()
+    }
+    got = {
+        (r["vec_id"], r["__cell"], tuple(r["pq_code"]))
+        for r in idx.filter(F.col("vec_id") >= 60).collect()
+    }
+    assert got == expected
+    before = sorted(map(tuple, idx.collect()))
+    ivfpq_append(second, path, "dv", "vec_id", batch_id=1)  # redelivery
+    idx_after, *_ = load_ivfpq_store(spark, path)
+    assert sorted(map(tuple, idx_after.collect())) == before
+    # as-of-batch snapshot read: batch 0 only
+    idx_b0, *_ = load_ivfpq_store(spark, path, as_of_batch=0)
+    assert idx_b0.count() == 60
+
+
 def test_cms_estimate_rejects_reserved_probe_columns(spark):
     from docker_etl_spark.operators.sketches import (
         cms_estimate,
