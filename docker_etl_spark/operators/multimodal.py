@@ -194,6 +194,34 @@ def decode_audio_features(
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def decode_video_features(
+    df: DataFrame,
+    content_col: str = "content",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Decode video container metadata → per-clip features
+    (duration, timescale; a real deployment adds codec/fps/keyframe
+    maps from the track boxes). Same mapInPandas shape as the
+    image/audio paths: Arrow batches in, rows 1:1, per-payload
+    decoder dispatch ('mp4-stdlib' for ISO-BMFF with a readable
+    mvhd, 'stub' otherwise) with the census column making stub rates
+    visible per corpus."""
+    in_cols = df.columns
+    out_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    out_schema += ", duration_sec double, timescale bigint, decoder string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_video_stats(b) for b in pdf[content_col]]
+            out = pdf.copy()
+            out["duration_sec"] = [s[0] for s in stats]
+            out["timescale"] = [s[1] for s in stats]
+            out["decoder"] = [s[2] for s in stats]
+            yield out[in_cols + ["duration_sec", "timescale", "decoder"]]
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def resize_images(
     df: DataFrame,
     target_w: int,
@@ -262,6 +290,78 @@ def resize_images(
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def _video_stats(payload: bytes) -> tuple[float, int, str]:
+    """Best-capability video metadata of one payload →
+    (duration_sec, timescale, decoder).
+
+    ISO-BMFF (MP4/MOV) parses for real with a ~40-line stdlib box
+    walk: top-level boxes are (uint32 size, 4-byte type); ``moov``'s
+    child ``mvhd`` carries (timescale, duration) at fixed offsets
+    (version 0: 32-bit, version 1: 64-bit after 64-bit timestamps
+    — both handled). Anything else — or any malformed/truncated
+    box — gets the deterministic digest stub, the same per-payload
+    dispatch contract as the image/audio paths. Frame DECODE stays
+    stubbed (no codec libs in this container); this is container
+    metadata, the part a scheduler/sampler actually needs.
+    """
+    b = payload or b""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        try:
+            moov = _find_box(b, 0, len(b), b"moov")
+            mvhd = (
+                _find_box(b, moov[0], moov[1], b"mvhd")
+                if moov is not None
+                else None
+            )
+            if mvhd is not None:
+                off, end = mvhd
+                version = b[off]
+                if version == 0 and end - off >= 20:
+                    ts = int.from_bytes(b[off + 12 : off + 16], "big")
+                    dur = int.from_bytes(b[off + 16 : off + 20], "big")
+                elif version == 1 and end - off >= 32:
+                    ts = int.from_bytes(b[off + 20 : off + 24], "big")
+                    dur = int.from_bytes(b[off + 24 : off + 32], "big")
+                else:
+                    ts = 0
+                    dur = 0
+                if ts > 0:
+                    return dur / ts, ts, "mp4-stdlib"
+        except Exception:
+            pass
+    digest = hashlib.sha256(b).digest()
+    dur = int.from_bytes(digest[12:16], "big") / 2**32 * 7200.0
+    return dur, 0, "stub"
+
+
+def _find_box(
+    b: bytes, start: int, end: int, want: bytes
+) -> tuple[int, int] | None:
+    """Walk one level of ISO-BMFF boxes in ``b[start:end]``: each box
+    is (uint32 size, 4-byte type, payload), size==1 → 64-bit
+    largesize follows, size==0 → box runs to ``end``. Returns the
+    PAYLOAD span (offset, end) of the first ``want`` box, or None
+    when absent or malformed."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return None
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return None
+        if btype == want:
+            return (pos + hdr, pos + size)
+        pos += size
+    return None
+
+
 def sample_video_frames(
     df: DataFrame,
     every_n: int = 30,
@@ -301,8 +401,9 @@ def detect_media_format(content: Column | str) -> Column:
     Python stage. Formats whose signatures cannot appear in valid
     UTF-8 (png's \\x89, jpeg's \\xFF\\xD8) are exact; gif's and
     wav's ASCII signatures are detected byte-for-byte (wav checks
-    BOTH the RIFF prefix and the WAVE form type at offset 8). Returns
-    'png' | 'jpeg' | 'gif' | 'wav' | 'unknown'."""
+    BOTH the RIFF prefix and the WAVE form type at offset 8; mp4/ISO-
+    BMFF checks the 'ftyp' box type at offset 4). Returns
+    'png' | 'jpeg' | 'gif' | 'wav' | 'mp4' | 'unknown'."""
     c = F.col(content) if isinstance(content, str) else content
     b8 = F.hex(F.substring(c, 1, 8))
     wave_tag = F.hex(F.substring(c, 9, 4))
@@ -317,6 +418,7 @@ def detect_media_format(content: Column | str) -> Column:
             (F.substring(b8, 1, 8) == "52494646") & (wave_tag == "57415645"),
             F.lit("wav"),
         )
+        .when(F.hex(F.substring(c, 5, 4)) == "66747970", F.lit("mp4"))
         .otherwise(F.lit("unknown"))
     )
 

@@ -2592,6 +2592,7 @@ WITH v AS (
                      AS BIGINT)
                 * CAST(16 ** (8 - i) AS BIGINT))) AS iv,
          CASE WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' THEN 'gif'
+              WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
               ELSE 'unknown' END AS format
   FROM documents
 )
@@ -9410,7 +9411,8 @@ FROM ranked WHERE rank <= 3
 
 @register("x81_pq_adc_topk", oracle=_X81_ORACLE)
 def x81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codebooks (m=2, k=4, 1 Lloyd round) over the embeddings;
+    """PQ codebooks (m=2, k=4, 1 Lloyd round, 128-point md5-sample
+    training) over the embeddings;
     vectors encoded to 2-int codes; ADC top-3 for queries vec_id<3."""
     from docker_etl_spark.operators.similarity import (
         pq_adc_topk,
@@ -9525,7 +9527,8 @@ _X82_ORACLE = (
 @register("x82_ivfpq_topk", oracle=_X82_ORACLE)
 def x82_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ over the embeddings (4 cells x 2 Lloyd rounds;
-    PQ m=2/k=4/1 round on residuals); nprobe=1 ADC top-3, vec_id<3."""
+    PQ m=2/k=4/1 round on residuals; both quantizers train on the
+    128-point md5 sample); nprobe=1 ADC top-3, vec_id<3."""
     from docker_etl_spark.operators.similarity import ivfpq_build, ivfpq_topk
 
     em = load_table(spark, sf_dir, "embeddings").select(

@@ -60,10 +60,15 @@ KERNELS = [
     "x74_weighted_sample_per_group",
     "x76_fuzzy_decontamination_fast",
     "x77_corpus_diversity_approx",
+    "x79_count_min_frequencies",
+    "x80_quantile_rollup",
     "x81_pq_adc_topk",
     "x82_ivfpq_topk",
+    "x83_shard_packing",
     "x87_ivfpq_nprobe2",
-    # x78 (directed PageRank) reads orders/lineitem, which the scaled
+    "x90_ivfpq_store_probe",
+    "x91_ivfpq_append_probe",
+    # x78 (directed PageRank) reads lineitem too, which the scaled
     # corpus does not replicate; its per-round shape is x75's (already
     # covered) plus one 1-row dangling aggregate.
 ]
@@ -111,6 +116,18 @@ def build_scaled(spark, out_dir: str, replicas: int) -> None:
     )
     scaled_emb.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+    # orders: key-shifted replicas (x80's quantile daily-state input;
+    # the date/priority profile repeats per replica, which is exactly
+    # the shape a longer-history corpus would have)
+    orders = load_table(spark, BASE, "orders")
+    max_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    scaled_orders = orders.crossJoin(F.broadcast(r)).select(
+        (F.col("o_orderkey") + F.col("rep") * max_ord).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    scaled_orders.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
     )
 
 

@@ -202,6 +202,85 @@ def probe_salted_twins(spark) -> dict:
     }
 
 
+def probe_fuzzy_er_skew(spark) -> dict:
+    """x85's natural adversary: a HOT LENGTH BAND (many same-length
+    vendor-code names — here 60% of entities are 10-char codes). The
+    length band alone would go quadratic inside that band; the
+    attribute block (``block_cols``) is the shipped guard that bounds
+    per-band population. Reported: zipf/uniform wall ratio WITH
+    blocks (the shipped x85 config — should stay ~1) and, on a small
+    corpus, the UNBLOCKED ratio (what the guard prevents)."""
+    from docker_etl_spark.operators.joins import fuzzy_entity_match
+
+    def corpus(n: int, hot: bool, n_blocks: int):
+        code = F.concat(
+            F.lit("S"),
+            F.lpad(F.pmod(F.col("id"), F.lit(9000)).cast("string"), 9, "0"),
+        )
+        spread = F.concat(
+            F.lit("supplier-name-"),
+            F.col("id").cast("string"),
+            F.repeat(F.lit("x"), F.pmod("id", F.lit(12)).cast("int")),
+        )
+        name = F.when(F.pmod("id", F.lit(10)) < 6, code).otherwise(
+            spread
+        ) if hot else spread
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("ent_id"),
+                F.pmod("id", F.lit(n_blocks)).alias("blk"),
+                name.alias("name"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def wall(df, blocks):
+        t0 = time.monotonic()
+        fuzzy_entity_match(
+            df, id_col="ent_id", name_col="name", max_distance=2,
+            block_cols=blocks,
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    def candidate_mass(df, blocks) -> int:
+        """Exact equi-join candidate-pair count of the length-band
+        recipe (a-side band vs bb emitted into band ±1) — the
+        quadratic mass itself, independent of per-pair verify cost."""
+        width = 3  # max_distance + 1
+        b = df.select(
+            *blocks, (F.length("name").cast("long") / width).cast("long").alias("__band")
+        ).groupBy(*blocks, "__band").agg(F.count("*").alias("n"))
+        bb = b.select(
+            *blocks,
+            F.explode(
+                F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
+            ).alias("__band"),
+            F.col("n").alias("m"),
+        ).groupBy(*blocks, "__band").agg(F.sum("m").alias("m"))
+        return (
+            b.join(bb, [*blocks, "__band"])
+            .agg(F.sum(F.col("n") * F.col("m")))
+            .collect()[0][0]
+        )
+
+    n, n_blocks = 20_000, 100
+    uni, zipf = corpus(n, False, n_blocks), corpus(n, True, n_blocks)
+    t_u = min(wall(uni, ("blk",)) for _ in range(2))
+    t_z = min(wall(zipf, ("blk",)) for _ in range(2))
+    return {
+        "blocked_n20k": {
+            "sec_uniform": round(t_u, 2),
+            "sec_zipf": round(t_z, 2),
+            "ratio": round(t_z / t_u, 2),
+        },
+        "zipf_candidate_pairs": {
+            "unblocked": int(candidate_mass(zipf, ())),
+            "blocked": int(candidate_mass(zipf, ("blk",))),
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=4)
@@ -244,6 +323,9 @@ def main() -> None:
     if only is None or "salted_twins" in only:
         results["salted_twins"] = probe_salted_twins(spark)
         print("salted_twins", results["salted_twins"], flush=True)
+    if only is None or "fuzzy_er" in only:
+        results["fuzzy_er"] = probe_fuzzy_er_skew(spark)
+        print("fuzzy_er", results["fuzzy_er"], flush=True)
     results["replicas"] = args.replicas
     print(json.dumps(results))
 

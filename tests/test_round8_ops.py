@@ -118,6 +118,79 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
 
 
 # ---------------------------------------------------------------------------
+# MP4 video metadata (ISO-BMFF mvhd parse)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _mp4(timescale: int, duration: int, version: int = 0) -> bytes:
+    if version == 0:
+        mvhd = (
+            b"\x00\x00\x00\x00"  # version 0 + flags
+            + (0).to_bytes(4, "big") * 2  # ctime, mtime
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 80
+        )
+    else:
+        mvhd = (
+            b"\x01\x00\x00\x00"
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(b"moov", _box(b"mvhd", mvhd))
+        + _box(b"mdat", b"\x00" * 32)
+    )
+
+
+def test_video_stats_parses_planted_mvhd_both_versions():
+    from docker_etl_spark.operators.multimodal import _video_stats
+
+    for ver in (0, 1):
+        dur, ts, dec = _video_stats(_mp4(90_000, 270_000, version=ver))
+        assert (dur, ts, dec) == (3.0, 90_000, "mp4-stdlib"), (ver, dur)
+    # truncated moov -> stub, deterministically
+    broken = _mp4(90_000, 270_000)[:20]
+    d1 = _video_stats(broken)
+    d2 = _video_stats(broken)
+    assert d1 == d2 and d1[2] == "stub"
+    assert _video_stats(b"plain text payload")[2] == "stub"
+
+
+def test_decode_video_features_and_mp4_census_label(spark):
+    from docker_etl_spark.operators.multimodal import (
+        decode_video_features,
+        detect_media_format,
+    )
+
+    rows = [
+        (1, _mp4(600, 1800), None),
+        (2, b"not a video at all", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, content binary, meta struct<kind string, "
+        "width int, height int, n_frames int, sample_rate int>",
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_video_features(df)
+        .withColumn("format", detect_media_format("content"))
+        .collect()
+    }
+    assert out[1]["decoder"] == "mp4-stdlib" and out[1]["format"] == "mp4"
+    assert out[1]["duration_sec"] == 3.0 and out[1]["timescale"] == 600
+    assert out[2]["decoder"] == "stub" and out[2]["format"] == "unknown"
+
+
+# ---------------------------------------------------------------------------
 # Persistable IVF-PQ store
 # ---------------------------------------------------------------------------
 
