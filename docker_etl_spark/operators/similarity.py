@@ -2186,3 +2186,80 @@ def ivfpq_append(
             .partitionBy("__cell", "__batch_id")
             .parquet(path + "/codes")
         )
+
+
+def ivfpq_topk_refined(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    corpus_vecs: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    corpus_id_col: str,
+    topk: int = 3,
+    refine_factor: int = 4,
+    nprobe: int = 1,
+    quant_scale: int = 1000,
+    max_queries: int | None = 1024,
+    prune_index_partitions: bool = False,
+) -> DataFrame:
+    """IVF-PQ search with an EXACT re-rank (the FAISS IVFPQR refine
+    step): ADC distances are lossy (residuals quantized to m
+    codewords), so production ANN takes the top ``topk *
+    refine_factor`` ADC candidates and re-ranks them by exact
+    distance on the ORIGINAL vectors — recall of the exact metric at
+    a cost bounded by the candidate budget, not the corpus.
+
+    Scale shape: the ADC stage is :func:`ivfpq_topk` (cell-pruned
+    scan); the refine stage joins the BOUNDED candidate set
+    (|Q|·topk·refine_factor rows, broadcast) against the vector
+    table — one equi-join that fetches exactly the candidate rows —
+    then one window per query. The corpus is never scanned at full
+    dimensionality beyond those fetches.
+
+    Output: (query_id_col, rank, neighbor_id, exact_dist) — exact
+    integer squared L2 on the quantized grid, ties -> lower id.
+    """
+    from pyspark.sql import Window
+
+    cand = ivfpq_topk(
+        queries, index, coarse, codebooks, vec_col, query_id_col,
+        topk=topk * refine_factor, nprobe=nprobe,
+        quant_scale=quant_scale, max_queries=max_queries,
+        prune_index_partitions=prune_index_partitions,
+    ).select(F.col(query_id_col).alias("__qid"), "neighbor_id")
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint")
+    )
+    nv = corpus_vecs.select(
+        F.col(corpus_id_col).alias("neighbor_id"),
+        quant(F.col(vec_col)).alias("__nv"),
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("__qid"), quant(F.col(vec_col)).alias("__qv")
+    )
+    fetched = nv.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(qv), "__qid"
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = fetched.select(
+        "__qid", "neighbor_id", exact.cast("bigint").alias("exact_dist")
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "rank",
+            "neighbor_id",
+            "exact_dist",
+        )
+    )

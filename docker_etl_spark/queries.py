@@ -9509,19 +9509,32 @@ ranked AS (
            PARTITION BY qid ORDER BY adc_dist ASC, neighbor_id ASC
          ) AS rank
   FROM cand
-)
+)"""
+
+# the default final projection (x82/x91); x92/x93 swap in a refine /
+# recall-eval suffix over the same `ranked` CTE
+_X82_FINAL = """
 SELECT qid AS query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist
 FROM ranked WHERE rank <= 3
 """
 
-_X82_ORACLE = (
-    _kmeans_ctes(_X23_SRC, sample_n=128)
-    + _X82_MID
-    + _pq_sample_cte("rq", 128)
-    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
-    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
-    + _X82_TAIL
-)
+
+def _ivfpq_chain(suffix: str, coarse_where: str = "", pq_where: str = "") -> str:
+    """The full shared IVF-PQ oracle chain (sampled coarse training ->
+    centroid finalize -> cell assignment -> residual PQ -> nprobe=1
+    routing -> ADC `ranked`), closed by ``suffix``."""
+    return (
+        _kmeans_ctes(_X23_SRC, sample_n=128, sample_where=coarse_where)
+        + _X82_MID
+        + _pq_sample_cte("rq" + ((" " + pq_where) if pq_where else ""), 128)
+        + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
+        + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
+        + _X82_TAIL
+        + suffix
+    )
+
+
+_X82_ORACLE = _ivfpq_chain(_X82_FINAL)
 
 
 @register("x82_ivfpq_topk", oracle=_X82_ORACLE)
@@ -10073,13 +10086,10 @@ def x90_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-only encode pass, and this query pins that contract bit-for-bit.
 # ---------------------------------------------------------------------------
 
-_X91_ORACLE = (
-    _kmeans_ctes(_X23_SRC, sample_n=128, sample_where="WHERE id % 2 = 0")
-    + _X82_MID
-    + _pq_sample_cte("rq WHERE id % 2 = 0", 128)
-    + _x81_subspace_ctes(0, 1, 32, src="rq", train_ids="pqt")
-    + _x81_subspace_ctes(1, 33, 64, src="rq", train_ids="pqt")
-    + _X82_TAIL
+_X91_ORACLE = _ivfpq_chain(
+    _X82_FINAL,
+    coarse_where="WHERE id % 2 = 0",
+    pq_where="WHERE id % 2 = 0",
 )
 
 
@@ -10121,4 +10131,165 @@ def x91_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         "neighbor_id",
         "adc_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x92 — IVF-PQ with the exact-refine re-rank (FAISS IVFPQR): ADC
+# distances are lossy (residuals quantized to m codewords), so the
+# production composition takes the top k·r ADC candidates and
+# re-ranks them by EXACT integer squared L2 on the original
+# (quantized) vectors — recall of the exact metric at a candidate-
+# budget-bounded cost. The oracle extends the shared chain with the
+# refine join over the same `ranked` CTE.
+# ---------------------------------------------------------------------------
+
+_X92_ORACLE = _ivfpq_chain(
+    """
+, refine AS (
+  SELECT r.qid, r.neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i]))) AS BIGINT)
+             AS exact_dist
+  FROM ranked r
+  JOIN vq q ON q.id = r.qid
+  JOIN vq n ON n.id = r.neighbor_id
+  WHERE r.rank <= 12
+),
+rer AS (
+  SELECT qid, neighbor_id, exact_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY exact_dist ASC, neighbor_id ASC
+         ) AS rank
+  FROM refine
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, neighbor_id, exact_dist
+FROM rer WHERE rank <= 3
+"""
+)
+
+
+@register("x92_ivfpq_refined", oracle=_X92_ORACLE)
+def x92_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x82's index; ADC top-12 candidates re-ranked exactly to top-3."""
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk_refined,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    index, coarse, books = ivfpq_build(
+        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
+    )
+    queries = em.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk_refined(
+        queries, index, coarse, books, em, vec_col="dv",
+        query_id_col="vec_id", corpus_id_col="vec_id", topk=3,
+        refine_factor=4,
+    )
+    return out.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "exact_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x93 — IVF-PQ recall eval: recall@3 of the ADC search against the
+# exact integer-L2 ground truth, per query — approximation quality as
+# a regression-testable NUMBER (the x52/x71 pattern applied to the
+# ANN family; any quantizer/codebook/nprobe regression moves it).
+# ---------------------------------------------------------------------------
+
+_X93_ORACLE = _ivfpq_chain(
+    """
+, qids AS (SELECT DISTINCT id AS qid FROM vq WHERE id < 3),
+exact AS (
+  SELECT qid, neighbor_id, ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY d ASC, neighbor_id ASC
+         ) AS rnk
+  FROM (
+    SELECT q.id AS qid, n.id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i]))) AS BIGINT) AS d
+    FROM vq q JOIN vq n ON n.id <> q.id
+    WHERE q.id < 3
+  )
+),
+hits AS (
+  SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ranked r
+  JOIN exact e ON e.qid = r.qid AND e.neighbor_id = r.neighbor_id
+  WHERE r.rank <= 3 AND e.rnk <= 3
+  GROUP BY r.qid
+)
+SELECT q.qid AS query_id,
+       CAST(3 AS BIGINT) AS k,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(h.n_hit, 0) / 3.0 AS recall
+FROM qids q LEFT JOIN hits h ON h.qid = q.qid
+"""
+)
+
+
+@register("x93_ivfpq_recall_eval", oracle=_X93_ORACLE)
+def x93_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of x82's ADC search vs exact ground truth."""
+    from pyspark.sql import Window
+
+    from docker_etl_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    index, coarse, books = ivfpq_build(
+        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
+    )
+    queries = em.filter(F.col("vec_id") < 3)
+    adc = ivfpq_topk(
+        queries, index, coarse, books, vec_col="dv",
+        query_id_col="vec_id", topk=3,
+    ).select(F.col("vec_id").alias("__qid"), "neighbor_id")
+
+    quant = F.transform(
+        "dv", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    qv = queries.select(F.col("vec_id").alias("__qid"), quant.alias("__qv"))
+    nv = em.select(F.col("vec_id").alias("neighbor_id"), quant.alias("__nv"))
+    d = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("__qid").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    exact = (
+        nv.join(F.broadcast(qv), F.col("neighbor_id") != F.col("__qid"))
+        .select("__qid", "neighbor_id", d.alias("__d"))
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= 3)
+        .select("__qid", "neighbor_id")
+    )
+    hits = (
+        adc.join(exact, ["__qid", "neighbor_id"])
+        .groupBy("__qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    qids = queries.select(F.col("vec_id").alias("__qid")).distinct()
+    return (
+        qids.join(hits, "__qid", "left")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.lit(3).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(3.0)
+            ).alias("recall"),
+        )
     )

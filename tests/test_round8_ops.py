@@ -118,6 +118,73 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ exact refine
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_refined_orders_by_exact_distance_and_beats_adc(spark):
+    """The refined top-k must be ordered by exact integer L2 among
+    the ADC candidate set, and its recall of the exact top-k can
+    only be >= the raw ADC top-k's (it re-ranks a superset)."""
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_refined,
+    )
+
+    df = _toy_vectors(spark, n=150, dim=8)
+    index, coarse, books = ivfpq_build(
+        df, "dv", "vec_id", dim=8, n_cells=2, m=2, k=3,
+        max_training_points=50,
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    ref = ivfpq_topk_refined(
+        q, index, coarse, books, df, vec_col="dv", query_id_col="vec_id",
+        corpus_id_col="vec_id", topk=3, refine_factor=4,
+    ).collect()
+    # exact distances recomputed in python on the quantized grid
+    vecs = {
+        r["vec_id"]: [int(x * 1000 // 1) for x in r["dv"]]
+        for r in df.collect()
+    }
+
+    def d(a, b):
+        import math
+
+        return sum(
+            (int(math.floor(x)) - int(math.floor(y))) ** 2
+            for x, y in zip(vecs[a], vecs[b])
+        )
+
+    by_q = {}
+    for r in ref:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        dists = [r["exact_dist"] for r in rows]
+        assert dists == sorted(dists)
+        for r in rows:
+            assert r["exact_dist"] == d(qid, r["neighbor_id"])
+    # recall comparison vs raw ADC
+    adc = ivfpq_topk(
+        q, index, coarse, books, vec_col="dv", query_id_col="vec_id", topk=3
+    ).collect()
+    exact_top = {}
+    for qid in (0, 1):
+        cands = sorted(
+            ((d(qid, n), n) for n in vecs if n != qid)
+        )[:3]
+        exact_top[qid] = {n for _, n in cands}
+    rec_ref = sum(
+        r["neighbor_id"] in exact_top[r["vec_id"]] for r in ref
+    )
+    rec_adc = sum(
+        r["neighbor_id"] in exact_top[r["vec_id"]] for r in adc
+    )
+    assert rec_ref >= rec_adc
+
+
+# ---------------------------------------------------------------------------
 # MP4 video metadata (ISO-BMFF mvhd parse)
 # ---------------------------------------------------------------------------
 
