@@ -8,6 +8,7 @@ from docker_etl_spark.streaming.core import (  # noqa: F401
     embedding_dedup_stream,
     file_stream,
     foreach_batch_with_dead_letter,
+    ivfpq_index_stream,
     minhash_dedup_stream,
     psi_gate_stream,
     quantile_rollup_stream,

@@ -730,3 +730,30 @@ def quantile_rollup_stream(
         write_histogram_store(daily, store_path, batch_id=batch_id)
 
     return _sink
+
+
+def ivfpq_index_stream(
+    store_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink ingesting a vector stream into a persisted
+    IVF-PQ index (:func:`~docker_etl_spark.operators.similarity.
+    write_ivfpq_store` layout): each micro-batch encodes against the
+    STORED quantizers — one map-only pass, no retraining (the FAISS
+    add-after-train contract) — and lands its codes under
+    ``__batch_id=N`` partitions via dynamic overwrite, so redelivery
+    replaces exactly its own partitions (the batch's (cell, batch)
+    partition set is a deterministic function of its rows). The
+    index must have been built and persisted once (the train step);
+    this sink is the ingest half. Probes read the merged store
+    (:func:`load_ivfpq_store`, optionally ``as_of_batch``) with cell
+    partition pruning — per-batch ingest cost and probe cost are
+    both independent of how many batches have landed.
+    """
+    from docker_etl_spark.operators.similarity import ivfpq_append
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_append(batch_df, store_path, vec_col, id_col, batch_id)
+
+    return _sink

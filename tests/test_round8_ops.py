@@ -118,6 +118,44 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming IVF-PQ ingest (twin of ivfpq_append)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_stream_matches_batch_append(spark, tmp_path):
+    """Streaming ingest through the foreachBatch sink must leave the
+    store identical to one batch ivfpq_append of the same rows, and
+    redelivery must not duplicate (idempotent __batch_id overwrite)."""
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_build,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+    from docker_etl_spark.streaming import ivfpq_index_stream
+
+    df = _toy_vectors(spark, n=150, dim=8)
+    base = df.filter(F.col("vec_id") < 50)
+    index, coarse, books = ivfpq_build(
+        base, "dv", "vec_id", dim=8, n_cells=2, m=2, k=3,
+        max_training_points=40,
+    )
+    store = str(tmp_path / "ivfpq_stream_store")
+    write_ivfpq_store(index, coarse, books, store, batch_id=0, id_col="vec_id")
+    sink = ivfpq_index_stream(store, vec_col="dv", id_col="vec_id")
+    b1 = df.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    b2 = df.filter(F.col("vec_id") >= 100)
+    sink(b1, 1)
+    sink(b2, 2)
+    sink(b2, 2)  # redelivery
+    idx, c2, b2books, _ = load_ivfpq_store(spark, store)
+    assert idx.count() == 150
+    assert c2 == coarse and b2books == books
+    # snapshot read as of batch 1 excludes batch 2's rows
+    idx1, *_ = load_ivfpq_store(spark, store, as_of_batch=1)
+    assert idx1.count() == 100
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ exact refine
 # ---------------------------------------------------------------------------
 
