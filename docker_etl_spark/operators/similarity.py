@@ -1574,22 +1574,91 @@ def pq_train(
     shared seed, so the sampled id set is identical across
     subspaces — one sample CTE replays it in an oracle); encoding
     still covers every vector.
+
+    Execution is FUSED across subspaces (bit-identical to m
+    independent :func:`kmeans_assign_quantized` runs, pinned by
+    test): one draw + one checkpoint of the training frame, one
+    k-row init collect serving every subspace, and one aggregation
+    job per Lloyd round — rows explode into (subspace, cluster,
+    slice) and hash-aggregate on (s, cid), so the shuffled state is
+    bounded by partitions·m·k rows however large the training set,
+    and the per-round job count drops from m to 1.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
-    books = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * d + 1, d).alias("__sub"),
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant_scale).cast("bigint"),
+    )
+    sel = df.select(F.col(id_col).alias("__id"), vq.alias("__vq"))
+    if max_training_points is None:
+        train = _spread(sel).localCheckpoint(eager=True)
+    else:
+        hkey = F.md5(
+            F.concat(F.col("__id").cast("string"), F.lit(":" + sample_seed))
         )
-        _assigned, cents = kmeans_assign_quantized(
-            sub, "__sub", id_col, k, iterations, quant_scale,
-            max_training_points=max_training_points,
-            sample_seed=sample_seed,
+        drawn = sel.orderBy(hkey.asc(), F.col("__id").asc()).limit(
+            int(max_training_points)
         )
-        books.append(cents)
+        n_parts = max(
+            1,
+            min(
+                df.sparkSession.sparkContext.defaultParallelism,
+                int(max_training_points) // 64,
+            ),
+        )
+        train = drawn.repartition(n_parts).localCheckpoint(eager=True)
+
+    # one k-row collect serves every subspace's init (k smallest ids
+    # of the training set, sliced per subspace driver-side)
+    init_rows = train.orderBy("__id").limit(k).select("__id", "__vq").collect()
+    full = [
+        list(r["__vq"]) for r in sorted(init_rows, key=lambda r: r["__id"])
+    ]
+    books = [[v[s * d : (s + 1) * d] for v in full] for s in range(m)]
+
+    for _ in range(iterations):
+        # one job: explode each row into its m (subspace, cluster,
+        # slice) assignments, hash-aggregate per-dim sums + counts
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _pq_argmin(
+                        F.slice(F.col("__vq"), s * d + 1, d), books[s]
+                    ).alias("cid"),
+                    F.slice(F.col("__vq"), s * d + 1, d).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        rows = (
+            train.select(F.explode(entries).alias("e"))
+            .select("e.s", "e.cid", "e.sv")
+            .groupBy("s", "cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.floor(
+                        F.sum(F.element_at("sv", j + 1)).cast("double")
+                        / F.count("*")
+                    )
+                    .cast("bigint")
+                    .alias(f"d{j}")
+                    for j in range(d)
+                ],
+            )
+            .collect()
+        )
+        upd = {(r["s"], r["cid"]): [r[f"d{j}"] for j in range(d)] for r in rows}
+        books = [
+            [
+                upd.get((s, cid), books[s][cid])  # empty keeps centroid
+                for cid in range(len(books[s]))
+            ]
+            for s in range(m)
+        ]
     return books
 
 
@@ -2100,7 +2169,14 @@ def write_ivfpq_store(
             .partitionBy("__cell", "__batch_id")
             .parquet(path + "/codes")
         )
-        quant.coalesce(1).write.mode("overwrite").parquet(path + "/quantizer")
+        # repartition(1), NOT coalesce(1): the local-collection parent
+        # has defaultParallelism python partitions, and a coalesced
+        # single task evaluates all of them sequentially through one
+        # python worker (~5 s for 13 rows); the one-step shuffle runs
+        # them in parallel first.
+        quant.repartition(1).write.mode("overwrite").parquet(
+            path + "/quantizer"
+        )
 
 
 def load_ivfpq_store(

@@ -117,6 +117,34 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+@pytest.mark.parametrize("mtp", [None, 32])
+def test_pq_train_fused_matches_per_subspace_kmeans(spark, mtp):
+    """The fused one-job-per-round PQ training must produce codebooks
+    bit-identical to m independent kmeans_assign_quantized runs (the
+    pre-fusion reference shape)."""
+    from docker_etl_spark.operators.similarity import (
+        kmeans_assign_quantized,
+        pq_train,
+    )
+
+    df = _toy_vectors(spark, n=90, dim=8)
+    fused = pq_train(
+        df, "dv", "vec_id", dim=8, m=2, k=3, iterations=2,
+        max_training_points=mtp,
+    )
+    reference = []
+    for s in range(2):
+        sub = df.select(
+            F.col("vec_id"), F.slice(F.col("dv"), s * 4 + 1, 4).alias("__sub")
+        )
+        _a, cents = kmeans_assign_quantized(
+            sub, "__sub", "vec_id", 3, 2,
+            max_training_points=mtp, sample_seed="pqtrain",
+        )
+        reference.append(cents)
+    assert fused == reference
+
+
 # ---------------------------------------------------------------------------
 # Streaming IVF-PQ ingest (twin of ivfpq_append)
 # ---------------------------------------------------------------------------
