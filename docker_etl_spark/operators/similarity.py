@@ -278,6 +278,81 @@ def signlsh_table_buckets(
     )
 
 
+def signlsh_probe_buckets(
+    vec: Column,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+    exact_int: bool = False,
+) -> Column:
+    """Multi-probe sign-LSH bucket keys for a QUERY vector: per
+    table, the home bucket AND the bucket with the single
+    LOWEST-MARGIN bit flipped (the plane whose projection is closest
+    to zero is the most uncertain sign — flipping it probes the
+    neighboring bucket a near-miss neighbor most likely fell into).
+    Multi-probe is LSH's recall/cost knob, the same dial nprobe is
+    for IVF: recall rises without adding tables (no extra corpus
+    hashing or store space — the extra probes are query-side only).
+
+    Ties on |projection| break to the lower plane index; a zero
+    projection has sign-bit 1 (matching ``signlsh_bucket``'s
+    ``>= 0``), so its flip subtracts 2^i. Returns
+    array<struct<tbl:int, bkt:bigint>> of length 2·n_tables,
+    home buckets first per table.
+    """
+    d = dot_int if exact_int else dot
+    entries = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t)
+        rows = quantize_planes(planes) if exact_int else planes
+        projs = [
+            d(
+                vec,
+                _int_array_literal([int(x) for x in r])
+                if exact_int
+                else F.lit(r).cast("array<double>"),
+            )
+            for r in rows
+        ]
+        signs = [
+            F.when(p >= 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for p in projs
+        ]
+        bucket = None
+        for i, s in enumerate(signs):
+            term = s * F.lit(1 << i).cast("bigint")
+            bucket = term if bucket is None else bucket + term
+        # per-plane flip DELTA (what adding it does to the bucket):
+        # +2^i when the bit is 0, -2^i when it is 1
+        flips = F.array(
+            *[
+                F.struct(
+                    F.abs(projs[i]).alias("a"),
+                    F.lit(i).alias("i"),
+                    (
+                        (F.lit(1).cast("bigint") - F.lit(2) * signs[i])
+                        * F.lit(1 << i).cast("bigint")
+                    ).alias("delta"),
+                )
+                for i in range(n_planes)
+            ]
+        )
+        lowest = F.element_at(F.sort_array(flips), 1)
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt"))
+        )
+        entries.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                (bucket + lowest["delta"]).alias("bkt"),
+            )
+        )
+    return F.array(*entries)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -290,6 +365,7 @@ def cosine_topk_lsh(
     vec_col: str = "vec",
     seed: int = 42,
     exact_int: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH.
 
@@ -297,6 +373,12 @@ def cosine_topk_lsh(
     sets; candidates are bucket equi-join matches in any table; exact
     cosine is computed only for candidates. Recall rises with
     n_tables, cost with bucket collision rate (2^-n_planes).
+
+    ``multiprobe``: queries additionally probe, per table, the bucket
+    with their lowest-margin bit flipped
+    (:func:`signlsh_probe_buckets`) — the query-side recall knob that
+    costs no extra corpus hashing or store space, the LSH analogue of
+    IVF's nprobe.
 
     Scale notes: this replaces the brute-force cross join with a
     shuffle on (table, bucket) — the corpus-side work is O(|corpus| ·
@@ -306,16 +388,17 @@ def cosine_topk_lsh(
     int-quantized planes and the cosine is int/sqrt(int·int) — one
     deterministic IEEE op, so results hash-match any other engine.
     """
-    def bucketed(df: DataFrame, idc: str) -> DataFrame:
-        keys = signlsh_table_buckets(
-            F.col(vec_col), dim, n_planes, n_tables, seed, exact_int
-        )
+    def bucketed(df: DataFrame, idc: str, probe: bool = False) -> DataFrame:
+        fn = signlsh_probe_buckets if probe else signlsh_table_buckets
+        keys = fn(F.col(vec_col), dim, n_planes, n_tables, seed, exact_int)
         return _spread(df).select(
             F.col(idc), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(idc, vec_col, "tb.tbl", "tb.bkt")
 
     d = dot_int if exact_int else dot
-    qb = bucketed(queries, query_id).withColumnRenamed(vec_col, "__qv")
+    qb = bucketed(queries, query_id, probe=multiprobe).withColumnRenamed(
+        vec_col, "__qv"
+    )
     cb = bucketed(corpus, corpus_id).withColumnRenamed(vec_col, "__cv")
     cand = (
         qb.join(cb, ["tbl", "bkt"])

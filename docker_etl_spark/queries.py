@@ -10293,3 +10293,101 @@ def x93_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x94 — multi-probe sign-LSH (Lv et al. 2007): queries additionally
+# probe, per table, the bucket with their LOWEST-MARGIN bit flipped —
+# the query-side recall knob that needs no extra corpus hashing or
+# store space, the LSH analogue of IVF's nprobe (x87). Exact-int
+# margins make the probe choice (ties -> lower plane index) and the
+# whole candidate set bit-replayable in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _signlsh_projs_case_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """DuckDB fragment: per (v, tbl) the LIST of quantized-plane
+    projections — the shared input to the home bucket, the margin
+    argmin, and the flipped bucket."""
+    from docker_etl_spark.operators.similarity import (
+        quantize_planes,
+        random_hyperplanes,
+    )
+
+    whens = []
+    for t in range(n_tables):
+        planes = quantize_planes(random_hyperplanes(dim, n_planes, seed + t))
+        rows = ", ".join(
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ([{','.join(map(str, row))}])[i]))"
+            for row in planes
+        )
+        whens.append(f"WHEN {t} THEN [{rows}]")
+    return "CASE tbl " + " ".join(whens) + " END"
+
+
+_X94_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+tabs AS (SELECT unnest(range(0, 4)) AS tbl),
+bk AS (
+  SELECT vec_id, v, tbl, {_signlsh_bucket_case_sql(64, 8, 4, 42)} AS bkt
+  FROM e, tabs
+),
+qp AS (
+  SELECT vec_id, v, tbl, {_signlsh_projs_case_sql(64, 8, 4, 42)} AS projs
+  FROM e, tabs WHERE vec_id < 5
+),
+qb AS (
+  SELECT vec_id, v, tbl, projs,
+         CAST(list_sum(list_transform(range(0, 8),
+              i -> CASE WHEN projs[i + 1] >= 0
+                        THEN CAST(1 << i AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS bkt,
+         list_sort(list_transform(range(0, 8),
+              i -> {{'a': abs(projs[i + 1]), 'i': i}}))[1].i AS fi
+  FROM qp
+),
+qprobe AS (
+  SELECT vec_id, v, tbl, bkt FROM qb
+  UNION ALL
+  SELECT vec_id, v, tbl,
+         bkt + (CAST(1 AS BIGINT) - 2 * (CASE WHEN projs[fi + 1] >= 0 THEN 1 ELSE 0 END))
+               * (CAST(1 AS BIGINT) << fi) AS bkt
+  FROM qb
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+  FROM qprobe q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(qe.v, x -> x * x))
+                       * list_sum(list_transform(ce.v, x -> x * x)) AS DOUBLE)) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.corpus_id
+)
+SELECT query_id, corpus_id, cosine FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) <= 3
+"""
+
+
+@register("x94_ann_lsh_multiprobe", oracle=_X94_ORACLE)
+def x94_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x11's sign-LSH search with one lowest-margin probe per table."""
+    em = load_table(spark, sf_dir, "embeddings")
+    vec = F.expr(_QUANTIZE_SQL.format(src="embedding"))
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), vec.alias("vec")
+    )
+    c = em.select(F.col("vec_id").alias("corpus_id"), vec.alias("vec"))
+    return cosine_topk_lsh(
+        q, c, dim=64, k=3, n_planes=8, n_tables=4, exact_int=True,
+        multiprobe=True,
+    )

@@ -117,6 +117,105 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+# ---------------------------------------------------------------------------
+# Multi-probe sign-LSH
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_flips_the_lowest_margin_bit(spark):
+    """The probe bucket must equal the home bucket with exactly the
+    argmin-|projection| bit flipped (ties -> lower plane index),
+    verified against a python model of the same quantized planes."""
+    from docker_etl_spark.operators.similarity import (
+        quantize_planes,
+        random_hyperplanes,
+        signlsh_probe_buckets,
+    )
+
+    dim, n_planes, n_tables, seed = 6, 5, 3, 42
+    rows = [(i, [float((i * 3 + j) % 7) - 3.0 for j in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vid long, dv array<double>")
+    qdf = df.select(
+        "vid",
+        F.transform("dv", lambda x: F.floor(x * 1000).cast("bigint")).alias("v"),
+    )
+    out = {
+        r["vid"]: list(r["pb"])
+        for r in qdf.select(
+            "vid",
+            signlsh_probe_buckets(
+                F.col("v"), dim, n_planes, n_tables, seed, exact_int=True
+            ).alias("pb"),
+        ).collect()
+    }
+    for vid, dv in rows:
+        v = [int(x * 1000 // 1) if x >= 0 else -int(-x * 1000) for x in dv]
+        v = [int(__import__("math").floor(x * 1000)) for x in dv]
+        got = out[vid]
+        for t in range(n_tables):
+            planes = quantize_planes(random_hyperplanes(dim, n_planes, seed + t))
+            projs = [sum(a * b for a, b in zip(v, p)) for p in planes]
+            bits = [1 if p >= 0 else 0 for p in projs]
+            home = sum(b << i for i, b in enumerate(bits))
+            fi = min(range(n_planes), key=lambda i: (abs(projs[i]), i))
+            flipped = home + (1 - 2 * bits[fi]) * (1 << fi)
+            entry_home, entry_probe = got[2 * t], got[2 * t + 1]
+            assert (entry_home["tbl"], entry_home["bkt"]) == (t, home)
+            assert (entry_probe["tbl"], entry_probe["bkt"]) == (t, flipped)
+
+
+def test_multiprobe_recall_dominates_home_only(spark):
+    """Multi-probe candidates are a superset of home-only candidates,
+    so its recall of the brute-force top-k can only be >=."""
+    from docker_etl_spark.operators.similarity import cosine_topk_lsh
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vid long, dv array<double>")
+    vq = F.transform("dv", lambda x: F.floor(x * 1000).cast("bigint"))
+    q = df.filter(F.col("vid") < 8).select(
+        F.col("vid").alias("query_id"), vq.alias("vec")
+    )
+    c = df.select(F.col("vid").alias("corpus_id"), vq.alias("vec"))
+    kw = dict(dim=16, k=5, n_planes=6, n_tables=2, exact_int=True)
+    home = cosine_topk_lsh(q, c, **kw).collect()
+    probe = cosine_topk_lsh(q, c, multiprobe=True, **kw).collect()
+
+    # brute-force ground truth on the quantized grid
+    import math
+
+    vecs = {i: [math.floor(x * 1000) for x in dv] for i, dv in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = sum(x * x for x in vecs[a])
+        nb = sum(x * x for x in vecs[b])
+        return d / math.sqrt(na * nb)
+
+    def recall(res):
+        hits = 0
+        for qid in range(8):
+            truth = {
+                n for _, n in sorted(
+                    ((cos(qid, n), -n) for n in vecs if n != qid),
+                    reverse=True,
+                )[:5]
+            }
+            truth = {-n for n in truth}
+            hits += sum(
+                1 for r in res
+                if r["query_id"] == qid and r["corpus_id"] in truth
+            )
+        return hits
+
+    assert recall(probe) >= recall(home)
+    assert len(probe) >= len(home)
+
+
 @pytest.mark.parametrize("mtp", [None, 32])
 def test_pq_train_fused_matches_per_subspace_kmeans(spark, mtp):
     """The fused one-job-per-round PQ training must produce codebooks
