@@ -705,3 +705,98 @@ def theil_sen_trend(
             ).alias("slope_per_period"),
         )
     )
+
+
+def seasonal_mad_outliers(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    season_origin: str = "1995-01-01",
+    season_len: int = 7,
+    z_num: int = 6745,
+    z_den: int = 30000,
+) -> DataFrame:
+    """Seasonality-aware robust outliers — :func:`mad_outliers` with
+    a per-season baseline first: a weekly rhythm (Mondays always
+    high) would otherwise either inflate the global MAD until real
+    anomalies hide, or flag every Monday. Season = days since
+    ``season_origin`` mod ``season_len`` (pure integer arithmetic —
+    no calendar/locale functions, so the key is bit-identical in any
+    engine); the per-(group, season) baseline is the rank-statistic
+    median (k-th smallest, k = ceil(n/2), no interpolation), and the
+    MAD flag runs on the RESIDUALS value − season_median with the
+    same strict integer cross-multiplication as the plain monitor.
+
+    Input contract is the x80/x86/x88 class: a per-period aggregate,
+    so every window is bounded by the TIME domain, never the corpus.
+    Output: (group_by..., time_col, value, season, season_median,
+    resid, resid_median, resid_mad, outlier).
+    """
+    gb = list(group_by)
+    base = df.select(
+        *gb,
+        F.col(time_col),
+        F.col(value_col).cast("long").alias("value"),
+        (
+            F.datediff(F.col(time_col), F.lit(season_origin))
+            % F.lit(season_len)
+        ).cast("int").alias("season"),
+    )
+    spart = Window.partitionBy(*gb, "season") if gb else Window.partitionBy(
+        "season"
+    )
+    w1 = spart.orderBy(F.asc("value"), F.asc(time_col))
+    ks = F.ceil(F.count("*").over(spart) / 2).cast("long")
+    with_base = base.select(
+        *gb,
+        time_col,
+        "value",
+        "season",
+        F.max(F.when(F.row_number().over(w1) == ks, F.col("value")))
+        .over(spart)
+        .alias("season_median"),
+    ).withColumn("resid", F.col("value") - F.col("season_median"))
+    part = Window.partitionBy(*gb) if gb else Window.partitionBy(F.lit(1))
+    w2 = part.orderBy(F.asc("resid"), F.asc(time_col))
+    k = F.ceil(F.count("*").over(part) / 2).cast("long")
+    with_med = with_base.select(
+        *gb,
+        time_col,
+        "value",
+        "season",
+        "season_median",
+        "resid",
+        F.max(F.when(F.row_number().over(w2) == k, F.col("resid")))
+        .over(part)
+        .alias("resid_median"),
+    )
+    dev = F.abs(F.col("resid") - F.col("resid_median"))
+    w3 = part.orderBy(F.asc(dev), F.asc(time_col))
+    with_mad = with_med.select(
+        *gb,
+        time_col,
+        "value",
+        "season",
+        "season_median",
+        "resid",
+        "resid_median",
+        F.max(F.when(F.row_number().over(w3) == k, dev)).over(part).alias(
+            "resid_mad"
+        ),
+    )
+    flag = (
+        F.lit(z_num) * F.abs(F.col("resid") - F.col("resid_median"))
+        > F.lit(z_den) * F.col("resid_mad")
+    )
+    return with_mad.select(
+        *gb,
+        time_col,
+        "value",
+        "season",
+        "season_median",
+        "resid",
+        "resid_median",
+        "resid_mad",
+        flag.alias("outlier"),
+    )

@@ -10391,3 +10391,93 @@ def x94_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, c, dim=64, k=3, n_planes=8, n_tables=4, exact_int=True,
         multiprobe=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# x95 — seasonality-aware robust outliers over daily order counts per
+# priority: a weekly rhythm would either inflate the global MAD until
+# real anomalies hide or flag every peak weekday, so x88's monitor
+# first removes a per-(priority, day-of-week) rank-statistic median
+# baseline and flags MAD outliers on the RESIDUALS. Season key is
+# (day − origin) mod 7 — pure integer arithmetic, no calendar/locale
+# functions, bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+_X95_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS value
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1, 2
+),
+seas AS (
+  SELECT *, CAST((day - DATE '1995-01-01') % 7 AS INT) AS season FROM daily
+),
+sk AS (
+  SELECT *, CAST(ceil(COUNT(*) OVER (PARTITION BY priority, season) / 2.0) AS BIGINT) AS ks,
+         ROW_NUMBER() OVER (
+           PARTITION BY priority, season ORDER BY value ASC, day ASC
+         ) AS srn
+  FROM seas
+),
+sbase AS (
+  SELECT priority, day, value, season,
+         MAX(CASE WHEN srn = ks THEN value END)
+           OVER (PARTITION BY priority, season) AS season_median
+  FROM sk
+),
+resids AS (
+  SELECT priority, day, value, season, season_median,
+         value - season_median AS resid
+  FROM sbase
+),
+withk AS (
+  SELECT *, CAST(ceil(COUNT(*) OVER (PARTITION BY priority) / 2.0) AS BIGINT) AS k,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY resid ASC, day ASC) AS rn
+  FROM resids
+),
+med AS (
+  SELECT priority, day, value, season, season_median, resid, k,
+         MAX(CASE WHEN rn = k THEN resid END)
+           OVER (PARTITION BY priority) AS resid_median
+  FROM withk
+),
+withd AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY priority ORDER BY abs(resid - resid_median) ASC, day ASC
+         ) AS rn2
+  FROM med
+),
+madt AS (
+  SELECT priority, day, value, season, season_median, resid, resid_median,
+         MAX(CASE WHEN rn2 = k THEN abs(resid - resid_median) END)
+           OVER (PARTITION BY priority) AS resid_mad
+  FROM withd
+)
+SELECT priority, day, value, season,
+       CAST(season_median AS BIGINT) AS season_median,
+       CAST(resid AS BIGINT) AS resid,
+       CAST(resid_median AS BIGINT) AS resid_median,
+       CAST(resid_mad AS BIGINT) AS resid_mad,
+       6745 * abs(resid - resid_median) > 30000 * resid_mad AS outlier
+FROM madt
+"""
+
+
+@register("x95_seasonal_mad_outliers", oracle=_X95_ORACLE)
+def x95_seasonal_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority weekly-deseasonalized MAD outliers, 1995 dailies."""
+    from docker_etl_spark.operators.profiling import seasonal_mad_outliers
+
+    od = F.col("o_orderdate").cast("date")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter((od >= F.lit("1995-01-01")) & (od < F.lit("1996-01-01")))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), od.alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return seasonal_mad_outliers(daily, "day", "n", group_by=("priority",))

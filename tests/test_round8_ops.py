@@ -117,6 +117,42 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+def test_seasonal_mad_flags_the_anomaly_not_the_rhythm(spark):
+    """A strong weekly rhythm + one genuine anomaly: the plain MAD
+    monitor flags every peak day (the rhythm IS deviation to it);
+    the seasonal monitor flags exactly the anomaly."""
+    import datetime as dt
+
+    from docker_etl_spark.operators.profiling import (
+        mad_outliers,
+        seasonal_mad_outliers,
+    )
+
+    origin = dt.date(1995, 1, 2)  # a Monday; day index 1 in the mod-7 key
+    rows = []
+    for i in range(56):  # 8 weeks
+        day = origin + dt.timedelta(days=i)
+        val = 1000 if i % 7 == 0 else 100  # Mondays spike by design
+        if i == 21:  # one genuine anomaly on a Monday
+            val = 5000
+        rows.append((day, val))
+    df = spark.createDataFrame(rows, "day date, n int")
+    seasonal = {
+        r["day"]: r for r in seasonal_mad_outliers(df, "day", "n").collect()
+    }
+    anomaly_day = origin + dt.timedelta(days=21)
+    assert seasonal[anomaly_day]["outlier"]
+    flagged = [d for d, r in seasonal.items() if r["outlier"]]
+    assert flagged == [anomaly_day]  # rhythm days stay clean
+    # season medians reflect the rhythm, residuals are de-seasonalized
+    assert seasonal[origin]["season_median"] == 1000
+    assert seasonal[origin + dt.timedelta(days=1)]["season_median"] == 100
+    # the plain monitor, by contrast, flags every peak Monday
+    plain = {r["day"]: r for r in mad_outliers(df, "day", "n").collect()}
+    mondays = [origin + dt.timedelta(days=7 * w) for w in range(8)]
+    assert all(plain[d]["outlier"] for d in mondays)
+
+
 # ---------------------------------------------------------------------------
 # Multi-probe sign-LSH
 # ---------------------------------------------------------------------------
