@@ -2422,3 +2422,49 @@ def ivfpq_topk_refined(
             "exact_dist",
         )
     )
+
+
+def compact_ivfpq_store(
+    spark,
+    path: str,
+    up_to_batch: int,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Fold an IVF-PQ store's batch deltas with ``__batch_id <=
+    up_to_batch`` into the base partition (``__batch_id = -1``) and
+    right-size the files — after N streaming appends a cell probe
+    lists N+1 directories and N+1 sets of footers; folding restores
+    one directory per cell below the horizon while appends above it
+    keep landing as deltas.
+
+    Rides :func:`~docker_etl_spark.sources.stores.
+    compact_partitioned_store`'s crash-recovering swap (temp write →
+    backup rename → live rename, with roll-forward/roll-back
+    recovery on entry), and takes the writer lease on the STORE ROOT
+    — the same lock write/append use — so compaction serializes
+    against concurrent ingest.
+
+    Trade (explicit): ``as_of_batch`` snapshot reads remain exact
+    for horizons >= ``up_to_batch``; below it the per-batch
+    granularity is intentionally collapsed into the base — pick the
+    horizon as "older than any snapshot you still replay".
+    """
+    from docker_etl_spark.sources.stores import compact_partitioned_store
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__batch_id",
+            F.when(
+                F.col("__batch_id") <= up_to_batch, F.lit(-1)
+            ).otherwise(F.col("__batch_id")),
+        )
+
+    return compact_partitioned_store(
+        spark,
+        path + "/codes",
+        ("__cell", "__batch_id"),
+        target_rows_per_file=target_rows_per_file,
+        owner="compact_ivfpq_store",
+        transform=fold,
+        lock_path=path,
+    )

@@ -261,6 +261,8 @@ def compact_partitioned_store(
     partition_cols: tuple[str, ...],
     target_rows_per_file: int = 1_000_000,
     owner: str | None = None,
+    transform=None,
+    lock_path: str | None = None,
 ) -> dict:
     """Rewrite a partitioned parquet store into right-sized files,
     PRESERVING the partition directory layout (band=…/, tbl=…/,
@@ -289,6 +291,14 @@ def compact_partitioned_store(
 
     Sizing comes from :func:`parquet_row_count` (footer metadata, no
     scan). Returns {"rows", "files_before", "files_after"}.
+
+    ``transform``: optional DataFrame→DataFrame rewrite applied
+    before the compacted copy is written — delta-folding compactions
+    (e.g. relabeling old ``__batch_id`` partitions into the base)
+    ride the same crash-recovering swap. ``lock_path``: take the
+    writer lease on THIS path instead of ``path`` — callers whose
+    store root differs from the compacted subdirectory (the IVF-PQ
+    codes/ layout) must serialize against writers locking the root.
     """
     local = _local_path(path)
     if local is None:
@@ -298,7 +308,7 @@ def compact_partitioned_store(
         )
     tmp = local.rstrip("/") + ".__compact"
     bak = local.rstrip("/") + ".__bak"
-    with store_writer_lock(path, owner=owner or "compact"):
+    with store_writer_lock(lock_path or path, owner=owner or "compact"):
         if os.path.exists(bak) and not os.path.exists(local):
             # Crash between the two swap renames of a previous run.
             if os.path.exists(os.path.join(tmp, "_SUCCESS")):
@@ -320,6 +330,8 @@ def compact_partitioned_store(
         files_before = parquet_file_count(local) or 0
         rows = parquet_row_count(local)
         df = spark.read.parquet(local)
+        if transform is not None:
+            df = transform(df)
         shutil.rmtree(tmp, ignore_errors=True)
         (
             df.repartition(*[str(c) for c in partition_cols])

@@ -117,6 +117,60 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+def test_compact_ivfpq_store_folds_deltas_and_preserves_reads(
+    spark, tmp_path
+):
+    """Folding deltas <= horizon into the base must leave the merged
+    index and any as-of read at/above the horizon byte-identical,
+    while shrinking the (cell, batch) directory count."""
+    import glob
+
+    from docker_etl_spark.operators.similarity import (
+        compact_ivfpq_store,
+        ivfpq_append,
+        ivfpq_build,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    df = _toy_vectors(spark, n=150, dim=8)
+    base = df.filter(F.col("vec_id") < 50)
+    index, coarse, books = ivfpq_build(
+        base, "dv", "vec_id", dim=8, n_cells=2, m=2, k=3,
+        max_training_points=40,
+    )
+    store = str(tmp_path / "store")
+    write_ivfpq_store(index, coarse, books, store, batch_id=0, id_col="vec_id")
+    ivfpq_append(
+        df.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)),
+        store, "dv", "vec_id", batch_id=1,
+    )
+    ivfpq_append(
+        df.filter(F.col("vec_id") >= 100), store, "dv", "vec_id", batch_id=2,
+    )
+    before_full = sorted(
+        map(tuple, load_ivfpq_store(spark, store)[0].collect())
+    )
+    before_asof1 = sorted(
+        map(tuple, load_ivfpq_store(spark, store, as_of_batch=1)[0].collect())
+    )
+    dirs_before = len(glob.glob(store + "/codes/__cell=*/__batch_id=*"))
+    stats = compact_ivfpq_store(spark, store, up_to_batch=1)
+    dirs_after = len(glob.glob(store + "/codes/__cell=*/__batch_id=*"))
+    assert dirs_after < dirs_before  # batches -1/0/1 folded per cell
+    assert stats["rows"] == 150
+    after_full = sorted(
+        map(tuple, load_ivfpq_store(spark, store)[0].collect())
+    )
+    after_asof1 = sorted(
+        map(tuple, load_ivfpq_store(spark, store, as_of_batch=1)[0].collect())
+    )
+    assert after_full == before_full
+    assert after_asof1 == before_asof1
+    # appends keep working after the swap
+    assert load_ivfpq_store(spark, store)[1] == coarse
+
+
 def test_seasonal_mad_flags_the_anomaly_not_the_rhythm(spark):
     """A strong weekly rhythm + one genuine anomaly: the plain MAD
     monitor flags every peak day (the rhythm IS deviation to it);
