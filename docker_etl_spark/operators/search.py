@@ -1,0 +1,227 @@
+"""Persisted inverted-index search: BM25 top-k over a store.
+
+x25 scores a corpus against query terms in one pass; a retrieval
+stack over 100 TB cannot re-tokenize the corpus per query. This
+module gives the index its store lifecycle (the x45/x90 pattern):
+
+- :func:`build_postings` tokenizes once into (term, doc_id, tf, dl)
+  posting rows plus a 1-row corpus-stats delta;
+- :func:`write_search_index` persists postings under
+  (``__pfx``, ``__batch_id``) partitions — a probe for q query terms
+  prunes the scan to their term-prefix DIRECTORIES — with the
+  mergeable stats deltas beside them;
+- :func:`append_search_index` tokenizes only the new batch (df and
+  corpus stats stay correct because document frequency is derived at
+  probe time from the fetched postings, and stats deltas merge by
+  sum);
+- :func:`search_bm25_topk` fetches exactly the query terms' postings
+  and ranks documents by an EXACT-INTEGER BM25 sum.
+
+Integer BM25 (the cross-engine discipline): with k1 = 5/4 and
+b = 3/4 (exact binary fractions) the saturation term
+
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+multiplied through by 16·sum_dl becomes the bigint ratio
+
+    36·tf·sum_dl / (16·tf·sum_dl + 5·sum_dl + 15·dl·n_docs)
+
+and the Robertson idf quantizes once at the dim edge (the x56/PSI
+recipe): lw = max(0, round(1e6·ln((2N − 2df + 1) / (2df + 1)))) —
+clamped at zero so stopword-grade terms (df > N/2) contribute
+nothing AND every integer division below has non-negative operands
+(Spark's ``div`` truncates, DuckDB's ``//`` floors; they agree only
+away from negatives). The per-term document score
+
+    (lw · 36·tf·sum_dl) div (16·tf·sum_dl + 5·sum_dl + 15·dl·n_docs)
+
+is exact bigint, and the document's score is the exact integer SUM
+of its term scores — no float accumulation anywhere, so rankings
+hash-match any engine. The int64 products cap sum_dl·tf·lw at ~2^63
+(≈ 10-billion-token corpora with the 1e6 quantizer); past that the
+accumulators switch to DECIMAL(38,0), same trade PSI documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BM25 constants as exact fractions: k1 = 5/4, b = 3/4.
+_LN_SCALE = 1_000_000
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+    prefix_len: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Tokenize once → (postings, stats_delta).
+
+    postings: (``__pfx``, term, doc_id-named column, tf, dl) — one
+    row per (document, distinct indexed term); dl is the document's
+    indexed-token count (every posting of a doc carries it, so
+    probes never re-read the corpus). stats_delta: 1 row
+    (n_docs, sum_dl) — mergeable by sum across append batches.
+    """
+    from docker_etl_spark.operators.text_analysis import tokens
+
+    toks = F.filter(
+        tokens(text_col), lambda t: F.length(t) >= min_token_len
+    )
+    docs = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    postings = (
+        docs.select(
+            F.col(id_col), F.col("dl"), F.explode("__toks").alias("term")
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            F.substring("term", 1, prefix_len).alias("__pfx"),
+            "term",
+            F.col(id_col),
+            "tf",
+            "dl",
+        )
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return postings, stats
+
+
+def write_search_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Persist a posting batch + its stats delta. Postings land under
+    (``__pfx``, ``__batch_id``) partitions with per-write dynamic
+    overwrite — term-prefix probes are directory pruning, and a
+    batch's partition set is a deterministic function of its rows,
+    so redelivery covers any crashed partial attempt. Stats deltas
+    land under ``__batch_id`` alone and merge by SUM at read.
+    Writer-lease-guarded like every store mutation."""
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    bid = -1 if batch_id is None else batch_id
+    with store_writer_lock(path, owner="write_search_index"):
+        (
+            postings.withColumn("__batch_id", F.lit(bid))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__pfx", "__batch_id")
+            .parquet(path + "/postings")
+        )
+        (
+            stats.withColumn("__batch_id", F.lit(bid))
+            .repartition(1)
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(path + "/stats")
+        )
+
+
+def append_search_index(
+    new_docs: DataFrame,
+    path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+    prefix_len: int = 2,
+) -> None:
+    """Ingest a new document batch: tokenize ONLY the batch, land its
+    postings + stats delta under ``__batch_id``. Document frequency
+    needs no stored update — probes derive it from the fetched
+    postings, which after any number of appends are exactly the
+    term's corpus-wide postings."""
+    postings, stats = build_postings(
+        new_docs, text_col, id_col, min_token_len, prefix_len
+    )
+    write_search_index(postings, stats, path, batch_id=batch_id)
+
+
+def search_bm25_topk(
+    spark,
+    path: str,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int = 2,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """BM25 top-k over a persisted index: fetch exactly the query
+    terms' postings (static ``__pfx`` IN → PartitionFilters, then a
+    term IN on the pruned scan), derive per-term document frequency
+    from the fetched rows, score with the exact-integer BM25 chain
+    (module docstring) and return the top ``k`` documents.
+
+    Output: (id_col, n_terms, score_scaled, rank) — score_scaled is
+    the exact bigint Σ(lw·sat) at the 1e6 ln quantizer; ties break
+    on the lower document id. ``as_of_batch`` snapshot-reads both
+    postings and stats (partition-pruned), reproducing the ranking
+    as it stood after that batch.
+    """
+    from pyspark.sql import Window
+
+    prefixes = sorted({t[:prefix_len] for t in query_terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes)
+        & F.col("term").isin(list(query_terms))
+    )
+    st = spark.read.parquet(path + "/stats")
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+        st = st.filter(F.col("__batch_id") <= as_of_batch)
+    totals = st.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    j = p.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(totals))
+    n, dfc = F.col("n_docs"), F.col("df")
+    lw = F.greatest(
+        F.round(
+            F.log(
+                (2 * n - 2 * dfc + 1).cast("double")
+                / (2 * dfc + 1).cast("double")
+            )
+            * _LN_SCALE
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    num = lw * 36 * F.col("tf") * F.col("sum_dl")
+    den = (
+        16 * F.col("tf") * F.col("sum_dl")
+        + 5 * F.col("sum_dl")
+        + 15 * F.col("dl") * n
+    )
+    scored = j.select(
+        F.col(id_col), num.alias("__num"), den.alias("__den")
+    ).select(
+        F.col(id_col),
+        # `div` is Spark's integral division — exact on bigints (no
+        # double round-trip); operands are non-negative (lw clamped),
+        # so truncation == floor == DuckDB's `//`.
+        F.expr("__num div __den").cast("long").alias("__ts"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("__ts").cast("long").alias("score_scaled"),
+    )
+    w = Window.orderBy(F.desc("score_scaled"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "n_terms", "score_scaled", "rank")
+    )

@@ -10481,3 +10481,109 @@ def x95_seasonal_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     return seasonal_mad_outliers(daily, "day", "n", group_by=("priority",))
+
+
+# ---------------------------------------------------------------------------
+# x96/x97 — the retrieval stack's STORE lifecycle: x25's BM25 over a
+# PERSISTED inverted index instead of a per-query corpus re-tokenize.
+# x96 builds+persists+reloads+searches; x97 builds the index from the
+# even-doc batch and APPENDS the odd-doc batch (tokenizing only the
+# batch — df derives at probe time from fetched postings, stats
+# deltas merge by sum), then searches the merged store. Both share
+# one oracle: the full-corpus integer-BM25 chain (k1=5/4, b=3/4 as
+# exact fractions; idf quantized once via round(1e6*ln) and clamped
+# at 0 so Spark `div` == DuckDB `//`), so a hash match proves the
+# persist/append lifecycle lossless end-to-end.
+# ---------------------------------------------------------------------------
+
+_X96_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN ('hash', 'join', 'window', 'vector')
+    GROUP BY 1, 2, 3
+),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ts AS (
+    SELECT tf.doc_id,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * tf.tf * s.sum_dl)
+           // (16 * tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * tf.dl * s.n_docs)
+               AS term_score
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+),
+aggd AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score) AS BIGINT) AS score_scaled
+    FROM ts GROUP BY 1
+)
+SELECT doc_id, n_terms, score_scaled,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS INT)
+           AS rank
+FROM aggd
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x96_bm25_index_search", oracle=_X96_ORACLE)
+def x96_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the persisted inverted-index lifecycle."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x96", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    return search_bm25_topk(spark, path, _X25_TERMS, id_col="doc_id", k=10)
+
+
+@register("x97_bm25_index_append", oracle=_X96_ORACLE)
+def x97_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x96's search over an even-doc build + odd-doc append."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(
+        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    path = _x90_store_path("x97", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, batch_id=0)
+    append_search_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, batch_id=1,
+        text_col="text", id_col="doc_id",
+    )
+    return search_bm25_topk(spark, path, _X25_TERMS, id_col="doc_id", k=10)

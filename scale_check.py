@@ -68,6 +68,12 @@ KERNELS = [
     "x87_ivfpq_nprobe2",
     "x90_ivfpq_store_probe",
     "x91_ivfpq_append_probe",
+    "x92_ivfpq_refined",
+    "x93_ivfpq_recall_eval",
+    "x94_ann_lsh_multiprobe",
+    "x95_seasonal_mad_outliers",
+    "x96_bm25_index_search",
+    "x97_bm25_index_append",
     # x78 (directed PageRank) reads lineitem too, which the scaled
     # corpus does not replicate; its per-round shape is x75's (already
     # covered) plus one 1-row dangling aggregate.

@@ -117,6 +117,81 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+# ---------------------------------------------------------------------------
+# Persisted inverted-index search
+# ---------------------------------------------------------------------------
+
+
+def test_search_index_prunes_prefix_partitions_and_is_idempotent(
+    spark, tmp_path
+):
+    """A probe must push a static IN on the term-prefix partition
+    column; append redelivery must not change results; as-of reads
+    reproduce the pre-append ranking."""
+    import contextlib
+    import io
+
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "hash join window hash"),
+        (2, "vector hash index probe"),
+        (3, "window join join window scan"),
+        (4, "totally unrelated words here"),
+        (5, "hash hash hash vector"),
+        (6, "join vector window vector"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    p0, s0 = build_postings(df.filter(F.col("doc_id") <= 3), "text", "doc_id")
+    write_search_index(p0, s0, path, batch_id=0)
+    pre = sorted(
+        map(
+            tuple,
+            search_bm25_topk(
+                spark, path, ("hash", "join"), k=10
+            ).collect(),
+        )
+    )
+    append_search_index(
+        df.filter(F.col("doc_id") > 3), path, batch_id=1,
+        text_col="text", id_col="doc_id",
+    )
+    out = search_bm25_topk(spark, path, ("hash", "join"), k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    assert any("__pfx" in l and " IN " in l for l in pf), pf
+    full = sorted(map(tuple, out.collect()))
+    # doc 4 has no query terms -> absent; all others scored
+    ids = {t[0] for t in full}
+    assert ids == {1, 2, 3, 5, 6}
+    # redelivery of batch 1 changes nothing
+    append_search_index(
+        df.filter(F.col("doc_id") > 3), path, batch_id=1,
+        text_col="text", id_col="doc_id",
+    )
+    assert sorted(
+        map(tuple, search_bm25_topk(spark, path, ("hash", "join"), k=10).collect())
+    ) == full
+    # as-of batch 0 reproduces the pre-append ranking exactly
+    asof = sorted(
+        map(
+            tuple,
+            search_bm25_topk(
+                spark, path, ("hash", "join"), k=10, as_of_batch=0
+            ).collect(),
+        )
+    )
+    assert asof == pre
+
+
 def test_compact_ivfpq_store_folds_deltas_and_preserves_reads(
     spark, tmp_path
 ):
