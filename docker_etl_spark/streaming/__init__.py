@@ -12,6 +12,7 @@ from docker_etl_spark.streaming.core import (  # noqa: F401
     minhash_dedup_stream,
     psi_gate_stream,
     quantile_rollup_stream,
+    search_index_stream,
     streaming_dedupe,
     tumbling_window_agg,
 )

@@ -757,3 +757,31 @@ def ivfpq_index_stream(
         ivfpq_append(batch_df, store_path, vec_col, id_col, batch_id)
 
     return _sink
+
+
+def search_index_stream(
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+    prefix_len: int = 2,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink ingesting a document stream into a persisted
+    inverted index (:mod:`docker_etl_spark.operators.search`): each
+    micro-batch is tokenized ONCE and lands its postings + mergeable
+    stats delta under ``__batch_id=N`` — document frequency needs no
+    stored update (probes derive it from fetched postings), so
+    per-batch cost is one tokenize pass over the batch, independent
+    of index size, and redelivery overwrites exactly its own
+    partitions (a batch's (prefix, batch) partition set is a
+    deterministic function of its rows)."""
+    from docker_etl_spark.operators.search import append_search_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_search_index(
+            batch_df, store_path, batch_id,
+            text_col=text_col, id_col=id_col,
+            min_token_len=min_token_len, prefix_len=prefix_len,
+        )
+
+    return _sink

@@ -117,6 +117,43 @@ def test_pq_train_sample_shares_one_id_set_across_subspaces(spark):
     assert full == oversampled
 
 
+def test_search_index_stream_matches_one_shot_build(spark, tmp_path):
+    """Streaming ingest of a document stream must yield the same
+    search results as one full-corpus build, incl. after redelivery."""
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+    from docker_etl_spark.streaming import search_index_stream
+
+    rows = [
+        (i, ["hash join window", "vector probe scan", "join join hash",
+             "plain filler words"][i % 4] + f" extra{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # one-shot reference index
+    ref = str(tmp_path / "ref")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, ref)
+    expect = sorted(
+        map(tuple, search_bm25_topk(spark, ref, ("hash", "join"), k=10).collect())
+    )
+    # streamed twin: 3 micro-batches, one redelivered
+    store = str(tmp_path / "stream")
+    sink = search_index_stream(store, "text", "doc_id")
+    b = [df.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(b[0], 0)
+    sink(b[1], 1)
+    sink(b[2], 2)
+    sink(b[1], 1)  # redelivery
+    got = sorted(
+        map(tuple, search_bm25_topk(spark, store, ("hash", "join"), k=10).collect())
+    )
+    assert got == expect
+
+
 # ---------------------------------------------------------------------------
 # Persisted inverted-index search
 # ---------------------------------------------------------------------------
