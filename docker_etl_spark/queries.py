@@ -10587,3 +10587,117 @@ def x97_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text", id_col="doc_id",
     )
     return search_bm25_topk(spark, path, _X25_TERMS, id_col="doc_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# cp02 — the FULL curation pipeline as ONE differential-checked plan:
+# quality gate -> exact dedup (min id per content digest) -> NEAR-DUP
+# dedup (MinHash-LSH pairs, drop every doc that duplicates an
+# earlier-id doc — the keep-first-seen production rule) -> token-
+# balanced shard packing -> per-shard census. cp01 stops at exact
+# dedup; this exercises operator COMPOSITION across the whole
+# curation stack (the optimizer sees one plan with windows, a banded
+# self-join, an anti-join and the LPT rank). The near-dup stage's
+# oracle is the hash-independent exact-Jaccard brute force over the
+# SAME surviving subset (x05/x09's separation-property argument: at
+# these fixtures banding recall is complete at J >= 0.5 and no pair
+# lands near the knee, verified at all three SFs).
+# ---------------------------------------------------------------------------
+
+_CP02_ORACLE = """
+WITH tok AS (
+  SELECT *, string_split(lower(text), ' ') AS w FROM documents
+),
+feat AS (
+  SELECT *, len(w) AS n_words,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+             AS mean_len,
+         CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+             / len(w) AS alpha_frac,
+         len(list_filter(
+             w, t -> t IN ('the','a','of','to','and','in','is','for')))
+             AS n_stop
+  FROM tok
+),
+kept AS (
+  SELECT doc_id, text FROM feat
+  WHERE n_words >= 5 AND n_words <= 100000
+    AND mean_len >= 2.0 AND mean_len <= 10.0
+    AND alpha_frac >= 0.8 AND n_stop >= 1
+),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+dtok AS (SELECT doc_id, string_split(text, ' ') AS w FROM dedup),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM dtok WHERE len(w) >= 3
+),
+drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+survivors AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split(lower(d.text), ' '), t -> t <> ''))
+              AS BIGINT) AS wt
+  FROM dedup d LEFT JOIN drops USING (doc_id)
+  WHERE drops.doc_id IS NULL
+),
+r AS (
+  SELECT doc_id, wt,
+         ROW_NUMBER() OVER (ORDER BY wt DESC, doc_id) - 1 AS p
+  FROM survivors
+),
+s2 AS (
+  SELECT doc_id, wt,
+         CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS shard
+  FROM r
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(wt) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM s2 GROUP BY shard
+"""
+
+
+@register("cp02_full_curation_pipeline", oracle=_CP02_ORACLE)
+def cp02_full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality -> exact dedup -> near-dup drop -> pack -> census."""
+    from pyspark.sql import Window
+
+    from docker_etl_spark.operators.corpus import gopher_quality, pack_shards
+    from docker_etl_spark.operators.text_dedup import minhash_near_duplicates
+
+    d = load_docs_spread(spark, sf_dir)
+    kept = d.filter(gopher_quality("text", min_words=5, min_stopwords=1)["keep"])
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    pairs = minhash_near_duplicates(
+        deduped, num_perm=12, bands=3, threshold=0.5, hash_fn="md5"
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+    wc = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    )
+    weighted = survivors.select("doc_id", wc.cast("long").alias("n_tokens"))
+    assigned = pack_shards(weighted, "n_tokens", n_shards=8, id_col="doc_id")
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
