@@ -219,9 +219,13 @@ def search_bm25_topk(
         F.count("*").cast("long").alias("n_terms"),
         F.sum("__ts").cast("long").alias("score_scaled"),
     )
+    # Top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    # map-side partial top-k), THEN rank the k survivors: a global
+    # row_number window over the full per-doc aggregate would move
+    # every matched document to one partition, which for a common
+    # query term is corpus-scale.
+    top = agg.orderBy(F.desc("score_scaled"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score_scaled"), F.asc(id_col))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "n_terms", "score_scaled", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "n_terms", "score_scaled", "rank"
     )

@@ -227,6 +227,14 @@ def test_search_index_prunes_prefix_partitions_and_is_idempotent(
         )
     )
     assert asof == pre
+    # the top-k is a TakeOrderedAndProject (map-side partial top-k),
+    # never a global row_number window over every matched document
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        search_bm25_topk(spark, path, ("hash", "join"), k=10).explain(
+            "formatted"
+        )
+    assert "TakeOrderedAndProject" in buf2.getvalue()
 
 
 def test_compact_ivfpq_store_folds_deltas_and_preserves_reads(
