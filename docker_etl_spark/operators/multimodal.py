@@ -402,11 +402,16 @@ def detect_media_format(content: Column | str) -> Column:
     UTF-8 (png's \\x89, jpeg's \\xFF\\xD8) are exact; gif's and
     wav's ASCII signatures are detected byte-for-byte (wav checks
     BOTH the RIFF prefix and the WAVE form type at offset 8; mp4/ISO-
-    BMFF checks the 'ftyp' box type at offset 4). Returns
+    BMFF checks the 'ftyp' box type at offset 4 AND a plausible box
+    size — the leading 4 bytes must decode to a big-endian integer in
+    [16, len(payload)], since a real ftyp carries size + type + brand
+    + version ≥ 16 bytes; without that gate arbitrary text containing
+    'ftyp' at offset 4 lands in the mp4 census, r8 ADVICE). Returns
     'png' | 'jpeg' | 'gif' | 'wav' | 'mp4' | 'unknown'."""
     c = F.col(content) if isinstance(content, str) else content
     b8 = F.hex(F.substring(c, 1, 8))
     wave_tag = F.hex(F.substring(c, 9, 4))
+    ftyp_size = F.conv(F.hex(F.substring(c, 1, 4)), 16, 10).cast("long")
     return (
         F.when(b8 == "89504E470D0A1A0A", F.lit("png"))
         .when(F.substring(b8, 1, 4) == "FFD8", F.lit("jpeg"))
@@ -418,7 +423,12 @@ def detect_media_format(content: Column | str) -> Column:
             (F.substring(b8, 1, 8) == "52494646") & (wave_tag == "57415645"),
             F.lit("wav"),
         )
-        .when(F.hex(F.substring(c, 5, 4)) == "66747970", F.lit("mp4"))
+        .when(
+            (F.hex(F.substring(c, 5, 4)) == "66747970")
+            & (ftyp_size >= 16)
+            & (ftyp_size <= F.length(c)),
+            F.lit("mp4"),
+        )
         .otherwise(F.lit("unknown"))
     )
 

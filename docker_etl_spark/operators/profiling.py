@@ -723,7 +723,12 @@ def seasonal_mad_outliers(
     anomalies hide, or flag every Monday. Season = days since
     ``season_origin`` mod ``season_len`` (pure integer arithmetic —
     no calendar/locale functions, so the key is bit-identical in any
-    engine); the per-(group, season) baseline is the rank-statistic
+    engine). The mod is ``pmod``, NOT ``%``: Spark's and DuckDB's
+    ``%`` both take the dividend's sign, so rows dated BEFORE the
+    origin would get season keys in {-(n-1)..0} and the same weekday
+    would silently split into two baseline buckets on either side of
+    the origin (r8 ADVICE); pmod keeps every date — past or future —
+    in [0, season_len). The per-(group, season) baseline is the rank-statistic
     median (k-th smallest, k = ceil(n/2), no interpolation), and the
     MAD flag runs on the RESIDUALS value − season_median with the
     same strict integer cross-multiplication as the plain monitor.
@@ -738,9 +743,9 @@ def seasonal_mad_outliers(
         *gb,
         F.col(time_col),
         F.col(value_col).cast("long").alias("value"),
-        (
-            F.datediff(F.col(time_col), F.lit(season_origin))
-            % F.lit(season_len)
+        F.pmod(
+            F.datediff(F.col(time_col), F.lit(season_origin)),
+            F.lit(season_len),
         ).cast("int").alias("season"),
     )
     spart = Window.partitionBy(*gb, "season") if gb else Window.partitionBy(

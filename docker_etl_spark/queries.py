@@ -10413,7 +10413,7 @@ WITH daily AS (
   GROUP BY 1, 2
 ),
 seas AS (
-  SELECT *, CAST((day - DATE '1995-01-01') % 7 AS INT) AS season FROM daily
+  SELECT *, CAST((((day - DATE '1995-01-01') % 7) + 7) % 7 AS INT) AS season FROM daily
 ),
 sk AS (
   SELECT *, CAST(ceil(COUNT(*) OVER (PARTITION BY priority, season) / 2.0) AS BIGINT) AS ks,
