@@ -97,11 +97,63 @@ def build_postings(
     return postings, stats
 
 
+def read_search_index_meta(spark, path: str) -> dict | None:
+    """The store's build parameters from its meta sidecar, or None
+    for a store written before the sidecar existed (r8 layouts) —
+    callers then fall back to their explicit/default arguments."""
+    from docker_etl_spark.sources.stores import parquet_path_exists
+
+    if not parquet_path_exists(spark, path + "/meta"):
+        return None
+    row = spark.read.parquet(path + "/meta").collect()[0]
+    return {
+        "prefix_len": int(row["prefix_len"]),
+        "min_token_len": int(row["min_token_len"]),
+    }
+
+
+def _resolve_search_meta(
+    spark,
+    path: str,
+    min_token_len: int | None,
+    prefix_len: int | None,
+    caller: str,
+) -> tuple[int, int]:
+    """Resolve (min_token_len, prefix_len) from the store's meta
+    sidecar, validating any EXPLICITLY-passed value against it — a
+    probe or append running with a different prefix_len than the
+    build would silently miss every stored ``__pfx`` directory, and a
+    different min_token_len makes dl/tf inconsistent across batches
+    (r8 ADVICE). None means "use the stored value"; stores without a
+    sidecar fall back to the build defaults (3, 2)."""
+    meta = read_search_index_meta(spark, path)
+    if meta is None:
+        return (
+            3 if min_token_len is None else min_token_len,
+            2 if prefix_len is None else prefix_len,
+        )
+    for name, passed, stored in (
+        ("min_token_len", min_token_len, meta["min_token_len"]),
+        ("prefix_len", prefix_len, meta["prefix_len"]),
+    ):
+        if passed is not None and passed != stored:
+            raise ValueError(
+                f"{caller}: {name}={passed} conflicts with the store's "
+                f"recorded build parameter {name}={stored} at {path} — "
+                "postings were tokenized/partitioned with the stored "
+                "value; pass None (the default) to use it, or rebuild "
+                "the index at a fresh path to change it"
+            )
+    return meta["min_token_len"], meta["prefix_len"]
+
+
 def write_search_index(
     postings: DataFrame,
     stats: DataFrame,
     path: str,
     batch_id: int | None = None,
+    min_token_len: int = 3,
+    prefix_len: int = 2,
 ) -> None:
     """Persist a posting batch + its stats delta. Postings land under
     (``__pfx``, ``__batch_id``) partitions with per-write dynamic
@@ -109,11 +161,50 @@ def write_search_index(
     batch's partition set is a deterministic function of its rows,
     so redelivery covers any crashed partial attempt. Stats deltas
     land under ``__batch_id`` alone and merge by SUM at read.
-    Writer-lease-guarded like every store mutation."""
+    Writer-lease-guarded like every store mutation.
+
+    The build parameters (``prefix_len``, ``min_token_len``) persist
+    in a 1-row meta sidecar at ``{path}/meta`` (the IVF-PQ quantizer-
+    sidecar pattern) the first time a store is written; probes and
+    appends default from it and REJECT conflicting explicit values.
+    They must match how ``postings`` was actually built — pass the
+    same values given to :func:`build_postings`.
+
+    REBUILD CONTRACT: dynamic overwrite replaces only the partitions
+    present in THIS batch — redelivery of the same batch is
+    idempotent, but a ``batch_id=None`` write over an existing store
+    whose CONTENT differs leaves the old build's other partitions in
+    place. A full rebuild must target a fresh path (or delete the old
+    layout first); rebuilding in place with different build
+    parameters raises here."""
     from docker_etl_spark.sources.stores import store_writer_lock
 
+    spark = postings.sparkSession
     bid = -1 if batch_id is None else batch_id
     with store_writer_lock(path, owner="write_search_index"):
+        existing = read_search_index_meta(spark, path)
+        if existing is not None and (
+            existing["prefix_len"] != prefix_len
+            or existing["min_token_len"] != min_token_len
+        ):
+            raise ValueError(
+                f"write_search_index: store at {path} was built with "
+                f"prefix_len={existing['prefix_len']}, min_token_len="
+                f"{existing['min_token_len']} but this write carries "
+                f"prefix_len={prefix_len}, min_token_len={min_token_len} "
+                "— mixed tokenization corrupts df/dl; rebuild at a "
+                "fresh path to change build parameters"
+            )
+        if existing is None:
+            (
+                spark.createDataFrame(
+                    [(prefix_len, min_token_len)],
+                    "prefix_len int, min_token_len int",
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(path + "/meta")
+            )
         (
             postings.withColumn("__batch_id", F.lit(bid))
             .write.option("partitionOverwriteMode", "dynamic")
@@ -137,18 +228,130 @@ def append_search_index(
     batch_id: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_token_len: int = 3,
-    prefix_len: int = 2,
+    min_token_len: int | None = None,
+    prefix_len: int | None = None,
+    assume_new_ids: bool = True,
 ) -> None:
     """Ingest a new document batch: tokenize ONLY the batch, land its
     postings + stats delta under ``__batch_id``. Document frequency
     needs no stored update — probes derive it from the fetched
     postings, which after any number of appends are exactly the
-    term's corpus-wide postings."""
+    term's corpus-wide postings.
+
+    Build parameters default from the store's meta sidecar (explicit
+    values are validated against it — see
+    :func:`_resolve_search_meta`).
+
+    ID CONTRACT (append-only ids): batches must carry ids the store
+    has never seen. Probes derive df by COUNTING posting rows per
+    term and a document's score SUMS its fetched rows, so
+    re-ingesting an existing ``id_col`` under a NEW ``__batch_id``
+    silently inflates df, n_docs, sum_dl and that document's score.
+    (Redelivery of the SAME batch_id is safe — dynamic overwrite
+    replaces its own partitions.) Set ``assume_new_ids=False`` to
+    enforce the contract: the batch is anti-joined against the
+    store's existing ids (one column-pruned scan of the postings —
+    the ``incremental_content_dedup`` pattern) and only genuinely new
+    documents land."""
+    from docker_etl_spark.sources.stores import parquet_path_exists
+
+    spark = new_docs.sparkSession
+    min_token_len, prefix_len = _resolve_search_meta(
+        spark, path, min_token_len, prefix_len, "append_search_index"
+    )
+    if not assume_new_ids and parquet_path_exists(spark, path + "/postings"):
+        seen = (
+            spark.read.parquet(path + "/postings")
+            .select(F.col(id_col))
+            .distinct()
+        )
+        new_docs = new_docs.join(seen, id_col, "left_anti")
     postings, stats = build_postings(
         new_docs, text_col, id_col, min_token_len, prefix_len
     )
-    write_search_index(postings, stats, path, batch_id=batch_id)
+    write_search_index(
+        postings, stats, path, batch_id=batch_id,
+        min_token_len=min_token_len, prefix_len=prefix_len,
+    )
+
+
+def compact_search_index(
+    spark,
+    path: str,
+    up_to_batch: int,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Fold the index's batch deltas with ``__batch_id <=
+    up_to_batch`` into the base partition (``__batch_id = -1``) and
+    right-size the files — after N streaming appends every term-
+    prefix directory holds N+1 batch subdirectories/footer sets and
+    the stats store carries one delta row per batch; folding restores
+    one directory per prefix below the horizon while appends above it
+    keep landing as deltas (the :func:`~docker_etl_spark.operators.
+    similarity.compact_ivfpq_store` recipe).
+
+    Two folds ride :func:`~docker_etl_spark.sources.stores.
+    compact_partitioned_store`'s crash-recovering swap, each under
+    the writer lease on the STORE ROOT (the lock write/append take,
+    so compaction serializes against ingest):
+
+    - postings: relabel ``__batch_id`` ≤ horizon to -1, keep the
+      (``__pfx``, ``__batch_id``) layout — prefix-pruned probe plans
+      are untouched;
+    - stats: relabel then SUM-fold (n_docs, sum_dl) per remaining
+      ``__batch_id`` — the deltas are mergeable by construction, so
+      below-horizon history collapses to one exact row.
+
+    A crash between the two folds leaves postings folded and stats
+    not (or vice versa) — still a CONSISTENT store: both reads merge
+    across ``__batch_id`` values, and folding is read-neutral for
+    full reads and for ``as_of_batch`` ≥ the horizon. Snapshot reads
+    BELOW ``up_to_batch`` lose per-batch granularity by design —
+    pick the horizon as "older than any snapshot you still replay".
+
+    Returns {"postings": {...}, "stats": {...}} (rows / files
+    before / after per store half).
+    """
+    from docker_etl_spark.sources.stores import compact_partitioned_store
+
+    def relabel(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__batch_id",
+            F.when(
+                F.col("__batch_id") <= up_to_batch, F.lit(-1)
+            ).otherwise(F.col("__batch_id")),
+        )
+
+    def fold_stats(df: DataFrame) -> DataFrame:
+        return (
+            relabel(df)
+            .groupBy("__batch_id")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            )
+            .select("n_docs", "sum_dl", "__batch_id")
+        )
+
+    postings_res = compact_partitioned_store(
+        spark,
+        path + "/postings",
+        ("__pfx", "__batch_id"),
+        target_rows_per_file=target_rows_per_file,
+        owner="compact_search_index",
+        transform=relabel,
+        lock_path=path,
+    )
+    stats_res = compact_partitioned_store(
+        spark,
+        path + "/stats",
+        ("__batch_id",),
+        target_rows_per_file=target_rows_per_file,
+        owner="compact_search_index",
+        transform=fold_stats,
+        lock_path=path,
+    )
+    return {"postings": postings_res, "stats": stats_res}
 
 
 def search_bm25_topk(
@@ -157,7 +360,7 @@ def search_bm25_topk(
     query_terms: tuple[str, ...],
     id_col: str = "doc_id",
     k: int = 10,
-    prefix_len: int = 2,
+    prefix_len: int | None = None,
     as_of_batch: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over a persisted index: fetch exactly the query
@@ -170,10 +373,16 @@ def search_bm25_topk(
     the exact bigint Σ(lw·sat) at the 1e6 ln quantizer; ties break
     on the lower document id. ``as_of_batch`` snapshot-reads both
     postings and stats (partition-pruned), reproducing the ranking
-    as it stood after that batch.
+    as it stood after that batch. ``prefix_len`` defaults from the
+    store's meta sidecar (an explicit value is validated against it —
+    probing with the wrong prefix length would silently miss every
+    stored directory).
     """
     from pyspark.sql import Window
 
+    _mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "search_bm25_topk"
+    )
     prefixes = sorted({t[:prefix_len] for t in query_terms})
     p = spark.read.parquet(path + "/postings").filter(
         F.col("__pfx").isin(prefixes)

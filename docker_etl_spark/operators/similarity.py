@@ -2220,6 +2220,13 @@ def write_ivfpq_store(
     so a redelivery touches a superset of any crashed partial
     attempt's partitions — leftovers cannot survive. Writer-lease-
     guarded like every store mutation.
+
+    REBUILD CONTRACT: dynamic overwrite replaces only the partitions
+    present in THIS write — redelivery is idempotent, but a
+    ``batch_id=None`` write over an existing store whose CONTENT
+    differs leaves the old build's other (cell, batch) partitions in
+    place (and the new quantizer sidecar then mislabels them). A full
+    rebuild must target a fresh path or delete the old layout first.
     """
     from docker_etl_spark.sources.stores import store_writer_lock
 
@@ -2314,6 +2321,7 @@ def ivfpq_append(
     vec_col: str,
     id_col: str,
     batch_id: int,
+    assume_new_ids: bool = True,
 ) -> None:
     """Ingest a new vector batch into a stored IVF-PQ index: encode
     against the STORED quantizers (no retraining — coarse cells and
@@ -2323,11 +2331,29 @@ def ivfpq_append(
     rebuilding cells and codebooks; redelivery of the same batch
     overwrites exactly its own partitions (see
     :func:`write_ivfpq_store`).
+
+    ID CONTRACT (append-only ids): batches must carry ids the store
+    has never seen — re-ingesting an existing ``id_col`` under a NEW
+    ``__batch_id`` lands duplicate code rows, so the same id appears
+    twice in every probe's candidate set. (Redelivery of the SAME
+    batch_id is safe.) Set ``assume_new_ids=False`` to enforce it:
+    the batch is anti-joined against the store's ids (one
+    column-pruned scan of codes/) and only genuinely new vectors are
+    encoded.
     """
     from docker_etl_spark.sources.stores import store_writer_lock
 
     spark = new_vecs.sparkSession
     _idx, coarse, books, meta = load_ivfpq_store(spark, path)
+    if not assume_new_ids:
+        if id_col not in _idx.columns:
+            raise ValueError(
+                f"ivfpq_append: id_col={id_col!r} does not match the "
+                f"store's id column (store columns: {_idx.columns})"
+            )
+        new_vecs = new_vecs.join(
+            _idx.select(F.col(id_col)).distinct(), id_col, "left_anti"
+        )
     enc = ivfpq_encode(
         new_vecs, vec_col, id_col, coarse, books,
         quant_scale=meta["quant_scale"],

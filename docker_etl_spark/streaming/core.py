@@ -763,8 +763,10 @@ def search_index_stream(
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_token_len: int = 3,
-    prefix_len: int = 2,
+    min_token_len: int | None = None,
+    prefix_len: int | None = None,
+    assume_new_ids: bool = True,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink ingesting a document stream into a persisted
     inverted index (:mod:`docker_etl_spark.operators.search`): each
@@ -774,14 +776,35 @@ def search_index_stream(
     per-batch cost is one tokenize pass over the batch, independent
     of index size, and redelivery overwrites exactly its own
     partitions (a batch's (prefix, batch) partition set is a
-    deterministic function of its rows)."""
-    from docker_etl_spark.operators.search import append_search_index
+    deterministic function of its rows).
+
+    Build parameters default from the store's meta sidecar (explicit
+    values are validated against it). The stream inherits
+    :func:`~docker_etl_spark.operators.search.append_search_index`'s
+    append-only id contract: a document id that re-arrives under a
+    NEW batch_id silently inflates df and that doc's score — pass
+    ``assume_new_ids=False`` to anti-join each batch against the
+    store's ids first. ``compact_every`` folds batch deltas into the
+    base partition every N batches via
+    :func:`~docker_etl_spark.operators.search.compact_search_index`
+    (streaming appends leave one parquet file per batch per term
+    prefix plus one stats delta per batch — exactly the
+    read-amplification compaction undoes)."""
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        compact_search_index,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         append_search_index(
             batch_df, store_path, batch_id,
             text_col=text_col, id_col=id_col,
             min_token_len=min_token_len, prefix_len=prefix_len,
+            assume_new_ids=assume_new_ids,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_search_index(
+                batch_df.sparkSession, store_path, up_to_batch=batch_id
+            )
 
     return _sink

@@ -58,3 +58,273 @@ def test_detect_media_format_rejects_textual_ftyp(spark):
         for r in df.select("id", detect_media_format("content").alias("fmt")).collect()
     }
     assert out == {1: "mp4", 2: "unknown", 3: "unknown", 4: "unknown"}
+
+
+# ---------------------------------------------------------------------------
+# Search-index meta sidecar + append-only id contract
+# ---------------------------------------------------------------------------
+
+
+def _search_docs(spark):
+    rows = [
+        (1, "hash join window hash"),
+        (2, "vector hash index probe"),
+        (3, "window join join window scan"),
+        (4, "totally unrelated words here"),
+        (5, "hash hash hash vector"),
+        (6, "join vector window vector"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_search_index_meta_sidecar_defaults_and_rejects_conflicts(
+    spark, tmp_path
+):
+    """Non-default build parameters persist in the meta sidecar;
+    probes/appends default from it and REJECT conflicting explicit
+    values (r8 ADVICE: a probe with the wrong prefix_len silently
+    misses every stored directory)."""
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        read_search_index_meta,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    df = _search_docs(spark)
+    path = str(tmp_path / "idx1")
+    p, s = build_postings(
+        df.filter(F.col("doc_id") <= 3), "text", "doc_id",
+        min_token_len=5, prefix_len=1,
+    )
+    write_search_index(p, s, path, batch_id=0, min_token_len=5, prefix_len=1)
+    assert read_search_index_meta(spark, path) == {
+        "prefix_len": 1, "min_token_len": 5,
+    }
+    # probe with NO prefix_len: resolves 1 from the sidecar and finds docs
+    out = {
+        r["doc_id"]: r
+        for r in search_bm25_topk(
+            spark, path, ("window", "vector"), k=10
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # probe with a conflicting explicit prefix_len raises
+    with pytest.raises(ValueError, match="prefix_len=2 conflicts"):
+        search_bm25_topk(spark, path, ("window",), k=10, prefix_len=2)
+    # append with conflicting explicit params raises; default params resolve
+    with pytest.raises(ValueError, match="min_token_len=3 conflicts"):
+        append_search_index(
+            df.filter(F.col("doc_id") > 3), path, batch_id=1,
+            min_token_len=3,
+        )
+    append_search_index(df.filter(F.col("doc_id") > 3), path, batch_id=1)
+    # min_token_len=5 came from the sidecar: 'hash'/'join'/'here'
+    # tokens of the appended docs are NOT indexed
+    got = spark.read.parquet(path + "/postings")
+    assert got.filter(F.length("term") < 5).count() == 0
+    assert got.filter(F.col("doc_id") == 5).count() > 0  # 'vector' indexed
+    # rebuild-in-place with different params raises loudly
+    p2, s2 = build_postings(df, "text", "doc_id")
+    with pytest.raises(ValueError, match="rebuild at a fresh path"):
+        write_search_index(p2, s2, path)
+
+
+def test_append_search_index_id_collision_guard(spark, tmp_path):
+    """assume_new_ids=False must drop re-ingested doc_ids so df and
+    scores match a store that saw each document exactly once; the
+    default documents the append-only contract."""
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    df = _search_docs(spark)
+    ref = str(tmp_path / "ref")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, ref)
+    expect = sorted(
+        map(tuple, search_bm25_topk(spark, ref, ("hash", "join"), k=10).collect())
+    )
+    guarded = str(tmp_path / "guarded")
+    p0, s0 = build_postings(df.filter(F.col("doc_id") <= 3), "text", "doc_id")
+    write_search_index(p0, s0, guarded, batch_id=0)
+    # batch 2 re-carries doc 3 (already stored) plus the new docs
+    append_search_index(
+        df.filter(F.col("doc_id") >= 3), guarded, batch_id=2,
+        assume_new_ids=False,
+    )
+    got = sorted(
+        map(tuple, search_bm25_topk(spark, guarded, ("hash", "join"), k=10).collect())
+    )
+    assert got == expect
+    # the unguarded default double-counts doc 3's postings
+    loose = str(tmp_path / "loose")
+    write_search_index(p0, s0, loose, batch_id=0)
+    append_search_index(df.filter(F.col("doc_id") >= 3), loose, batch_id=2)
+    dup_rows = (
+        spark.read.parquet(loose + "/postings")
+        .filter(F.col("doc_id") == 3)
+        .groupBy("term")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_rows > 0
+
+
+def test_ivfpq_append_id_collision_guard(spark, tmp_path):
+    """assume_new_ids=False must anti-join re-ingested vec_ids so the
+    store never holds duplicate code rows for one id."""
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        load_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    em = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(12)],
+        "vec_id long, dv array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    evens = em.filter(F.col("vec_id") % 2 == 0)
+    index, coarse, books = ivfpq_build(
+        evens, "dv", "vec_id", dim=2, n_cells=2, m=1, k=2
+    )
+    write_ivfpq_store(index, coarse, books, path, batch_id=0, id_col="vec_id")
+    # batch 1 re-carries vec_id 0 and 2 alongside the odd ids
+    batch = em.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") <= 2))
+    ivfpq_append(batch, path, "dv", "vec_id", batch_id=1, assume_new_ids=False)
+    idx, *_ = load_ivfpq_store(spark, path)
+    per_id = idx.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    assert per_id == 0
+    assert idx.count() == 12
+    # wrong id_col raises instead of silently joining nothing
+    with pytest.raises(ValueError, match="id column"):
+        ivfpq_append(
+            batch.withColumnRenamed("vec_id", "other_id"), path, "dv",
+            "other_id", batch_id=2, assume_new_ids=False,
+        )
+
+
+# ---------------------------------------------------------------------------
+# BM25 store compaction
+# ---------------------------------------------------------------------------
+
+
+def _batch_dirs(root: str) -> int:
+    import glob
+
+    return len(glob.glob(root + "/**/__batch_id=*", recursive=True))
+
+
+def test_compact_search_index_folds_and_preserves_reads(spark, tmp_path):
+    """Folding deltas <= horizon must leave full reads and as-of reads
+    at/above the horizon identical, collapse the per-prefix batch
+    directories, and sum-fold the stats deltas to one exact row."""
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        compact_search_index,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    rows = [
+        (i, ["hash join window", "vector probe scan", "join join hash",
+             "plain filler words"][i % 4] + f" extra{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    b = [df.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    p0, s0 = build_postings(b[0], "text", "doc_id")
+    write_search_index(p0, s0, path, batch_id=0)
+    append_search_index(b[1], path, batch_id=1)
+    append_search_index(b[2], path, batch_id=2)
+    full_before = sorted(
+        map(tuple, search_bm25_topk(spark, path, ("hash", "join"), k=30).collect())
+    )
+    asof1_before = sorted(
+        map(
+            tuple,
+            search_bm25_topk(
+                spark, path, ("hash", "join"), k=30, as_of_batch=1
+            ).collect(),
+        )
+    )
+    dirs_before = _batch_dirs(path + "/postings")
+    res = compact_search_index(spark, path, up_to_batch=1)
+    assert res["postings"]["files_after"] <= res["postings"]["files_before"]
+    assert _batch_dirs(path + "/postings") < dirs_before
+    # stats deltas <= 1 folded into a single exact base row
+    st = spark.read.parquet(path + "/stats")
+    assert st.filter(F.col("__batch_id") == -1).count() == 1
+    assert st.count() == 2  # base + batch-2 delta
+    full_after = sorted(
+        map(tuple, search_bm25_topk(spark, path, ("hash", "join"), k=30).collect())
+    )
+    asof1_after = sorted(
+        map(
+            tuple,
+            search_bm25_topk(
+                spark, path, ("hash", "join"), k=30, as_of_batch=1
+            ).collect(),
+        )
+    )
+    assert full_after == full_before
+    assert asof1_after == asof1_before
+    # appends keep working after the swap
+    append_search_index(
+        spark.createDataFrame([(100, "hash window extra100")],
+                              "doc_id long, text string"),
+        path, batch_id=3,
+    )
+    assert 100 in {
+        t[0]
+        for t in search_bm25_topk(spark, path, ("hash",), k=40).collect()
+    }
+
+
+def test_search_index_stream_compact_every_keeps_results(spark, tmp_path):
+    """The streaming hook must fold on schedule without changing the
+    search results vs a one-shot build."""
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+    from docker_etl_spark.streaming import search_index_stream
+
+    rows = [
+        (i, ["hash join window", "vector probe scan", "join join hash",
+             "plain filler words"][i % 4] + f" extra{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = str(tmp_path / "ref")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, ref)
+    expect = sorted(
+        map(tuple, search_bm25_topk(spark, ref, ("hash", "join"), k=40).collect())
+    )
+    store = str(tmp_path / "stream")
+    sink = search_index_stream(store, "text", "doc_id", compact_every=2)
+    b = [df.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    for i in range(4):
+        sink(b[i], i)
+    # two folds ran (after batches 1 and 3): everything sits in the base
+    assert _batch_dirs(store + "/postings") == len(
+        {
+            d.rsplit("/", 1)[-1]
+            for d in __import__("glob").glob(store + "/postings/__pfx=*")
+        }
+    )
+    got = sorted(
+        map(tuple, search_bm25_topk(spark, store, ("hash", "join"), k=40).collect())
+    )
+    assert got == expect
