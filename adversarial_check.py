@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--master", default="local[3]")
     ap.add_argument("--shuffle-partitions", default="7")
     ap.add_argument("--timezone", default="Asia/Kolkata")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated name substrings; run only matching queries",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -55,7 +60,10 @@ def main() -> None:
     t0 = time.monotonic()
     failures: dict[str, str] = {}
     n = 0
+    subs = args.only.split(",") if args.only else None
     for name in sorted(ORACLES):
+        if subs is not None and not any(s in name for s in subs):
+            continue
         n += 1
         try:
             assert_matches_oracle(

@@ -275,6 +275,211 @@ def append_search_index(
     )
 
 
+def _integer_term_scores(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    totals: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The exact-integer BM25 term-score chain (module docstring)
+    shared by every ranking path: postings (term, id, tf, dl) joined
+    with a broadcast per-term df table and a broadcast 1-row
+    (n_docs, sum_dl) totals frame → (id, term, ``__ts``) with the
+    bigint per-term score. Both join sides are bounded (≤ |query
+    terms| rows and 1 row), so the chain is map-side over the
+    postings stream."""
+    j = postings.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(totals)
+    )
+    n, dfc = F.col("n_docs"), F.col("df")
+    lw = F.greatest(
+        F.round(
+            F.log(
+                (2 * n - 2 * dfc + 1).cast("double")
+                / (2 * dfc + 1).cast("double")
+            )
+            * _LN_SCALE
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    num = lw * 36 * F.col("tf") * F.col("sum_dl")
+    den = (
+        16 * F.col("tf") * F.col("sum_dl")
+        + 5 * F.col("sum_dl")
+        + 15 * F.col("dl") * n
+    )
+    return j.select(
+        F.col(id_col), F.col("term"), num.alias("__num"), den.alias("__den")
+    ).select(
+        F.col(id_col),
+        "term",
+        # `div` is Spark's integral division — exact on bigints;
+        # operands are non-negative (lw clamped), so truncation ==
+        # floor == DuckDB's `//`.
+        F.expr("__num div __den").cast("long").alias("__ts"),
+    )
+
+
+def _rank_topk_per_query(
+    scored: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """(query_id, id, __ts) term scores → per-query exact-integer
+    top-k: one hash aggregate on (query, doc), then ``row_number() <=
+    k`` partitioned BY QUERY — Spark plans that filter as
+    WindowGroupLimit (map-side partial top-k per group), so no
+    corpus-scale data ever moves to one partition even for stopword-
+    grade terms."""
+    from pyspark.sql import Window
+
+    agg = scored.groupBy(query_id_col, id_col).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("__ts").cast("long").alias("score_scaled"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_scaled"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "n_terms", "score_scaled", "rank")
+    )
+
+
+def search_bm25_topk_batch(
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_query_terms: int = 4096,
+    max_queries: int | None = 4096,
+) -> DataFrame:
+    """BM25 top-k for a SET of queries in ONE plan — the retrieval-
+    eval shape :func:`search_bm25_topk` cannot give (it scores one
+    Python tuple per call, so an eval set of q queries is q Spark
+    jobs from a driver loop).
+
+    ``queries`` is (query_id, terms array<string>). Two bounded
+    driver round-trips come first (the ``ivfpq_topk`` probed-cells
+    pattern): the distinct term set (≤ ``max_query_terms`` strings —
+    it becomes the static ``__pfx`` IN partition filter and the term
+    IN pushed filter) and the per-term document frequencies + corpus
+    totals (≤ |terms| + 2 exact integers, aggregated from the pruned
+    postings). The ranking plan then scans the postings store exactly
+    ONCE — pruned to the query terms' prefix directories — and
+    everything joined to it is broadcast: the df table, the 1-row
+    totals, and the (query_id, term) pairs. Per-query top-k is
+    ``row_number() <= k`` partitioned by query (WindowGroupLimit —
+    map-side), so the only shuffles are the (query, doc) aggregate
+    and that bounded rank, both independent of how many queries the
+    eval set carries.
+
+    Scores are the module's exact-integer chain — identical inputs
+    rank identically in any engine. Output: (query_id, id_col,
+    n_terms, score_scaled, rank); a query whose terms match no
+    document is absent (left-join against the query set to surface
+    zeros, the x93 eval recipe). Duplicate terms within a query are
+    deduped (a repeated term must not double its score).
+    """
+    spark = queries.sparkSession
+    _mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "search_bm25_topk_batch"
+    )
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"search_bm25_topk_batch: query set exceeds max_queries="
+                f"{max_queries}; the (query_id, term) pairs are broadcast "
+                "— chunk the eval set or raise the guard explicitly"
+            )
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    ).dropDuplicates([query_id_col, "term"])
+    term_rows = (
+        qt.select("term").distinct().limit(max_query_terms + 1).collect()
+    )
+    if len(term_rows) > max_query_terms:
+        raise ValueError(
+            f"search_bm25_topk_batch: distinct query terms exceed "
+            f"max_query_terms={max_query_terms}; the term set drives "
+            "partition pruning and must stay driver-bounded"
+        )
+    terms = sorted(r["term"] for r in term_rows)
+    prefixes = sorted({t[:prefix_len] for t in terms})
+
+    def pruned_postings() -> DataFrame:
+        p = spark.read.parquet(path + "/postings").filter(
+            F.col("__pfx").isin(prefixes) & F.col("term").isin(terms)
+        )
+        if as_of_batch is not None:
+            p = p.filter(F.col("__batch_id") <= as_of_batch)
+        return p
+
+    st = spark.read.parquet(path + "/stats")
+    if as_of_batch is not None:
+        st = st.filter(F.col("__batch_id") <= as_of_batch)
+    tot = st.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    ).collect()[0]
+    dfreq_rows = (
+        pruned_postings()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    )
+    dfreq = spark.createDataFrame(
+        [(r["term"], int(r["df"])) for r in dfreq_rows],
+        "term string, df long",
+    )
+    totals = spark.createDataFrame(
+        [(int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0))],
+        "n_docs long, sum_dl long",
+    )
+    scored = _integer_term_scores(pruned_postings(), dfreq, totals, id_col)
+    per_query = scored.join(F.broadcast(qt), "term").select(
+        query_id_col, id_col, "__ts"
+    )
+    return _rank_topk_per_query(per_query, query_id_col, id_col, k)
+
+
+def bm25_topk_batch_from_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Batch BM25 top-k over UN-persisted postings — the brute-force
+    ground-truth arm of the retrieval-quality eval: feed it
+    :func:`build_postings` output straight from the corpus (no store,
+    no pruning) and the same exact-integer chain ranks against the
+    full tokenization. ``query_terms`` is the exploded (query_id,
+    term) pair frame. The postings stream is bounded to matched terms
+    behind a lazy barrier so the tokenize pass is not re-evaluated by
+    the df subtree."""
+    pf = postings.join(
+        F.broadcast(query_terms.select("term").distinct()),
+        "term",
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    dfreq = pf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = _integer_term_scores(pf, dfreq, stats, id_col)
+    per_query = scored.join(F.broadcast(query_terms), "term").select(
+        query_id_col, id_col, "__ts"
+    )
+    return _rank_topk_per_query(per_query, query_id_col, id_col, k)
+
+
 def compact_search_index(
     spark,
     path: str,
@@ -397,33 +602,7 @@ def search_bm25_topk(
         F.sum("sum_dl").cast("long").alias("sum_dl"),
     )
     dfreq = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    j = p.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(totals))
-    n, dfc = F.col("n_docs"), F.col("df")
-    lw = F.greatest(
-        F.round(
-            F.log(
-                (2 * n - 2 * dfc + 1).cast("double")
-                / (2 * dfc + 1).cast("double")
-            )
-            * _LN_SCALE
-        ).cast("long"),
-        F.lit(0).cast("long"),
-    )
-    num = lw * 36 * F.col("tf") * F.col("sum_dl")
-    den = (
-        16 * F.col("tf") * F.col("sum_dl")
-        + 5 * F.col("sum_dl")
-        + 15 * F.col("dl") * n
-    )
-    scored = j.select(
-        F.col(id_col), num.alias("__num"), den.alias("__den")
-    ).select(
-        F.col(id_col),
-        # `div` is Spark's integral division — exact on bigints (no
-        # double round-trip); operands are non-negative (lw clamped),
-        # so truncation == floor == DuckDB's `//`.
-        F.expr("__num div __den").cast("long").alias("__ts"),
-    )
+    scored = _integer_term_scores(p, dfreq, totals, id_col)
     agg = scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_terms"),
         F.sum("__ts").cast("long").alias("score_scaled"),

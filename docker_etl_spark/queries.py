@@ -10590,6 +10590,280 @@ def x97_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x98 — batch-query retrieval (r8 judge item #1): the whole eval set
+# scored in ONE plan against the persisted index. search_bm25_topk
+# takes one Python tuple per call, so a q-query eval is q Spark jobs
+# from a driver loop; search_bm25_topk_batch collects the bounded
+# distinct term set (the ivfpq probed-cells pattern) for prefix
+# partition pruning + per-term df, then ranks every query off a
+# SINGLE pruned postings scan with broadcast (query, term) pairs and
+# a per-query WindowGroupLimit top-k. Same exact-integer BM25 chain
+# as x96, so the oracle extends that chain with a VALUES query set.
+# ---------------------------------------------------------------------------
+
+_X98_QUERIES = (
+    (0, ("hash", "join")),
+    (1, ("window", "vector")),
+    (2, ("hash", "vector", "window")),
+)
+_X98_PAIRS_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _X98_QUERIES for t in ts
+)
+_X98_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in _X98_QUERIES for t in ts})
+)
+
+_X98_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN ({_X98_TERMS_SQL})
+    GROUP BY 1, 2, 3
+),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ts AS (
+    SELECT tf.doc_id, tf.term,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * tf.tf * s.sum_dl)
+           // (16 * tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * tf.dl * s.n_docs)
+               AS term_score
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+),
+q(query_id, term) AS (VALUES {_X98_PAIRS_SQL}),
+aggd AS (
+    SELECT CAST(q.query_id AS BIGINT) AS query_id, ts.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(ts.term_score) AS BIGINT) AS score_scaled
+    FROM ts JOIN q ON ts.term = q.term
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms, score_scaled,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score_scaled DESC, doc_id ASC
+       ) AS INT) AS rank
+FROM aggd
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id ASC
+) <= 5
+"""
+
+
+@register("x98_bm25_batch_search", oracle=_X98_ORACLE)
+def x98_bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-query retrieval-eval set in one plan over the x96 store."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk_batch,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x98", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    queries = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in _X98_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    return search_bm25_topk_batch(queries, path, k=5)
+
+
+# ---------------------------------------------------------------------------
+# x99 — retrieval-quality eval (r8 judge item #3, the x93 pattern
+# applied to search): recall@5 of the PERSISTED index's batch search
+# vs the brute-force full-corpus BM25 ranking, per query. The two
+# arms differ in a real quality knob — the index is built with
+# min_token_len=5 (a cheaper index that drops short tokens: smaller
+# postings, different dl), the ground truth tokenizes at the default
+# 3 — so the recall number genuinely measures what the cheaper
+# tokenization costs ('hash'/'join' queries collapse to 0, mixed
+# queries land in between), and any tokenizer/prefix/scoring
+# regression moves it. Both arms are the exact-integer chain, so the
+# oracle re-derives them as two SQL chains and intersects top-5 sets.
+# ---------------------------------------------------------------------------
+
+_X99_ORACLE = f"""
+WITH q(query_id, term) AS (VALUES {_X98_PAIRS_SQL}),
+g_d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+g_docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM g_d
+),
+g_stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM g_docs
+),
+g_tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM g_docs)
+    WHERE term IN ({_X98_TERMS_SQL})
+    GROUP BY 1, 2, 3
+),
+g_dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM g_tf GROUP BY 1
+),
+g_ts AS (
+    SELECT g_tf.doc_id, g_tf.term,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * g_dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * g_dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * g_tf.tf * s.sum_dl)
+           // (16 * g_tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * g_tf.dl * s.n_docs)
+               AS term_score
+    FROM g_tf JOIN g_dfq USING (term) CROSS JOIN g_stats s
+),
+g_top AS (
+    SELECT CAST(q.query_id AS BIGINT) AS query_id, g_ts.doc_id,
+           CAST(SUM(g_ts.term_score) AS BIGINT) AS score_scaled
+    FROM g_ts JOIN q ON g_ts.term = q.term
+    GROUP BY 1, 2
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY CAST(q.query_id AS BIGINT)
+        ORDER BY CAST(SUM(g_ts.term_score) AS BIGINT) DESC, g_ts.doc_id ASC
+    ) <= 5
+),
+i_d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 5) AS toks
+    FROM documents
+),
+i_docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM i_d
+),
+i_stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM i_docs
+),
+i_tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM i_docs)
+    WHERE term IN ({_X98_TERMS_SQL})
+    GROUP BY 1, 2, 3
+),
+i_dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM i_tf GROUP BY 1
+),
+i_ts AS (
+    SELECT i_tf.doc_id, i_tf.term,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * i_dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * i_dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * i_tf.tf * s.sum_dl)
+           // (16 * i_tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * i_tf.dl * s.n_docs)
+               AS term_score
+    FROM i_tf JOIN i_dfq USING (term) CROSS JOIN i_stats s
+),
+i_top AS (
+    SELECT CAST(q.query_id AS BIGINT) AS query_id, i_ts.doc_id,
+           CAST(SUM(i_ts.term_score) AS BIGINT) AS score_scaled
+    FROM i_ts JOIN q ON i_ts.term = q.term
+    GROUP BY 1, 2
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY CAST(q.query_id AS BIGINT)
+        ORDER BY CAST(SUM(i_ts.term_score) AS BIGINT) DESC, i_ts.doc_id ASC
+    ) <= 5
+),
+hits AS (
+    SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM i_top i JOIN g_top g
+      ON i.query_id = g.query_id AND i.doc_id = g.doc_id
+    GROUP BY 1
+),
+qids AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM q)
+SELECT qids.query_id,
+       CAST(5 AS BIGINT) AS k,
+       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+FROM qids LEFT JOIN hits ON qids.query_id = hits.query_id
+"""
+
+
+@register("x99_bm25_recall_eval", oracle=_X99_ORACLE)
+def x99_bm25_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the min_token_len=5 persisted index vs full BM25."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        bm25_topk_batch_from_postings,
+        build_postings,
+        search_bm25_topk_batch,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in _X98_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    qt = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    # index arm: the cheaper tokenization, through the full store
+    # lifecycle (persist -> meta-resolved probe)
+    p5, s5 = build_postings(d, "text", "doc_id", min_token_len=5)
+    path = _x90_store_path("x99", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(p5, s5, path, min_token_len=5, prefix_len=2)
+    idx = search_bm25_topk_batch(queries, path, k=5).select(
+        "query_id", "doc_id"
+    )
+    # ground truth: the default tokenization, ranked in-plan
+    p3, s3 = build_postings(d, "text", "doc_id")
+    gt = bm25_topk_batch_from_postings(p3, s3, qt, k=5).select(
+        "query_id", "doc_id"
+    )
+    hits = (
+        idx.join(gt, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(5.0)
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # cp02 — the FULL curation pipeline as ONE differential-checked plan:
 # quality gate -> exact dedup (min id per content digest) -> NEAR-DUP
 # dedup (MinHash-LSH pairs, drop every doc that duplicates an

@@ -328,3 +328,114 @@ def test_search_index_stream_compact_every_keeps_results(spark, tmp_path):
         map(tuple, search_bm25_topk(spark, store, ("hash", "join"), k=40).collect())
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Batch-query retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_search_bm25_topk_batch_matches_single_query_calls(spark, tmp_path):
+    """One plan for the whole eval set must reproduce q independent
+    single-query searches bit-for-bit, scan the postings store
+    exactly once (pruned), and take per-query top-k map-side."""
+    import contextlib
+    import io
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        search_bm25_topk_batch,
+        write_search_index,
+    )
+
+    rows = [
+        (i, ["hash join window", "vector probe scan", "join join hash",
+             "plain filler words"][i % 4] + f" extra{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, path)
+    qdefs = [
+        (0, ["hash", "join"]),
+        (1, ["window", "vector"]),
+        (2, ["hash", "vector", "window"]),
+        (3, ["zzznope"]),  # matches nothing -> absent from the output
+        (4, ["hash", "hash", "join"]),  # duplicate term must not double
+    ]
+    queries = spark.createDataFrame(qdefs, "query_id long, terms array<string>")
+    batch = search_bm25_topk_batch(queries, path, k=7)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms"], r["score_scaled"], r["rank"])
+        )
+    for qid, terms in qdefs:
+        single = [
+            (r["doc_id"], r["n_terms"], r["score_scaled"], r["rank"])
+            for r in search_bm25_topk(
+                spark, path, tuple(dict.fromkeys(terms)), k=7
+            ).collect()
+        ]
+        want = sorted(single, key=lambda t: t[3])
+        have = sorted(got.get(qid, []), key=lambda t: t[3])
+        assert have == want, (qid, have, want)
+    assert 3 not in got
+    # plan pins: ONE parquet scan (the pruned postings — df/totals/query
+    # pairs are all driver-bounded local relations), prefix partition
+    # pruning pushed, and the per-query top-k planned map-side.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        batch.explain("formatted")
+    plan = buf.getvalue()
+    scan_locs = [
+        line for line in plan.splitlines() if "InMemoryFileIndex" in line
+    ]
+    assert len(scan_locs) == 1 and "postings" in scan_locs[0], plan
+    assert any(
+        "__pfx" in line and " IN " in line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+    ), plan
+    assert "WindowGroupLimit" in plan
+    # guards: the term set and query set must stay driver-bounded
+    with pytest.raises(ValueError, match="max_query_terms"):
+        search_bm25_topk_batch(queries, path, k=7, max_query_terms=2)
+    with pytest.raises(ValueError, match="max_queries"):
+        search_bm25_topk_batch(queries, path, k=7, max_queries=2)
+
+
+def test_bm25_topk_batch_from_postings_ground_truth_arm(spark):
+    """The un-persisted arm must rank exactly like the store path on
+    the same tokenization (it IS the eval ground truth)."""
+    from docker_etl_spark.operators.search import (
+        bm25_topk_batch_from_postings,
+        build_postings,
+    )
+
+    rows = [
+        (i, ["hash join window", "vector probe scan", "join join hash",
+             "plain filler words"][i % 4] + f" extra{i}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, stats = build_postings(df, "text", "doc_id")
+    qt = spark.createDataFrame(
+        [(0, "hash"), (0, "join"), (1, "vector")], "query_id long, term string"
+    )
+    out = bm25_topk_batch_from_postings(postings, stats, qt, k=5)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    assert all(len(v) == 5 for v in by_q.values())
+    # ranks are 1..5 per query, scores non-increasing
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in v] == [1, 2, 3, 4, 5]
+        assert all(
+            v[i]["score_scaled"] >= v[i + 1]["score_scaled"]
+            for i in range(4)
+        )
