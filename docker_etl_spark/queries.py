@@ -10975,3 +10975,193 @@ def cp02_full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight").cast("long").alias("total_tokens"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cp03 — cp02's curation pipeline as a STREAM (r8 judge item #7): the
+# corpus arrives in 3 micro-batches (doc_id mod 3) through ONE
+# foreachBatch sink composing the quality gate, the cumulative
+# digest-store exact dedup, and the cumulative signature-store
+# near-dup dedup (streaming/core.curation_stream); survivors are then
+# packed and censused exactly like cp02. This pins the COMPOSITION of
+# the streaming sinks — what a production ingest actually runs — not
+# just each sink alone. The oracle replays the STREAM's semantics
+# (not cp02's one-shot): three unrolled batch stages where exact
+# dedup sees all earlier INGESTED digests, cross-batch near-dup
+# comparisons see earlier SURVIVORS' signatures only, and in-batch
+# comparisons see all earlier-id batch docs — with the md5 MinHash
+# signatures, band buckets and position-match estimator re-derived
+# bit-for-bit in SQL (the x45 recipe), so no separation-property
+# argument is needed for the batch-boundary corners.
+# ---------------------------------------------------------------------------
+
+_CP03_EST = (
+    "CAST(len(list_filter(range(1, 13), i -> {a}.g[i] = {b}.g[i]))"
+    " AS DOUBLE) / 12.0 >= 0.5"
+)
+
+_CP03_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS bt,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+),
+feat AS (
+  SELECT *, len(w) AS n_words,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+             AS mean_len,
+         CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+             / len(w) AS alpha_frac,
+         len(list_filter(
+             w, t -> t IN ('the','a','of','to','and','in','is','for')))
+             AS n_stop
+  FROM tok
+),
+kept AS MATERIALIZED (
+  SELECT doc_id, text, bt FROM feat
+  WHERE n_words >= 5 AND n_words <= 100000
+    AND mean_len >= 2.0 AND mean_len <= 10.0
+    AND alpha_frac >= 0.8 AND n_stop >= 1
+),
+e0 AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept WHERE bt = 0
+  ) WHERE rn = 1
+),
+dg0 AS MATERIALIZED (SELECT DISTINCT md5(text) AS dg FROM e0),
+e1 AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept WHERE bt = 1 AND md5(text) NOT IN (SELECT dg FROM dg0)
+  ) WHERE rn = 1
+),
+dg1 AS MATERIALIZED (
+  SELECT dg FROM dg0 UNION SELECT DISTINCT md5(text) AS dg FROM e1
+),
+e2 AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept WHERE bt = 2 AND md5(text) NOT IN (SELECT dg FROM dg1)
+  ) WHERE rn = 1
+),
+ex AS MATERIALIZED (
+  SELECT 0 AS bt, doc_id, text FROM e0
+  UNION ALL SELECT 1 AS bt, doc_id, text FROM e1
+  UNION ALL SELECT 2 AS bt, doc_id, text FROM e2
+),
+sh AS (
+  SELECT bt, doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT bt, doc_id, string_split(text, ' ') AS w FROM ex)
+  WHERE len(w) >= 3
+),
+sg AS MATERIALIZED (SELECT bt, doc_id, {_X45_SIG_SQL} AS g FROM sh),
+bk AS MATERIALIZED (
+  SELECT bt, doc_id, g, u.b,
+         md5(g[b*4+1] || '|' || g[b*4+2] || '|' || g[b*4+3] || '|' || g[b*4+4]) AS bkey
+  FROM sg, unnest([0, 1, 2]) AS u(b)
+),
+dup0 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id FROM bk a JOIN bk o
+    ON a.bt = 0 AND o.bt = 0 AND a.b = o.b AND a.bkey = o.bkey
+   AND a.doc_id > o.doc_id
+  WHERE {_CP03_EST.format(a="a", b="o")}
+),
+f0 AS MATERIALIZED (
+  SELECT doc_id, text FROM e0
+  WHERE doc_id NOT IN (SELECT doc_id FROM dup0)
+),
+st1 AS MATERIALIZED (
+  SELECT k.* FROM bk k JOIN f0 ON k.doc_id = f0.doc_id AND k.bt = 0
+),
+dup1 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id FROM bk a JOIN st1 s
+    ON a.bt = 1 AND a.b = s.b AND a.bkey = s.bkey
+  WHERE {_CP03_EST.format(a="a", b="s")}
+  UNION
+  SELECT DISTINCT a.doc_id FROM bk a JOIN bk o
+    ON a.bt = 1 AND o.bt = 1 AND a.b = o.b AND a.bkey = o.bkey
+   AND a.doc_id > o.doc_id
+  WHERE {_CP03_EST.format(a="a", b="o")}
+),
+f1 AS MATERIALIZED (
+  SELECT doc_id, text FROM e1
+  WHERE doc_id NOT IN (SELECT doc_id FROM dup1)
+),
+st2 AS MATERIALIZED (
+  SELECT * FROM st1
+  UNION ALL
+  SELECT k.* FROM bk k JOIN f1 ON k.doc_id = f1.doc_id AND k.bt = 1
+),
+dup2 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id FROM bk a JOIN st2 s
+    ON a.bt = 2 AND a.b = s.b AND a.bkey = s.bkey
+  WHERE {_CP03_EST.format(a="a", b="s")}
+  UNION
+  SELECT DISTINCT a.doc_id FROM bk a JOIN bk o
+    ON a.bt = 2 AND o.bt = 2 AND a.b = o.b AND a.bkey = o.bkey
+   AND a.doc_id > o.doc_id
+  WHERE {_CP03_EST.format(a="a", b="o")}
+),
+f2 AS MATERIALIZED (
+  SELECT doc_id, text FROM e2
+  WHERE doc_id NOT IN (SELECT doc_id FROM dup2)
+),
+surv AS (
+  SELECT doc_id, text FROM f0
+  UNION ALL SELECT doc_id, text FROM f1
+  UNION ALL SELECT doc_id, text FROM f2
+),
+sv AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+              AS BIGINT) AS wt
+  FROM surv
+),
+r AS (
+  SELECT doc_id, wt,
+         ROW_NUMBER() OVER (ORDER BY wt DESC, doc_id) - 1 AS p
+  FROM sv
+),
+s2 AS (
+  SELECT doc_id, wt,
+         CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS shard
+  FROM r
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(wt) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM s2 GROUP BY shard
+"""
+
+
+@register("cp03_streaming_curation", oracle=_CP03_ORACLE)
+def cp03_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cp02's pipeline fed by 3 micro-batches through one sink."""
+    import shutil
+
+    from docker_etl_spark.operators.corpus import pack_shards
+    from docker_etl_spark.streaming import curation_stream
+
+    d = load_docs_spread(spark, sf_dir)
+    base = _x90_store_path("cp03", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    sink = curation_stream(
+        base + "/digests", base + "/sigs", base + "/out"
+    )
+    for k in range(3):
+        sink(d.filter(F.col("doc_id") % 3 == k), k)
+    surv = spark.read.parquet(base + "/out")
+    wc = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    )
+    weighted = surv.select("doc_id", wc.cast("long").alias("n_tokens"))
+    assigned = pack_shards(weighted, "n_tokens", n_shards=8, id_col="doc_id")
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -4,6 +4,7 @@ from docker_etl_spark.streaming.core import (  # noqa: F401
     cdc_chunk_dedup_stream,
     cms_sketch_stream,
     corpus_filter_stream,
+    curation_stream,
     drain_available,
     embedding_dedup_stream,
     file_stream,

@@ -808,3 +808,100 @@ def search_index_stream(
             )
 
     return _sink
+
+
+def curation_stream(
+    digest_store_path: str,
+    sig_store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_stopwords: int = 1,
+    shingle_n: int = 3,
+    num_perm: int = 12,
+    bands: int = 3,
+    est_threshold: float = 0.5,
+    hash_fn: str = "md5",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The FULL curation pipeline (cp02's quality → exact dedup →
+    near-dup dedup) as ONE foreachBatch sink — the composition a
+    production ingest actually runs, built from the existing pieces
+    with no new logic:
+
+    1. quality gate — Gopher rules as stateless Column expressions
+       (docs failing quality never touch either store);
+    2. exact dedup — ``incremental_content_dedup`` against the
+       CUMULATIVE digest store (min id per content digest in-batch,
+       anti-join on stored digests, prefix-partition-pruned);
+    3. near-dup dedup + survivor delivery — delegated verbatim to
+       :func:`minhash_dedup_stream`'s sink (signature-store probe,
+       survivors land idempotently under ``out_path/__batch_id=N``,
+       new signatures append, optional store compaction);
+    4. the exact-stage survivors' digests append to the digest store
+       LAST.
+
+    Write ordering is the crash story: digests land only after the
+    survivor delivery, so a crash anywhere mid-batch is healed by
+    redelivery — if the near-dup stage completed but digests didn't,
+    the redelivered batch exact-passes, then every doc matches its
+    own stored signature (est 1.0) and the empty survivor write
+    touches no partitions, leaving the first delivery's output
+    intact; if nothing completed, the batch simply replays. A
+    redelivery after full completion exact-drops everything
+    immediately. Duplicate digest/signature rows from partial
+    redeliveries are results-neutral (both probes are
+    anti-join/distinct-shaped) and reclaimed by ``compact_every``
+    (which folds BOTH stores on schedule).
+
+    Batch-boundary semantics are :func:`minhash_dedup_stream`'s:
+    cross-batch near-dup comparisons see earlier SURVIVORS only,
+    in-batch comparisons see all earlier-id batch docs — equal to
+    the one-shot cp02 run whenever duplicate clusters don't chain
+    across dropped members (the non-transitivity corner its
+    docstring names).
+    """
+    from docker_etl_spark.operators.corpus import gopher_quality
+    from docker_etl_spark.operators.dedupe import (
+        incremental_content_dedup,
+        write_digest_store,
+    )
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        parquet_path_exists,
+    )
+
+    inner = minhash_dedup_stream(
+        sig_store_path, out_path, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, num_perm=num_perm, bands=bands,
+        est_threshold=est_threshold, hash_fn=hash_fn,
+        compact_every=compact_every,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        kept = batch_df.filter(
+            gopher_quality(
+                F.col(text_col),
+                min_words=min_words,
+                min_stopwords=min_stopwords,
+            )["keep"]
+        )
+        if parquet_path_exists(spark, digest_store_path):
+            dstore = spark.read.parquet(digest_store_path)
+        else:  # first batch: no digest store yet
+            dstore = spark.createDataFrame([], "content_md5 string")
+        survivors = incremental_content_dedup(
+            kept, dstore, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+        inner(survivors.drop("content_md5"), batch_id)
+        write_digest_store(
+            survivors.select("content_md5"), digest_store_path, mode="append"
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitioned_store(
+                spark, digest_store_path, ("digest_prefix",)
+            )
+
+    return _sink

@@ -407,6 +407,77 @@ def test_search_bm25_topk_batch_matches_single_query_calls(spark, tmp_path):
         search_bm25_topk_batch(queries, path, k=7, max_queries=2)
 
 
+def test_curation_stream_composition_and_redelivery(spark, tmp_path):
+    """The composed sink must apply quality -> exact dedup -> near-dup
+    in order across batches (quality-failed docs never touch either
+    store; exact dups drop cross-batch via the digest store; near-dups
+    drop against earlier survivors' signatures) and stay idempotent
+    under redelivery."""
+    from docker_etl_spark.streaming import curation_stream
+
+    near = (
+        "the river winds slowly through a wide green valley carrying "
+        "cold clear water past willows herons and mossy stones toward "
+        "the quiet sea"
+    )
+    rows = [
+        (1, "bad"),  # fails quality (too short)
+        (2, "the quick brown fox jumps over a lazy sleeping dog"),
+        (3, near),
+        (4, "the astronomer counts distant stars above silent frozen hills"),
+        # batch 1:
+        (12, "the quick brown fox jumps over a lazy sleeping dog"),  # exact dup of 2
+        (13, near + " tonight"),  # near-dup of 3 (one appended word)
+        (14, "the baker kneads warm dough before sunrise every single morning"),
+        # batch 2:
+        (22, "the quick brown fox jumps over a lazy sleeping dog"),  # exact dup again
+        (24, "the sailor reads weathered charts beside a flickering oil lamp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "cur")
+    sink = curation_stream(
+        root + "/digests", root + "/sigs", root + "/out"
+    )
+    batches = [
+        df.filter(F.col("doc_id") < 10),
+        df.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        df.filter(F.col("doc_id") >= 20),
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    out = spark.read.parquet(root + "/out")
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
+        2, 3, 4, 14, 24,
+    }
+    # quality-failed doc 1 never entered the digest store
+    digests = {
+        r["content_md5"]
+        for r in spark.read.parquet(root + "/digests").collect()
+    }
+    bad_md5 = df.filter("doc_id = 1").select(F.md5("text")).collect()[0][0]
+    assert bad_md5 not in digests
+    # near-dup-dropped doc 13's signature is NOT in the store
+    # (survivors only), but its digest IS (content was ingested)
+    sig_ids = {
+        r["doc_id"] for r in spark.read.parquet(root + "/sigs").collect()
+    }
+    assert 13 not in sig_ids and {2, 3, 4, 14, 24} <= sig_ids
+    dup13_md5 = df.filter("doc_id = 13").select(F.md5("text")).collect()[0][0]
+    assert dup13_md5 in digests
+    # redelivery of a completed batch changes nothing
+    before = sorted(map(tuple, out.select("doc_id", "text").collect()))
+    sink(batches[1], 1)
+    after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(root + "/out")
+            .select("doc_id", "text")
+            .collect(),
+        )
+    )
+    assert after == before
+
+
 def test_bm25_topk_batch_from_postings_ground_truth_arm(spark):
     """The un-persisted arm must rank exactly like the store path on
     the same tokenization (it IS the eval ground truth)."""
