@@ -11138,6 +11138,138 @@ FROM s2 GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# cp04 — hybrid retrieval over BOTH persisted stores: the production
+# RAG shape. x57 fuses in-plan arms; here the lexical arm probes the
+# PERSISTED inverted index (term-prefix directory pruning, exact-
+# integer BM25 = x96) and the vector arm probes the PERSISTED IVF-PQ
+# index (cell directory pruning, sampled-training quantizers = x90),
+# and the two bounded top-50 lists fuse by reciprocal rank (x57's
+# spec: k=60, top-20, contributions added left-to-right). The oracle
+# composes the two existing replay chains — the full sampled-IVF-PQ
+# chain through `ranked`, plus the x96 integer-BM25 chain under lx_
+# prefixes — and re-derives the fusion, so a hash match pins both
+# store lifecycles AND their composition.
+# ---------------------------------------------------------------------------
+
+_CP04_SUFFIX = f""",
+lx_d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+lx_docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM lx_d
+),
+lx_stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM lx_docs
+),
+lx_tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lx_docs)
+    WHERE term IN ('hash', 'join', 'window', 'vector')
+    GROUP BY 1, 2, 3
+),
+lx_dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM lx_tf GROUP BY 1
+),
+lx_ts AS (
+    SELECT lx_tf.doc_id,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * lx_dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * lx_dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * lx_tf.tf * s.sum_dl)
+           // (16 * lx_tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * lx_tf.dl * s.n_docs)
+               AS term_score
+    FROM lx_tf JOIN lx_dfq USING (term) CROSS JOIN lx_stats s
+),
+lx_agg AS (
+    SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled
+    FROM lx_ts GROUP BY 1
+),
+lx_top AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC)
+                AS BIGINT) AS lex_rank
+    FROM lx_agg
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) <= 50
+),
+v_top AS (
+    SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS vec_rank
+    FROM ranked WHERE qid = 0 AND rank <= 50
+),
+fz AS (
+    SELECT doc_id, lex_rank, vec_rank,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), CAST(0 AS DOUBLE))
+               AS rrf_score
+    FROM lx_top FULL JOIN v_top USING (doc_id)
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+            AS BIGINT) AS fused_rank
+FROM fz
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) <= 20
+"""
+
+_CP04_ORACLE = _ivfpq_chain(_CP04_SUFFIX)
+
+
+@register("cp04_hybrid_store_retrieval", oracle=_CP04_ORACLE)
+def cp04_hybrid_store_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 probe + persisted IVF-PQ probe -> RRF top-20."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+    from docker_etl_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        load_ivfpq_store,
+        reciprocal_rank_fusion,
+        write_ivfpq_store,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    lex_path = _x90_store_path("cp04lex", sf_dir)
+    shutil.rmtree(lex_path, ignore_errors=True)
+    postings, stats = build_postings(d, "text", "doc_id")
+    write_search_index(postings, stats, lex_path)
+    lex = search_bm25_topk(spark, lex_path, _X25_TERMS, k=50).select(
+        "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+    )
+    index, coarse, books = ivfpq_build(
+        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
+        m=2, k=4, pq_iterations=1, max_training_points=128,
+    )
+    vec_path = _x90_store_path("cp04vec", sf_dir)
+    shutil.rmtree(vec_path, ignore_errors=True)
+    write_ivfpq_store(index, coarse, books, vec_path, id_col="vec_id")
+    idx2, coarse2, books2, _meta = load_ivfpq_store(spark, vec_path)
+    q0 = em.filter(F.col("vec_id") == 0)
+    vec = ivfpq_topk(
+        q0, idx2, coarse2, books2, vec_col="dv", query_id_col="vec_id",
+        topk=50, prune_index_partitions=True,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return reciprocal_rank_fusion(
+        [("lex", lex), ("vec", vec)], id_col="doc_id", rrf_k=60, top_k=20
+    )
+
+
 @register("cp03_streaming_curation", oracle=_CP03_ORACLE)
 def cp03_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cp02's pipeline fed by 3 micro-batches through one sink."""

@@ -74,11 +74,16 @@ KERNELS = [
     "x95_seasonal_mad_outliers",
     "x96_bm25_index_search",
     "x97_bm25_index_append",
+    "x98_bm25_batch_search",
+    "x99_bm25_recall_eval",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the
     # measured ratio (0.65) reflects the gate, not the kernels. Every
     # stage is individually swept (quality/x15, dedup/x05, pack/x83).
+    # cp03 (streaming curation) is excluded for the same reason — its
+    # stage 1 is the same quality gate; its store sinks are swept via
+    # x45/x53 (minhash store) and x32 (digest store).
     # x78 (directed PageRank) reads lineitem too, which the scaled
     # corpus does not replicate; its per-round shape is x75's (already
     # covered) plus one 1-row dangling aggregate.
@@ -200,6 +205,12 @@ def main() -> None:
         help="kernel names to skip (e.g. the intentionally-quadratic "
         "uncapped x37 at 100x, where one query would take hours by design)",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated kernel-name substrings; sweep only matches "
+        "(the capped-x37 extra sweep is skipped unless it matches too)",
+    )
     args = ap.parse_args()
     # local mode defaults to a 1g driver heap — the 10x corpus needs
     # real executor memory (driver == executor in local mode)
@@ -210,8 +221,11 @@ def main() -> None:
     out_dir = "/tmp/docker_etl_spark_scale"
     build_scaled(spark, out_dir, args.replicas)
 
+    subs = args.only.split(",") if args.only else None
     results = {}
     for name in KERNELS:
+        if subs is not None and not any(s in name for s in subs):
+            continue
         if name in args.skip:
             results[name] = {"skipped": True}
             print(name, results[name], flush=True)
@@ -227,6 +241,9 @@ def main() -> None:
         except Exception as ex:  # keep probing the other kernels
             results[name] = {"error": str(ex).split("\n")[0][:300]}
         print(name, results[name], flush=True)
+    if subs is not None and not any(s in "x37_semantic_dedup_capped" for s in subs):
+        print(json.dumps({"replicas": args.replicas, "kernels": results}))
+        return
     try:
         t1 = time_semantic_capped(spark, BASE, passes=args.passes)
         t10 = time_semantic_capped(spark, out_dir, passes=args.passes)
