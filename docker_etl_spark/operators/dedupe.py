@@ -322,6 +322,13 @@ def write_digest_store(
     out = store.withColumn(
         "digest_prefix", F.substring(F.col(digest_col), 1, prefix_chars)
     )
+    # Hash-repartition on the partition column first: without it every
+    # input partition opens a writer in every prefix directory it
+    # touches (~n_partitions × 256 file commits per batch — measured
+    # 4.9 s for an 18k-row batch, 8× the actual write); with it each
+    # directory gets one right-sized file per batch and the commit
+    # count is the task count.
+    out = out.repartition("digest_prefix")
     with store_writer_lock(path, owner="write_digest_store"):
         out.write.mode(mode).partitionBy("digest_prefix").parquet(path)
 

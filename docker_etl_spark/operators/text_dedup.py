@@ -614,7 +614,8 @@ def incremental_minhash_dedup(
     probe_bands: list[int] | None = None,
     max_bucket_size: int | None = 1000,
     include_batch_pairs: bool = True,
-) -> DataFrame:
+    return_sigs: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup dedup of an incoming batch against a corpus
     SIGNATURE store — the continuous-corpus-build form of MinHash
     LSH (the x32 exact-digest pattern upgraded to near-duplicates):
@@ -645,6 +646,12 @@ def incremental_minhash_dedup(
     ``store_exploded``: the store frame already has columns
     (id, sig, band, bkey) — :func:`load_signature_store` output —
     instead of one (id, sig) row per document.
+    ``return_sigs``: also return the batch's computed (id, sig)
+    frame (filtered to docs long enough to shingle) so callers that
+    persist survivor signatures — the streaming sinks — reuse THIS
+    pass instead of re-shingling and re-hashing the survivors'
+    text; at 100 TB the second MinHash pass is the single largest
+    avoidable cost of an ingest batch.
     ``probe_bands``: restrict candidate generation (both store AND
     batch side) to these band indices; None = all bands.
     ``max_bucket_size``: the ``lsh_candidate_pairs`` hot-bucket guard
@@ -760,7 +767,7 @@ def incremental_minhash_dedup(
         F.count("*").cast("bigint").alias("n_candidates"),
         F.max("est").alias("max_est"),
     )
-    return (
+    flags = (
         new_docs.select(F.col(id_col))
         .join(agg.withColumnRenamed("new_id", id_col), id_col, "left")
         .select(
@@ -774,6 +781,9 @@ def incremental_minhash_dedup(
             ),
         )
     )
+    if return_sigs:
+        return flags, sigs.select(F.col(id_col), F.col("__sig").alias("sig"))
+    return flags
 
 
 def containment_join(

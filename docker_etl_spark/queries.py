@@ -11281,8 +11281,11 @@ def cp03_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_docs_spread(spark, sf_dir)
     base = _x90_store_path("cp03", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
+    # 16 digest directories: the fixture-scale layout (the 100 TB
+    # default of 256 is directory-commit-bound on 20k-row batches)
     sink = curation_stream(
-        base + "/digests", base + "/sigs", base + "/out"
+        base + "/digests", base + "/sigs", base + "/out",
+        digest_prefix_chars=1,
     )
     for k in range(3):
         sink(d.filter(F.col("doc_id") % 3 == k), k)

@@ -341,8 +341,6 @@ def minhash_dedup_stream(
     from docker_etl_spark.operators.text_dedup import (
         incremental_minhash_dedup,
         load_signature_store,
-        minhash_signature,
-        word_shingles,
         write_signature_store,
     )
     from docker_etl_spark.sources.stores import (
@@ -366,7 +364,7 @@ def minhash_dedup_stream(
                 [], f"{id_col} long, sig array<{el}>"
             )
             exploded = False
-        flags = incremental_minhash_dedup(
+        flags, batch_sigs = incremental_minhash_dedup(
             batch_df,
             store,
             id_col=id_col,
@@ -377,6 +375,7 @@ def minhash_dedup_stream(
             est_threshold=est_threshold,
             hash_fn=hash_fn,
             store_exploded=exploded,
+            return_sigs=True,
         )
         survivors = batch_df.join(
             flags.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
@@ -388,12 +387,11 @@ def minhash_dedup_stream(
             .partitionBy("__batch_id")
             .parquet(out_path)
         )
-        has = F.size(F.split(F.col(text_col), " ")) >= shingle_n
-        new_sigs = survivors.filter(has).select(
-            F.col(id_col),
-            minhash_signature(
-                word_shingles(text_col, shingle_n), num_perm, hash_fn
-            ).alias("sig"),
+        # survivors' signatures come from the SAME pass that flagged
+        # them (the lazy sig checkpoint) — never a second shingle +
+        # hash pass over the survivors' text
+        new_sigs = batch_sigs.join(
+            survivors.select(id_col), id_col, "left_semi"
         )
         write_signature_store(
             new_sigs, store_path, bands=bands, num_perm=num_perm,
@@ -823,6 +821,7 @@ def curation_stream(
     bands: int = 3,
     est_threshold: float = 0.5,
     hash_fn: str = "md5",
+    digest_prefix_chars: int = 2,
     compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The FULL curation pipeline (cp02's quality → exact dedup →
@@ -861,6 +860,14 @@ def curation_stream(
     the one-shot cp02 run whenever duplicate clusters don't chain
     across dropped members (the non-transitivity corner its
     docstring names).
+
+    ``digest_prefix_chars`` sets the digest store's directory
+    granularity (16^n partitions): the default 2 (256 directories)
+    is the 100 TB layout; each batch write commits one file per
+    touched directory, so small-corpus deployments should drop to 1
+    (16 directories) — directory-commit overhead, not data volume,
+    dominates tiny batch writes (measured ~4 s for an 18k-row batch
+    at 256 dirs vs ~0.5 s at 16).
     """
     from docker_etl_spark.operators.corpus import gopher_quality
     from docker_etl_spark.operators.dedupe import (
@@ -893,11 +900,13 @@ def curation_stream(
         else:  # first batch: no digest store yet
             dstore = spark.createDataFrame([], "content_md5 string")
         survivors = incremental_content_dedup(
-            kept, dstore, id_col=id_col, text_col=text_col
+            kept, dstore, id_col=id_col, text_col=text_col,
+            prefix_chars=digest_prefix_chars,
         ).localCheckpoint(eager=True)
         inner(survivors.drop("content_md5"), batch_id)
         write_digest_store(
-            survivors.select("content_md5"), digest_store_path, mode="append"
+            survivors.select("content_md5"), digest_store_path,
+            prefix_chars=digest_prefix_chars, mode="append",
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitioned_store(
