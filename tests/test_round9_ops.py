@@ -478,6 +478,48 @@ def test_curation_stream_composition_and_redelivery(spark, tmp_path):
     assert after == before
 
 
+def test_search_bm25_topk_batch_as_of_snapshot(spark, tmp_path):
+    """as_of_batch on the batch search must reproduce the pre-append
+    ranking for every query — both postings and stats snapshot-read."""
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        search_bm25_topk_batch,
+        write_search_index,
+    )
+
+    rows = [
+        (i, ["hash join window", "vector probe scan", "join join hash",
+             "plain filler words"][i % 4] + f" extra{i}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    p0, s0 = build_postings(df.filter(F.col("doc_id") < 12), "text", "doc_id")
+    write_search_index(p0, s0, path, batch_id=0)
+    queries = spark.createDataFrame(
+        [(0, ["hash", "join"]), (1, ["window", "vector"])],
+        "query_id long, terms array<string>",
+    )
+    pre = sorted(
+        map(tuple, search_bm25_topk_batch(queries, path, k=20).collect())
+    )
+    append_search_index(df.filter(F.col("doc_id") >= 12), path, batch_id=1)
+    post = sorted(
+        map(tuple, search_bm25_topk_batch(queries, path, k=20).collect())
+    )
+    asof = sorted(
+        map(
+            tuple,
+            search_bm25_topk_batch(
+                queries, path, k=20, as_of_batch=0
+            ).collect(),
+        )
+    )
+    assert asof == pre
+    assert {t[1] for t in post} > {t[1] for t in pre}  # appends visible
+
+
 def test_bm25_topk_batch_from_postings_ground_truth_arm(spark):
     """The un-persisted arm must rank exactly like the store path on
     the same tokenization (it IS the eval ground truth)."""
