@@ -97,6 +97,66 @@ def build_postings(
     return postings, stats
 
 
+def build_positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+    prefix_len: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`build_postings` plus per-posting POSITIONS — the
+    Lucene-style positional index that makes phrase queries a store
+    probe instead of a corpus re-scan.
+
+    ``pos`` is the sorted list of the term's 1-based positions in the
+    RAW token stream (the position-increment convention: tokens
+    filtered by ``min_token_len`` still CONSUME a position, so a
+    phrase spanning a dropped short word correctly does NOT match as
+    adjacent). Everything else is :func:`build_postings`' contract —
+    tf = len(pos), dl counts indexed tokens — so a positional store
+    is a strict superset: :func:`search_bm25_topk` /
+    :func:`search_bm25_topk_batch` run on it unchanged and
+    :func:`phrase_search_topk` gets adjacency for free. Storage
+    trade: one int per token occurrence (the standard positional-
+    index cost, ~2-3x postings bytes).
+    """
+    from docker_etl_spark.operators.text_analysis import tokens
+
+    raw = tokens(text_col)
+    indexed = F.filter(raw, lambda t: F.length(t) >= min_token_len)
+    docs = df.select(
+        F.col(id_col),
+        raw.alias("__raw"),
+        F.size(indexed).cast("long").alias("dl"),
+    )
+    pe = docs.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.posexplode("__raw").alias("__p0", "term"),
+    ).filter(F.length("term") >= min_token_len)
+    postings = (
+        pe.groupBy(id_col, "dl", "term")
+        .agg(
+            F.sort_array(
+                F.collect_list((F.col("__p0") + 1).cast("int"))
+            ).alias("pos"),
+        )
+        .select(
+            F.substring("term", 1, prefix_len).alias("__pfx"),
+            "term",
+            F.col(id_col),
+            F.size("pos").cast("long").alias("tf"),
+            "dl",
+            "pos",
+        )
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return postings, stats
+
+
 def read_search_index_meta(spark, path: str) -> dict | None:
     """The store's build parameters from its meta sidecar, or None
     for a store written before the sidecar existed (r8 layouts) —
@@ -105,10 +165,12 @@ def read_search_index_meta(spark, path: str) -> dict | None:
 
     if not parquet_path_exists(spark, path + "/meta"):
         return None
-    row = spark.read.parquet(path + "/meta").collect()[0]
+    row = spark.read.parquet(path + "/meta").collect()[0].asDict()
     return {
         "prefix_len": int(row["prefix_len"]),
         "min_token_len": int(row["min_token_len"]),
+        # r9.0 sidecars predate the flag; absent means plain postings
+        "positional": bool(row.get("positional", False)),
     }
 
 
@@ -154,6 +216,7 @@ def write_search_index(
     batch_id: int | None = None,
     min_token_len: int = 3,
     prefix_len: int = 2,
+    positional: bool = False,
 ) -> None:
     """Persist a posting batch + its stats delta. Postings land under
     (``__pfx``, ``__batch_id``) partitions with per-write dynamic
@@ -186,20 +249,23 @@ def write_search_index(
         if existing is not None and (
             existing["prefix_len"] != prefix_len
             or existing["min_token_len"] != min_token_len
+            or existing["positional"] != positional
         ):
             raise ValueError(
                 f"write_search_index: store at {path} was built with "
                 f"prefix_len={existing['prefix_len']}, min_token_len="
-                f"{existing['min_token_len']} but this write carries "
-                f"prefix_len={prefix_len}, min_token_len={min_token_len} "
-                "— mixed tokenization corrupts df/dl; rebuild at a "
-                "fresh path to change build parameters"
+                f"{existing['min_token_len']}, positional="
+                f"{existing['positional']} but this write carries "
+                f"prefix_len={prefix_len}, min_token_len={min_token_len}, "
+                f"positional={positional} — mixed layouts corrupt "
+                "df/dl/phrase probes; rebuild at a fresh path to change "
+                "build parameters"
             )
         if existing is None:
             (
                 spark.createDataFrame(
-                    [(prefix_len, min_token_len)],
-                    "prefix_len int, min_token_len int",
+                    [(prefix_len, min_token_len, positional)],
+                    "prefix_len int, min_token_len int, positional boolean",
                 )
                 .repartition(1)
                 .write.mode("overwrite")
@@ -256,6 +322,8 @@ def append_search_index(
     from docker_etl_spark.sources.stores import parquet_path_exists
 
     spark = new_docs.sparkSession
+    meta = read_search_index_meta(spark, path)
+    positional = bool(meta["positional"]) if meta is not None else False
     min_token_len, prefix_len = _resolve_search_meta(
         spark, path, min_token_len, prefix_len, "append_search_index"
     )
@@ -266,12 +334,14 @@ def append_search_index(
             .distinct()
         )
         new_docs = new_docs.join(seen, id_col, "left_anti")
-    postings, stats = build_postings(
+    builder = build_positional_postings if positional else build_postings
+    postings, stats = builder(
         new_docs, text_col, id_col, min_token_len, prefix_len
     )
     write_search_index(
         postings, stats, path, batch_id=batch_id,
         min_token_len=min_token_len, prefix_len=prefix_len,
+        positional=positional,
     )
 
 
@@ -449,6 +519,96 @@ def search_bm25_topk_batch(
         query_id_col, id_col, "__ts"
     )
     return _rank_topk_per_query(per_query, query_id_col, id_col, k)
+
+
+def phrase_search_topk(
+    spark,
+    path: str,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Exact phrase search over a PERSISTED positional index: fetch
+    the phrase terms' postings (term-prefix directory pruning, the
+    :func:`search_bm25_topk` probe shape), pivot each document's
+    per-term position lists into one map, and count positions ``p``
+    where term_i sits at ``p + i`` for every slot — the classic
+    positional-intersection phrase algorithm as pure JVM array HOFs
+    (slot i's positions shifted by −i, then folded through
+    ``array_intersect``). A phrase spanning a min_token_len-filtered
+    word does NOT match (filtered tokens consume positions — the
+    position-increment convention, see
+    :func:`build_positional_postings`).
+
+    Output: (id_col, phrase_tf, rank) ranked by exact-integer phrase
+    frequency (ties → lower id), top-k via orderBy+limit
+    (TakeOrderedAndProject — map-side partial top-k, no corpus-scale
+    window). ``as_of_batch`` snapshot-reads the pruned postings.
+    Raises on a non-positional store (the meta sidecar records the
+    layout) and on phrase terms shorter than the store's
+    min_token_len (they were never indexed — the probe would
+    silently return nothing).
+    """
+    from functools import reduce
+
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"phrase_search_topk: store at {path} is not positional — "
+            "build it with build_positional_postings (and "
+            "write_search_index(positional=True)) to enable phrase "
+            "probes"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "phrase_search_topk"
+    )
+    short = [t for t in phrase if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"phrase_search_topk: phrase terms {short} are shorter than "
+            f"the store's min_token_len={mtl} — they were never indexed, "
+            "so the phrase cannot match"
+        )
+    terms = sorted(set(phrase))
+    prefixes = sorted({t[:prefix_len] for t in terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(terms)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"phrase_search_topk: postings at {path} carry no 'pos' "
+            "column — not a positional store"
+        )
+    by_doc = p.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "pos"))
+        ).alias("__tp")
+    )
+    def _shifted(term: str, offset: int):
+        # NB: the lambda must take exactly ONE argument — a 2-arg
+        # transform lambda gets the ELEMENT INDEX as its second
+        # binding, so the idiomatic `lambda x, i=i:` closure trick
+        # silently subtracts the wrong thing.
+        return F.transform(
+            F.element_at("__tp", F.lit(term)), lambda x: x - F.lit(offset)
+        )
+
+    slots = [_shifted(t, i) for i, t in enumerate(phrase)]
+    matches = reduce(lambda a, b: F.array_intersect(a, b), slots)
+    scored = by_doc.select(
+        F.col(id_col), F.size(matches).cast("long").alias("phrase_tf")
+    ).filter(F.col("phrase_tf") > 0)
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("phrase_tf"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("phrase_tf"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "phrase_tf", "rank")
 
 
 def bm25_topk_batch_from_postings(

@@ -11139,6 +11139,67 @@ FROM s2 GROUP BY shard
 
 
 # ---------------------------------------------------------------------------
+# x100 — exact phrase search over a PERSISTED positional index: the
+# Lucene positional-postings extension of the x96 store (pos = the
+# term's 1-based positions in the raw token stream; min_token_len-
+# filtered tokens still consume positions — the position-increment
+# convention — so phrases across dropped short words correctly do
+# NOT match). Probe = the same term-prefix directory pruning, then
+# the classic positional intersection (slot i shifted by −i, folded
+# through array_intersect) as pure JVM HOFs; ranking is exact-integer
+# phrase frequency. The oracle re-derives positions, the shift, and
+# the intersection in SQL.
+# ---------------------------------------------------------------------------
+
+_X100_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS pos FROM posi GROUP BY 1, 2
+),
+m AS (
+  SELECT a.doc_id,
+         CAST(len(list_intersect(a.pos,
+                                 list_transform(b.pos, x -> x - 1)))
+              AS BIGINT) AS phrase_tf
+  FROM pl a JOIN pl b ON a.doc_id = b.doc_id
+  WHERE a.term = 'window' AND b.term = 'join'
+)
+SELECT doc_id, phrase_tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id ASC)
+            AS INT) AS rank
+FROM m WHERE phrase_tf > 0
+QUALIFY ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x100_phrase_search", oracle=_X100_ORACLE)
+def x100_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for the exact phrase "window join" via the
+    persisted positional index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_search_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x100", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    return phrase_search_topk(spark, path, ("window", "join"), k=10)
+
+
+# ---------------------------------------------------------------------------
 # cp04 — hybrid retrieval over BOTH persisted stores: the production
 # RAG shape. x57 fuses in-plan arms; here the lexical arm probes the
 # PERSISTED inverted index (term-prefix directory pruning, exact-

@@ -76,6 +76,7 @@ KERNELS = [
     "x97_bm25_index_append",
     "x98_bm25_batch_search",
     "x99_bm25_recall_eval",
+    "x100_phrase_search",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the

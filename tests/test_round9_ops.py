@@ -100,7 +100,7 @@ def test_search_index_meta_sidecar_defaults_and_rejects_conflicts(
     )
     write_search_index(p, s, path, batch_id=0, min_token_len=5, prefix_len=1)
     assert read_search_index_meta(spark, path) == {
-        "prefix_len": 1, "min_token_len": 5,
+        "prefix_len": 1, "min_token_len": 5, "positional": False,
     }
     # probe with NO prefix_len: resolves 1 from the sidecar and finds docs
     out = {
@@ -405,6 +405,72 @@ def test_search_bm25_topk_batch_matches_single_query_calls(spark, tmp_path):
         search_bm25_topk_batch(queries, path, k=7, max_query_terms=2)
     with pytest.raises(ValueError, match="max_queries"):
         search_bm25_topk_batch(queries, path, k=7, max_queries=2)
+
+
+def test_positional_index_phrase_semantics(spark, tmp_path):
+    """Adjacency, position-increment gaps, repeats, and the superset
+    claim (BM25 runs unchanged on a positional store)."""
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_positional_postings,
+        phrase_search_topk,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma filler words here"),       # alpha beta: adjacent
+        (2, "alpha of beta gamma filler words"),         # 'of' consumes a position -> gap
+        (3, "alpha beta alpha beta filler words"),       # phrase twice
+        (4, "beta alpha gamma filler words here"),       # reversed -> no match
+        (5, "echo echo tail words filler here"),         # repeated-term phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pidx")
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, path, positional=True)
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_search_topk(spark, path, ("alpha", "beta"), k=10).collect()
+    }
+    assert got == {1: 1, 3: 2}  # doc 2 gapped, doc 4 reversed
+    rep = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_search_topk(spark, path, ("echo", "echo"), k=10).collect()
+    }
+    assert rep == {5: 1}
+    tri = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_search_topk(
+            spark, path, ("alpha", "beta", "gamma"), k=10
+        ).collect()
+    }
+    assert tri == {1: 1}
+    # superset: BM25 top-k runs unchanged on the positional store
+    bm = search_bm25_topk(spark, path, ("alpha", "beta"), k=10)
+    assert {r["doc_id"] for r in bm.collect()} == {1, 2, 3, 4}
+    # appends route through the positional builder via the meta flag
+    append_search_index(
+        spark.createDataFrame(
+            [(6, "alpha beta closing words here now")], "doc_id long, text string"
+        ),
+        path, batch_id=1,
+    )
+    got2 = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_search_topk(spark, path, ("alpha", "beta"), k=10).collect()
+    }
+    assert got2 == {1: 1, 3: 2, 6: 1}
+    # guards: non-positional store, never-indexed short phrase terms
+    plain = str(tmp_path / "plain")
+    from docker_etl_spark.operators.search import build_postings
+
+    p2, s2 = build_postings(df, "text", "doc_id")
+    write_search_index(p2, s2, plain)
+    with pytest.raises(ValueError, match="not positional"):
+        phrase_search_topk(spark, plain, ("alpha", "beta"), k=10)
+    with pytest.raises(ValueError, match="min_token_len"):
+        phrase_search_topk(spark, path, ("alpha", "of"), k=10)
 
 
 def test_curation_stream_composition_and_redelivery(spark, tmp_path):
