@@ -160,10 +160,16 @@ def build_positional_postings(
 def read_search_index_meta(spark, path: str) -> dict | None:
     """The store's build parameters from its meta sidecar, or None
     for a store written before the sidecar existed (r8 layouts) —
-    callers then fall back to their explicit/default arguments."""
-    from docker_etl_spark.sources.stores import parquet_path_exists
+    callers then fall back to their explicit/default arguments.
 
-    if not parquet_path_exists(spark, path + "/meta"):
+    A meta DIRECTORY left by a crashed partial write (exists, but no
+    ``_SUCCESS`` marker and no committed data file) is reported
+    absent too — :func:`write_search_index` then rewrites it under
+    the writer lease, so first-batch redelivery self-heals instead
+    of failing every later read (r9 ADVICE)."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    if not parquet_write_completed(spark, path + "/meta"):
         return None
     row = spark.read.parquet(path + "/meta").collect()[0].asDict()
     return {
@@ -172,6 +178,23 @@ def read_search_index_meta(spark, path: str) -> dict | None:
         # r9.0 sidecars predate the flag; absent means plain postings
         "positional": bool(row.get("positional", False)),
     }
+
+
+def read_search_index_horizon(spark, path: str) -> int | None:
+    """The store's compaction horizon (highest ``up_to_batch`` any
+    :func:`compact_search_index` folded), or None if never compacted.
+    Kept as its OWN 1-row sidecar at ``{path}/horizon`` rather than a
+    meta column: the horizon is rewritten on every compaction, and a
+    crash mid-rewrite must never take the immutable build parameters
+    with it — an incomplete horizon sidecar degrades to "no guard
+    until the next compaction rewrites it", never to wrong
+    prefix_len/min_token_len."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    if not parquet_write_completed(spark, path + "/horizon"):
+        return None
+    row = spark.read.parquet(path + "/horizon").collect()[0]
+    return int(row["compacted_through"])
 
 
 def _resolve_search_meta(
@@ -239,12 +262,31 @@ def write_search_index(
     whose CONTENT differs leaves the old build's other partitions in
     place. A full rebuild must target a fresh path (or delete the old
     layout first); rebuilding in place with different build
-    parameters raises here."""
+    parameters raises here.
+
+    COMPACTION HORIZON: once :func:`compact_search_index` has folded
+    batches ≤ H into the base, a write with ``batch_id <= H``
+    (including the ``None`` → -1 base write) is REJECTED — its
+    partitions were relabeled away, so dynamic overwrite would find
+    nothing to replace and the redelivered rows would land BESIDE
+    their folded copies, double-counting postings and stats
+    (r9 ADVICE). Redelivery above the horizon stays idempotent."""
     from docker_etl_spark.sources.stores import store_writer_lock
 
     spark = postings.sparkSession
     bid = -1 if batch_id is None else batch_id
     with store_writer_lock(path, owner="write_search_index"):
+        horizon = read_search_index_horizon(spark, path)
+        if horizon is not None and bid <= horizon:
+            raise ValueError(
+                f"write_search_index: batch_id={batch_id} is at or below "
+                f"the store's compaction horizon {horizon} at {path} — "
+                "those partitions were folded into the base, so this "
+                "write would double-count postings/stats instead of "
+                "replacing them; redeliver only batches above the "
+                "horizon (pick compaction horizons older than any batch "
+                "your source can still redeliver)"
+            )
         existing = read_search_index_meta(spark, path)
         if existing is not None and (
             existing["prefix_len"] != prefix_len
@@ -333,7 +375,12 @@ def append_search_index(
             .select(F.col(id_col))
             .distinct()
         )
-        new_docs = new_docs.join(seen, id_col, "left_anti")
+        # Eager barrier (r9 ADVICE): the anti-join reads the same
+        # postings root the write below dynamically overwrites — the
+        # read-then-overwrite-same-path hazard. Materializing the
+        # surviving batch here (batch-sized, the curation_stream
+        # discipline) means no store scan is live during the write.
+        new_docs = new_docs.join(seen, id_col, "left_anti").localCheckpoint()
     builder = build_positional_postings if positional else build_postings
     postings, stats = builder(
         new_docs, text_col, id_col, min_token_len, prefix_len
@@ -611,6 +658,135 @@ def phrase_search_topk(
     ).select(id_col, "phrase_tf", "rank")
 
 
+def proximity_search_topk(
+    spark,
+    path: str,
+    terms: tuple[str, ...],
+    slop: int = 0,
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_positions_per_term: int = 128,
+) -> DataFrame:
+    """Unordered proximity search over a PERSISTED positional index:
+    rank documents by the MINIMAL SPAN of raw-token positions that
+    covers every query term at least once (the classic MinSpan /
+    Lucene sloppy-phrase measure, order-insensitive), keeping
+    documents whose span fits ``len(terms) + slop`` — ``slop=0``
+    means the terms are adjacent in SOME order, larger slop allows
+    that many intervening tokens.
+
+    Probe shape is :func:`phrase_search_topk`'s: term-prefix
+    directory pruning, pivot each doc's per-term position lists into
+    a map, then pure JVM HOFs — candidate (min, max) envelopes grow
+    one term at a time via nested ``transform``/``flatten`` (the
+    cross product of position choices), and the span is the envelope
+    width. The combo count per document is Π min(tf_i, cap) with
+    ``max_positions_per_term`` capping each list (positions ascend,
+    so the cap keeps the document PREFIX — exact for all but
+    pathological term-stuffed docs; raise it for exactness on those).
+    Proximity queries are short by nature (2-4 terms); for longer
+    bags use :func:`search_bm25_topk`, whose cost is linear.
+
+    Output: (id_col, min_span, rank) — rank ascending by span (a
+    tighter cluster of the terms ranks higher), ties on lower id;
+    top-k via orderBy+limit (TakeOrderedAndProject, map-side).
+    Raises on non-positional stores, duplicate/short terms, or
+    more than 4 terms (the combo product is exponential in terms).
+    """
+    from functools import reduce
+
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"proximity_search_topk: store at {path} is not positional — "
+            "build it with build_positional_postings to enable proximity "
+            "probes"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "proximity_search_topk"
+    )
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "proximity_search_topk: duplicate query terms — min-span over "
+            "a bag with repeats is ill-defined here; pass distinct terms"
+        )
+    if not 2 <= len(terms) <= 4:
+        raise ValueError(
+            "proximity_search_topk: takes 2-4 distinct terms (the combo "
+            "product is exponential in term count; use search_bm25_topk "
+            "for longer bags)"
+        )
+    short = [t for t in terms if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"proximity_search_topk: terms {short} are shorter than the "
+            f"store's min_token_len={mtl} — they were never indexed"
+        )
+    tlist = sorted(terms)
+    prefixes = sorted({t[:prefix_len] for t in tlist})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(tlist)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"proximity_search_topk: postings at {path} carry no 'pos' "
+            "column — not a positional store"
+        )
+    by_doc = (
+        p.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "pos"))
+            ).alias("__tp"),
+            F.count("*").alias("__nt"),
+        )
+        # only documents containing EVERY query term can have a span
+        .filter(F.col("__nt") == len(tlist))
+    )
+
+    def _capped(term: str):
+        return F.slice(
+            F.element_at("__tp", F.lit(term)), 1, max_positions_per_term
+        )
+
+    cand = F.transform(
+        _capped(tlist[0]), lambda q: F.struct(q.alias("mn"), q.alias("mx"))
+    )
+
+    def _extend(prev, term: str):
+        return F.flatten(
+            F.transform(
+                prev,
+                lambda c: F.transform(
+                    _capped(term),
+                    lambda q: F.struct(
+                        F.least(c["mn"], q).alias("mn"),
+                        F.greatest(c["mx"], q).alias("mx"),
+                    ),
+                ),
+            )
+        )
+
+    cand = reduce(_extend, tlist[1:], cand)
+    span = F.array_min(
+        F.transform(cand, lambda c: c["mx"] - c["mn"] + F.lit(1))
+    ).cast("long")
+    scored = by_doc.select(
+        F.col(id_col), span.alias("min_span")
+    ).filter(F.col("min_span") <= len(tlist) + slop)
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.asc("min_span"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("min_span"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "min_span", "rank")
+
+
 def bm25_topk_batch_from_postings(
     postings: DataFrame,
     stats: DataFrame,
@@ -626,14 +802,23 @@ def bm25_topk_batch_from_postings(
     full tokenization. ``query_terms`` is the exploded (query_id,
     term) pair frame. The postings stream is bounded to matched terms
     behind a lazy barrier so the tokenize pass is not re-evaluated by
-    the df subtree."""
+    the df subtree.
+
+    ``stats`` may carry MULTIPLE delta rows (e.g. un-folded
+    ``{path}/stats`` reads): it is SUM-folded to one (n_docs, sum_dl)
+    row here before the crossJoin — a multi-row stats frame would
+    otherwise silently duplicate every scored row (r9 ADVICE)."""
     pf = postings.join(
         F.broadcast(query_terms.select("term").distinct()),
         "term",
         "left_semi",
     ).localCheckpoint(eager=False)
     dfreq = pf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    scored = _integer_term_scores(pf, dfreq, stats, id_col)
+    totals = stats.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    scored = _integer_term_scores(pf, dfreq, totals, id_col)
     per_query = scored.join(F.broadcast(query_terms), "term").select(
         query_id_col, id_col, "__ts"
     )
@@ -667,17 +852,44 @@ def compact_search_index(
       ``__batch_id`` — the deltas are mergeable by construction, so
       below-horizon history collapses to one exact row.
 
+    The horizon is RECORDED FIRST — a 1-row ``{path}/horizon``
+    sidecar rewritten under the writer lease before either fold —
+    and :func:`write_search_index` rejects any ``batch_id`` at or
+    below it: a source redelivering a folded batch would otherwise
+    land its partitions BESIDE the folded copies (dynamic overwrite
+    finds nothing to replace once relabeled), double-counting
+    postings rows and stats deltas (r9 ADVICE). Pick the horizon as
+    "older than any batch the source can still redeliver AND any
+    snapshot you still replay". Crash ordering: horizon-then-fold
+    means a crash between them leaves the guard active and the folds
+    pending — re-running the compaction completes them; the store
+    stays read-consistent throughout.
+
     A crash between the two folds leaves postings folded and stats
     not (or vice versa) — still a CONSISTENT store: both reads merge
     across ``__batch_id`` values, and folding is read-neutral for
     full reads and for ``as_of_batch`` ≥ the horizon. Snapshot reads
-    BELOW ``up_to_batch`` lose per-batch granularity by design —
-    pick the horizon as "older than any snapshot you still replay".
+    BELOW ``up_to_batch`` lose per-batch granularity by design.
 
     Returns {"postings": {...}, "stats": {...}} (rows / files
     before / after per store half).
     """
-    from docker_etl_spark.sources.stores import compact_partitioned_store
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        store_writer_lock,
+    )
+
+    with store_writer_lock(path, owner="compact_search_index"):
+        prior = read_search_index_horizon(spark, path)
+        if prior is None or up_to_batch > prior:
+            (
+                spark.createDataFrame(
+                    [(int(up_to_batch),)], "compacted_through long"
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(path + "/horizon")
+            )
 
     def relabel(df: DataFrame) -> DataFrame:
         return df.withColumn(

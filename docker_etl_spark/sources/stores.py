@@ -364,3 +364,32 @@ def parquet_path_exists(spark, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def parquet_write_completed(spark, path: str) -> bool:
+    """Existence check that also REJECTS a crashed partial write: the
+    directory must exist AND carry either Spark's ``_SUCCESS`` job-
+    commit marker or at least one committed data file (``_temporary``
+    task staging is skipped — files there never job-committed).
+
+    Sidecar readers need this instead of :func:`parquet_path_exists`
+    (ADVICE r9): a crash between ``mkdir`` and job commit of a 1-row
+    sidecar (search-index meta, horizon markers) leaves a directory
+    that EXISTS but cannot be read, and an exists-only probe then
+    fails every later read/write instead of letting the lock-guarded
+    rewrite self-heal. An incomplete sidecar is reported absent, so
+    the next writer rewrites it under the store lease."""
+    local = _local_path(path)
+    if local is None:
+        # Object stores have no partial-directory state to recover
+        # (job commit IS the object PUT); fall back to existence.
+        return parquet_path_exists(spark, path)
+    if not os.path.isdir(local):
+        return False
+    if os.path.exists(os.path.join(local, "_SUCCESS")):
+        return True
+    for root, dirs, files in os.walk(local):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

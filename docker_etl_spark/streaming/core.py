@@ -851,8 +851,12 @@ def curation_stream(
     redelivery after full completion exact-drops everything
     immediately. Duplicate digest/signature rows from partial
     redeliveries are results-neutral (both probes are
-    anti-join/distinct-shaped) and reclaimed by ``compact_every``
-    (which folds BOTH stores on schedule).
+    anti-join/distinct-shaped); ``compact_every`` folds BOTH stores'
+    file counts on schedule, and the digest fold also DEDUPLICATES
+    rows (a ``dropDuplicates`` transform — safe because the digest
+    probe is a pure anti-join on ``content_md5``). Signature-store
+    duplicate rows persist across compaction (its fold preserves
+    rows); they cost bytes, never results (r9 ADVICE).
 
     Batch-boundary semantics are :func:`minhash_dedup_stream`'s:
     cross-batch near-dup comparisons see earlier SURVIVORS only,
@@ -910,7 +914,8 @@ def curation_stream(
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitioned_store(
-                spark, digest_store_path, ("digest_prefix",)
+                spark, digest_store_path, ("digest_prefix",),
+                transform=lambda df: df.dropDuplicates(),
             )
 
     return _sink

@@ -1,0 +1,245 @@
+"""Round-10 operator tests: r9 ADVICE hardening — crashed-partial
+meta sidecar self-heal, the compaction-horizon redelivery guard,
+multi-row stats folding in the batch-BM25 ground-truth arm, the
+eager append anti-join barrier, and digest-store dedup on
+curation_stream compaction."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _search_docs(spark):
+    rows = [
+        (1, "hash join window hash"),
+        (2, "vector hash index probe"),
+        (3, "window join join window scan"),
+        (4, "totally unrelated words here"),
+        (5, "hash hash hash vector"),
+        (6, "join vector window vector"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# parquet_write_completed + meta sidecar crash window (r9 ADVICE #1)
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_write_completed_rejects_partial_dirs(spark, tmp_path):
+    """A bare directory (crashed before job commit) and a dir holding
+    only _temporary task staging are 'absent'; a _SUCCESS marker or a
+    committed data file means 'present'."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    missing = str(tmp_path / "nope")
+    assert not parquet_write_completed(spark, missing)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert not parquet_write_completed(spark, str(empty))
+
+    staging = tmp_path / "staging"
+    (staging / "_temporary" / "0").mkdir(parents=True)
+    (staging / "_temporary" / "0" / "part-0.parquet").write_bytes(b"x")
+    assert not parquet_write_completed(spark, str(staging))
+
+    committed = str(tmp_path / "committed")
+    spark.createDataFrame([(1,)], "a int").write.parquet(committed)
+    assert parquet_write_completed(spark, committed)
+
+    # data file present but marker lost (e.g. cleanup tooling): still
+    # complete — the file only reaches the top level after job commit
+    no_marker = tmp_path / "nomarker"
+    no_marker.mkdir()
+    src = glob.glob(committed + "/*.parquet")[0]
+    os.link(src, str(no_marker / os.path.basename(src)))
+    assert parquet_write_completed(spark, str(no_marker))
+
+
+def test_incomplete_meta_sidecar_self_heals(spark, tmp_path):
+    """A crashed partial meta write (directory exists, nothing
+    committed) must read as absent and be rewritten by the next
+    write under the lease — not fail every later probe (r9 ADVICE)."""
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        read_search_index_meta,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    df = _search_docs(spark)
+    path = str(tmp_path / "idx")
+    # simulate the crash window: meta dir created, write never committed
+    (tmp_path / "idx" / "meta").mkdir(parents=True)
+    assert read_search_index_meta(spark, path) is None
+
+    p, s = build_postings(df, "text", "doc_id", min_token_len=4, prefix_len=1)
+    write_search_index(p, s, path, batch_id=0, min_token_len=4, prefix_len=1)
+    # the redelivered first write healed the sidecar
+    assert read_search_index_meta(spark, path) == {
+        "prefix_len": 1, "min_token_len": 4, "positional": False,
+    }
+    got = {
+        r["doc_id"]
+        for r in search_bm25_topk(spark, path, ("window",), k=10).collect()
+    }
+    assert got == {1, 3, 6}
+
+
+# ---------------------------------------------------------------------------
+# Compaction horizon: redelivery at/below the fold is rejected (r9 ADVICE #3)
+# ---------------------------------------------------------------------------
+
+
+def test_write_below_compaction_horizon_rejected(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        compact_search_index,
+        read_search_index_horizon,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    df = _search_docs(spark)
+    path = str(tmp_path / "idx")
+    b = {i: df.filter(F.col("doc_id") % 3 == i) for i in range(3)}
+    p0, s0 = build_postings(b[0], "text", "doc_id")
+    write_search_index(p0, s0, path, batch_id=0)
+    append_search_index(b[1], path, batch_id=1)
+    append_search_index(b[2], path, batch_id=2)
+    assert read_search_index_horizon(spark, path) is None
+    expect = sorted(
+        map(
+            tuple,
+            search_bm25_topk(spark, path, ("hash", "join"), k=30).collect(),
+        )
+    )
+
+    compact_search_index(spark, path, up_to_batch=1)
+    assert read_search_index_horizon(spark, path) == 1
+
+    # redelivering a folded batch would double-count: rejected
+    with pytest.raises(ValueError, match="compaction horizon"):
+        append_search_index(b[1], path, batch_id=1)
+    p1, s1 = build_postings(b[1], "text", "doc_id")
+    with pytest.raises(ValueError, match="compaction horizon"):
+        write_search_index(p1, s1, path, batch_id=0)
+    # the base write (batch_id=None -> -1) is below any horizon
+    with pytest.raises(ValueError, match="compaction horizon"):
+        write_search_index(p1, s1, path)
+
+    # redelivery ABOVE the horizon stays idempotent; results unchanged
+    append_search_index(b[2], path, batch_id=2)
+    got = sorted(
+        map(
+            tuple,
+            search_bm25_topk(spark, path, ("hash", "join"), k=30).collect(),
+        )
+    )
+    assert got == expect
+
+    # a later, higher compaction raises the horizon; a lower one never
+    # lowers it
+    compact_search_index(spark, path, up_to_batch=2)
+    assert read_search_index_horizon(spark, path) == 2
+    compact_search_index(spark, path, up_to_batch=1)
+    assert read_search_index_horizon(spark, path) == 2
+
+
+# ---------------------------------------------------------------------------
+# Multi-row stats frames fold instead of duplicating rows (r9 ADVICE #4)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_batch_from_postings_folds_multirow_stats(spark):
+    from docker_etl_spark.operators.search import (
+        bm25_topk_batch_from_postings,
+        build_postings,
+    )
+
+    df = _search_docs(spark)
+    lo, hi = df.filter(F.col("doc_id") <= 3), df.filter(F.col("doc_id") > 3)
+    p_lo, s_lo = build_postings(lo, "text", "doc_id")
+    p_hi, s_hi = build_postings(hi, "text", "doc_id")
+    postings = p_lo.unionByName(p_hi)
+    folded = postings.sparkSession.createDataFrame(
+        [
+            (
+                int(s_lo.collect()[0][0]) + int(s_hi.collect()[0][0]),
+                int(s_lo.collect()[0][1]) + int(s_hi.collect()[0][1]),
+            )
+        ],
+        "n_docs long, sum_dl long",
+    )
+    qt = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "window")], "query_id int, term string"
+    )
+    expect = sorted(
+        map(
+            tuple,
+            bm25_topk_batch_from_postings(postings, folded, qt, k=10).collect(),
+        )
+    )
+    # two un-folded delta rows must give the SAME ranking, not
+    # duplicate every scored row through the crossJoin
+    deltas = s_lo.unionByName(s_hi)
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk_batch_from_postings(postings, deltas, qt, k=10).collect(),
+        )
+    )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# curation_stream compaction dedupes digest rows (r9 ADVICE #5)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_stream_compaction_dedupes_digest_rows(spark, tmp_path):
+    """A partial redelivery leaves duplicate digest rows; the
+    scheduled digest-store fold must reclaim them (results were
+    already neutral — this pins the storage claim)."""
+    from docker_etl_spark.streaming import curation_stream
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog near bank %d" % i)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dstore = str(tmp_path / "digests")
+    sink = curation_stream(
+        dstore,
+        str(tmp_path / "sigs"),
+        str(tmp_path / "out"),
+        min_words=5,
+        min_stopwords=1,
+        digest_prefix_chars=1,
+        compact_every=2,
+    )
+    b0 = df.filter(F.col("doc_id") < 4)
+    sink(b0, 0)
+    # simulate the partial-redelivery duplicate: the digest append
+    # re-lands rows a crashed first delivery already wrote (a FULL
+    # redelivery exact-drops everything, so duplicates only arise
+    # from the crash-between-stages window)
+    from docker_etl_spark.operators.dedupe import write_digest_store
+
+    write_digest_store(
+        spark.read.parquet(dstore).select("content_md5"),
+        dstore,
+        prefix_chars=1,
+        mode="append",
+    )
+    dup = spark.read.parquet(dstore)
+    assert dup.count() > dup.select("content_md5").distinct().count()
+    # batch 1 hits the compact_every boundary -> fold + dedup
+    sink(df.filter(F.col("doc_id") >= 4), 1)
+    final = spark.read.parquet(dstore)
+    assert final.count() == final.select("content_md5").distinct().count()
+    assert final.select("content_md5").distinct().count() == 8
