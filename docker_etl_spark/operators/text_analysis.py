@@ -326,6 +326,89 @@ def bigram_lm_scores(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Adjacent-pair collocation mining by pointwise mutual
+    information — the corpus-analysis primitive behind phrase
+    vocabularies, tokenizer merge seeding, and query expansion
+    (Church & Hanks 1990). For an adjacent word pair (w1, w2):
+
+        pmi = ln( c(w1 w2) · N / (c(w1 ·) · c(· w2)) )
+
+    with N the corpus bigram total and the marginals counted in
+    PAIR POSITION (c(w1 ·) = bigrams starting with w1, c(· w2) =
+    bigrams ending with w2 — they sum to N exactly, so pmi is a true
+    log-odds against the independence model).
+
+    Cross-engine discipline: all four counts are exact integers from
+    the SAME compact bigram-count table (one explode pass, one
+    shuffle, lazy-barriered — the :func:`bigram_lm_scores` recipe);
+    the ratio is formed in IEEE doubles (cast BEFORE multiplying —
+    c·N overflows int64 at 100 TB corpus sizes) and quantized ONCE:
+    ``pmi_scaled = round(scale · ln(ratio))`` (the BM25-idf recipe, so
+    rankings hash-match any engine). ``min_count`` drops rare pairs
+    BEFORE the marginal joins (PMI's known rare-pair pathology:
+    singleton pairs of singleton words score ln N) — marginals still
+    count the FULL table.
+
+    Scale: the explode pass over the corpus runs exactly once; the
+    count table and both marginal tables are vocabulary-bounded, so
+    every join after the first aggregate is vocab-scale, not
+    corpus-scale.
+
+    Returns (w1, w2, n_pair, pmi_scaled) — every surviving pair,
+    unranked; take a global top-k (orderBy+limit → TakeOrdered) or a
+    per-w1 group top-k (``row_number() <= k`` → WindowGroupLimit)
+    downstream.
+    """
+    from docker_etl_spark.operators._util import spread_for_compute
+
+    toks = tokens(text_col)
+    m = F.size(toks) - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = F.when(F.size(toks) >= 2, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
+    pairs = (
+        spread_for_compute(df.select(F.col(text_col)))
+        .select(F.explode(bg).alias("b"))
+        .select(
+            F.split(F.col("b"), " ").getItem(0).alias("w1"),
+            F.split(F.col("b"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = pairs.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_w1"))
+    c2 = pairs.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_w2"))
+    nb = pairs.agg(F.sum("n_pair").cast("long").alias("n_total"))
+    ratio = (
+        F.col("n_pair").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
+    return (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.log(ratio) * scale).cast("long").alias("pmi_scaled"),
+        )
+    )
+
+
 def vocab_oov_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -11361,3 +11361,258 @@ def cp03_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight").cast("long").alias("total_tokens"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x101 — unordered proximity (min-span) search over the PERSISTED
+# positional index: rank documents by the smallest raw-position
+# window covering every query term (MinSpan / Lucene sloppy phrase,
+# order-insensitive), keep spans <= len(terms)+slop. The probe is
+# x100's shape (term-prefix directory pruning, per-doc position-list
+# pivot) and the span search is pure JVM HOFs — candidate (min, max)
+# envelopes grown one term at a time. Per-term position lists are
+# capped at 128 (the list PREFIX — positions ascend), which the
+# oracle replays with a ROW_NUMBER() <= 128 slice.
+# ---------------------------------------------------------------------------
+
+_X101_SLOP = 3
+
+_X101_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+capped AS (
+  SELECT doc_id, term, pos
+  FROM posi
+  WHERE term IN ('window', 'join')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, term ORDER BY pos) <= 128
+),
+spans AS (
+  SELECT a.doc_id,
+         CAST(MIN(greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1)
+              AS BIGINT) AS min_span
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id
+  WHERE a.term = 'window' AND b.term = 'join'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, min_span,
+       CAST(ROW_NUMBER() OVER (ORDER BY min_span ASC, doc_id ASC) AS INT)
+           AS rank
+FROM spans WHERE min_span <= 2 + {_X101_SLOP}
+QUALIFY ROW_NUMBER() OVER (ORDER BY min_span ASC, doc_id ASC) <= 10
+"""
+
+
+@register("x101_proximity_search", oracle=_X101_ORACLE)
+def x101_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs where 'window' and 'join' cluster within slop=3,
+    via the persisted positional index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        proximity_search_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x101", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    return proximity_search_topk(
+        spark, path, ("window", "join"), slop=_X101_SLOP, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# x102 — PMI collocation mining (Church & Hanks): top adjacent word
+# pairs by pointwise mutual information against the independence
+# model, marginals counted in pair position so they sum to the
+# bigram total exactly. All counts are exact integers off ONE
+# compact bigram-count table (one explode pass over the corpus);
+# the ratio forms in IEEE doubles (cast before multiply — c*N
+# overflows int64 at 100 TB) and quantizes once at 1e6*ln (the
+# BM25-idf recipe). min_count=5 drops the rare-pair pathology
+# BEFORE the marginal joins; top-20 via orderBy+limit
+# (TakeOrderedAndProject — never a global sort of the pair table).
+# ---------------------------------------------------------------------------
+
+_X102_MIN_COUNT = 5
+
+_X102_ORACLE = f"""
+WITH tok AS (
+  SELECT string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> {{'w1': w[i], 'w2': w[i+1]}})) AS u
+    FROM tok
+  )
+),
+cp AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM cp GROUP BY 1),
+c2 AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_w2 FROM cp GROUP BY 1),
+nt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM cp),
+scored AS (
+  SELECT cp.w1, cp.w2, cp.n_pair,
+         CAST(round(ln((CAST(cp.n_pair AS DOUBLE) * CAST(nt.n_total AS DOUBLE))
+                       / (CAST(c1.n_w1 AS DOUBLE) * CAST(c2.n_w2 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS pmi_scaled
+  FROM cp JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nt
+  WHERE cp.n_pair >= {_X102_MIN_COUNT}
+)
+SELECT w1, w2, n_pair, pmi_scaled,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC)
+            AS INT) AS rank
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC) <= 20
+"""
+
+
+@register("x102_pmi_collocations", oracle=_X102_ORACLE)
+def x102_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by quantized PMI (min pair count 5)."""
+    from pyspark.sql import Window
+
+    from docker_etl_spark.operators.text_analysis import pmi_collocations
+
+    d = load_docs_spread(spark, sf_dir)
+    scored = pmi_collocations(d, min_count=_X102_MIN_COUNT)
+    order = [F.desc("pmi_scaled"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# cp05 — PMI-expanded retrieval: query expansion (pseudo-thesaurus
+# from x102's collocation table — each base term contributes its
+# top-PMI right partner) feeding the PERSISTED BM25 index probe
+# (x96's exact-integer chain). The expansion set is bounded
+# (|terms| extra strings, one driver round-trip — the probed-cells
+# pattern), so the probe stays prefix-directory-pruned. The oracle
+# re-derives the PMI partner selection AND the expanded BM25
+# ranking, pinning the composition end-to-end.
+# ---------------------------------------------------------------------------
+
+_CP05_BASE = ("hash", "join")
+
+_CP05_ORACLE = f"""
+WITH tok AS (
+  SELECT string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> {{'w1': w[i], 'w2': w[i+1]}})) AS u
+    FROM tok
+  )
+),
+cp AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM cp GROUP BY 1),
+c2 AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_w2 FROM cp GROUP BY 1),
+nt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM cp),
+scored AS (
+  SELECT cp.w1, cp.w2, cp.n_pair,
+         CAST(round(ln((CAST(cp.n_pair AS DOUBLE) * CAST(nt.n_total AS DOUBLE))
+                       / (CAST(c1.n_w1 AS DOUBLE) * CAST(c2.n_w2 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS pmi_scaled
+  FROM cp JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nt
+  WHERE cp.n_pair >= {_X102_MIN_COUNT}
+),
+base AS (SELECT unnest(['hash', 'join']) AS term),
+partners AS (
+  SELECT w2 AS term FROM scored JOIN base ON scored.w1 = base.term
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY w1
+                             ORDER BY pmi_scaled DESC, w2 ASC) = 1
+),
+exp_terms AS (
+  SELECT term FROM base UNION SELECT term FROM partners
+),
+d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN (SELECT term FROM exp_terms)
+    GROUP BY 1, 2, 3
+),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ts AS (
+    SELECT tf.doc_id,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * tf.tf * s.sum_dl)
+           // (16 * tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * tf.dl * s.n_docs)
+               AS term_score
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+),
+aggd AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score) AS BIGINT) AS score_scaled
+    FROM ts GROUP BY 1
+)
+SELECT doc_id, n_terms, score_scaled,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS INT)
+           AS rank
+FROM aggd
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) <= 10
+"""
+
+
+@register("cp05_pmi_expanded_retrieval", oracle=_CP05_ORACLE)
+def cp05_pmi_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand ('hash', 'join') with each term's top-PMI partner, then
+    BM25 top-10 through the persisted index."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+    from docker_etl_spark.operators.text_analysis import pmi_collocations
+
+    d = load_docs_spread(spark, sf_dir)
+    scored = pmi_collocations(d, min_count=_X102_MIN_COUNT)
+    w = Window.partitionBy("w1").orderBy(F.desc("pmi_scaled"), F.asc("w2"))
+    partners = (
+        scored.filter(F.col("w1").isin(list(_CP05_BASE)))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("w2")
+        .collect()
+    )
+    expanded = tuple(sorted(set(_CP05_BASE) | {r["w2"] for r in partners}))
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("cp05", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    return search_bm25_topk(spark, path, expanded, id_col="doc_id", k=10)

@@ -77,6 +77,9 @@ KERNELS = [
     "x98_bm25_batch_search",
     "x99_bm25_recall_eval",
     "x100_phrase_search",
+    "x101_proximity_search",
+    "x102_pmi_collocations",
+    "cp05_pmi_expanded_retrieval",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the

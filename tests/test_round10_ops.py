@@ -243,3 +243,209 @@ def test_curation_stream_compaction_dedupes_digest_rows(spark, tmp_path):
     final = spark.read.parquet(dstore)
     assert final.count() == final.select("content_md5").distinct().count()
     assert final.select("content_md5").distinct().count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Proximity (min-span) search over the positional index
+# ---------------------------------------------------------------------------
+
+
+def _positional_store(spark, tmp_path, name="prox"):
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # span(alpha,gamma)=3
+        (2, "alpha filler filler filler gamma"),  # span=5
+        (3, "gamma alpha other words"),         # span=2 (order-free)
+        (4, "alpha words only here"),           # gamma absent
+        (5, "gamma beta words alpha gamma"),    # span=2 (alpha@4,gamma@5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / name)
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, path, positional=True)
+    return path
+
+
+def test_proximity_search_min_span_and_slop(spark, tmp_path):
+    from docker_etl_spark.operators.search import proximity_search_topk
+
+    path = _positional_store(spark, tmp_path)
+    # slop=0: adjacent in some order -> docs 3 and 5 (span 2)
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in proximity_search_topk(
+            spark, path, ("alpha", "gamma"), slop=0
+        ).collect()
+    }
+    assert got == {3: 2, 5: 2}
+    # slop=1 adds doc 1 (span 3); slop=3 adds doc 2 (span 5)
+    out = proximity_search_topk(
+        spark, path, ("alpha", "gamma"), slop=3, k=10
+    ).collect()
+    assert [(r["doc_id"], r["min_span"], r["rank"]) for r in out] == [
+        (3, 2, 1), (5, 2, 2), (1, 3, 3), (2, 5, 4),
+    ]
+    # three terms: doc 1 only (alpha beta gamma adjacent -> span 3)
+    got3 = proximity_search_topk(
+        spark, path, ("alpha", "beta", "gamma"), slop=0
+    ).collect()
+    assert [(r["doc_id"], r["min_span"]) for r in got3] == [(1, 3)]
+
+
+def test_proximity_search_guards(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        proximity_search_topk,
+        write_search_index,
+    )
+
+    path = _positional_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate"):
+        proximity_search_topk(spark, path, ("alpha", "alpha"))
+    with pytest.raises(ValueError, match="2-4"):
+        proximity_search_topk(spark, path, ("alpha",))
+    with pytest.raises(ValueError, match="shorter than"):
+        proximity_search_topk(spark, path, ("alpha", "is"))
+    flat = str(tmp_path / "flat")
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, flat)
+    with pytest.raises(ValueError, match="not positional"):
+        proximity_search_topk(spark, flat, ("alpha", "beta"))
+
+
+def test_proximity_position_cap_replayable(spark, tmp_path):
+    """The per-term position cap keeps the list PREFIX — capped
+    results are a deterministic function of the cap (the oracle
+    replays the same slice)."""
+    from docker_etl_spark.operators.search import proximity_search_topk
+
+    rows = [(1, "alpha " + "pad " * 20 + "alpha gamma end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        write_search_index,
+    )
+
+    path = str(tmp_path / "cap")
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, path, positional=True)
+    # uncapped: alpha@22 next to gamma@23 -> span 2
+    full = proximity_search_topk(
+        spark, path, ("alpha", "gamma"), slop=30, k=5
+    ).collect()
+    assert [(r["doc_id"], r["min_span"]) for r in full] == [(1, 2)]
+    # cap=1 keeps only alpha@1 -> span 23
+    capped = proximity_search_topk(
+        spark, path, ("alpha", "gamma"), slop=30, k=5,
+        max_positions_per_term=1,
+    ).collect()
+    assert [(r["doc_id"], r["min_span"]) for r in capped] == [(1, 23)]
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_exact_counts(spark):
+    import math
+
+    from docker_etl_spark.operators.text_analysis import pmi_collocations
+
+    rows = [
+        (1, "new york new york"),
+        (2, "san francisco"),
+        (3, "new jersey"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_scaled"])
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    # bigrams: new york x2, york new x1, san francisco x1, new jersey x1
+    # N=5; c(new .)=3, c(. york)=2 -> pmi = ln(2*5/(3*2))
+    assert set(out) == {("new", "york")}
+    n_pair, pmi = out[("new", "york")]
+    assert n_pair == 2
+    assert pmi == round(1_000_000 * math.log(10 / 6))
+    # min_count=1 surfaces all four pairs; marginals unchanged
+    all_pairs = {
+        (r["w1"], r["w2"]): r["pmi_scaled"]
+        for r in pmi_collocations(df, min_count=1).collect()
+    }
+    assert len(all_pairs) == 4
+    # san francisco: ln(1*5/(1*1)) = ln 5 -- the rare-pair pathology
+    # min_count exists to drop
+    assert all_pairs[("san", "francisco")] == round(1_000_000 * math.log(5))
+
+
+# ---------------------------------------------------------------------------
+# Positional store: streaming ingest parity + compaction preserves phrases
+# ---------------------------------------------------------------------------
+
+
+def test_positional_store_streaming_ingest_and_compaction(spark, tmp_path):
+    """append_search_index dispatches the positional builder from the
+    meta sidecar, so search_index_stream ingests into a positional
+    store unchanged; folding batch deltas must leave phrase and
+    proximity probes bit-identical."""
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        compact_search_index,
+        phrase_search_topk,
+        proximity_search_topk,
+        write_search_index,
+    )
+    from docker_etl_spark.streaming import search_index_stream
+
+    rows = [
+        (i, ["alpha beta gamma", "beta gamma words", "gamma alpha beta",
+             "plain filler text"][i % 4] + f" tail{i}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ref = str(tmp_path / "ref")
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, ref, positional=True)
+    want_phrase = sorted(
+        map(tuple, phrase_search_topk(spark, ref, ("beta", "gamma"), k=30).collect())
+    )
+    want_prox = sorted(
+        map(
+            tuple,
+            proximity_search_topk(
+                spark, ref, ("alpha", "gamma"), slop=2, k=30
+            ).collect(),
+        )
+    )
+
+    store = str(tmp_path / "stream")
+    p0, s0 = build_positional_postings(
+        df.filter(F.col("doc_id") % 3 == 0), "text", "doc_id"
+    )
+    write_search_index(p0, s0, store, batch_id=0, positional=True)
+    sink = search_index_stream(store)
+    for i in (1, 2):
+        sink(df.filter(F.col("doc_id") % 3 == i), i)
+    assert sorted(
+        map(tuple, phrase_search_topk(spark, store, ("beta", "gamma"), k=30).collect())
+    ) == want_phrase
+
+    compact_search_index(spark, store, up_to_batch=2)
+    assert sorted(
+        map(tuple, phrase_search_topk(spark, store, ("beta", "gamma"), k=30).collect())
+    ) == want_phrase
+    assert sorted(
+        map(
+            tuple,
+            proximity_search_topk(
+                spark, store, ("alpha", "gamma"), slop=2, k=30
+            ).collect(),
+        )
+    ) == want_prox
