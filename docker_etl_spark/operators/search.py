@@ -658,6 +658,138 @@ def phrase_search_topk(
     ).select(id_col, "phrase_tf", "rank")
 
 
+def phrase_search_topk_batch(
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_queries: int | None = 4096,
+    max_query_terms: int = 4096,
+) -> DataFrame:
+    """Exact phrase search for a SET of phrases in ONE plan — the
+    batch shape :func:`phrase_search_topk` cannot give (one Python
+    tuple per call → one Spark job per phrase from a driver loop; an
+    eval set must be one pruned scan, the
+    :func:`search_bm25_topk_batch` argument applied to positions).
+
+    ``queries`` is (query_id, phrase array<string>) with the phrase
+    IN ORDER (slot i = position offset i, repeats allowed — "big
+    data big" is three slots). One bounded driver round-trip collects
+    the distinct term set (≤ ``max_query_terms``; it becomes the
+    static ``__pfx`` IN partition filter and the term IN pushed
+    filter), then the plan scans the positional postings exactly
+    once; the (query_id, slot, term) triples and per-query phrase
+    lengths are broadcast. Per (query, doc): each slot's positions
+    shift by −slot, a document qualifies when EVERY slot matched
+    (repeated terms included — COUNT(DISTINCT slot) = phrase length),
+    and phrase_tf = |fold of array_intersect over the shifted lists|
+    (associative+commutative, so the unordered collect is safe — only
+    the SIZE is consumed). Per-query top-k is ``row_number() <= k``
+    partitioned by query (WindowGroupLimit — map-side), so no
+    corpus-scale data concentrates anywhere even for stopword-grade
+    phrase terms.
+
+    Output: (query_id, id_col, phrase_tf, rank) — a phrase matching
+    no document is absent (left-join the query set downstream to
+    surface zeros, the x93 eval recipe). Raises on non-positional
+    stores and on phrase terms shorter than the store's
+    min_token_len (never indexed — the phrase cannot match; filter
+    such phrases out upstream)."""
+    spark = queries.sparkSession
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"phrase_search_topk_batch: store at {path} is not "
+            "positional — build it with build_positional_postings to "
+            "enable phrase probes"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "phrase_search_topk_batch"
+    )
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"phrase_search_topk_batch: query set exceeds max_queries="
+                f"{max_queries}; the (query_id, slot, term) triples are "
+                "broadcast — chunk the eval set or raise the guard"
+            )
+    qslots = queries.select(
+        F.col(query_id_col),
+        F.posexplode(F.col(phrase_col)).alias("__slot", "term"),
+    )
+    term_rows = (
+        qslots.select("term").distinct().limit(max_query_terms + 1).collect()
+    )
+    if len(term_rows) > max_query_terms:
+        raise ValueError(
+            f"phrase_search_topk_batch: distinct phrase terms exceed "
+            f"max_query_terms={max_query_terms}; the term set drives "
+            "partition pruning and must stay driver-bounded"
+        )
+    terms = sorted(r["term"] for r in term_rows)
+    short = [t for t in terms if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"phrase_search_topk_batch: phrase terms {short} are shorter "
+            f"than the store's min_token_len={mtl} — they were never "
+            "indexed, so their phrases cannot match"
+        )
+    prefixes = sorted({t[:prefix_len] for t in terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(terms)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"phrase_search_topk_batch: postings at {path} carry no "
+            "'pos' column — not a positional store"
+        )
+    j = p.join(F.broadcast(qslots), "term").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        "__slot",
+        F.transform("pos", lambda x: x - F.col("__slot")).alias("__sp"),
+    )
+    g = j.groupBy(query_id_col, id_col).agg(
+        F.count_distinct("__slot").alias("__ns"),
+        F.collect_list("__sp").alias("__arrs"),
+    )
+    qlen = queries.select(
+        F.col(query_id_col), F.size(F.col(phrase_col)).alias("__len")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("__arrs"), F.lit(2), F.size("__arrs") - 1),
+        F.element_at("__arrs", 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+    scored = (
+        g.join(F.broadcast(qlen), query_id_col)
+        .filter(F.col("__ns") == F.col("__len"))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.size(folded).cast("long").alias("phrase_tf"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("phrase_tf"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "phrase_tf", "rank")
+    )
+
+
 def proximity_search_topk(
     spark,
     path: str,

@@ -11616,3 +11616,93 @@ def cp05_pmi_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_search_index(postings, stats, path)
     return search_bm25_topk(spark, path, expanded, id_col="doc_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x103 — BATCH phrase search: a phrase eval set scored in ONE plan
+# against the persisted positional index (the x98 batch-retrieval
+# argument applied to positions — per-phrase calls are one Spark job
+# each from a driver loop). One bounded driver round-trip collects
+# the distinct term set (static __pfx IN partition filter + term IN
+# pushed filter); the (query_id, slot, term) triples and phrase
+# lengths broadcast; a doc qualifies when every slot matched
+# (COUNT(DISTINCT slot) = phrase length — repeats are slots) and
+# phrase_tf folds array_intersect over the slot-shifted position
+# lists; per-query top-k is WindowGroupLimit. The oracle re-derives
+# the whole chain with DuckDB's list_reduce.
+# ---------------------------------------------------------------------------
+
+_X103_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS pos FROM posi GROUP BY 1, 2
+),
+q AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, slot, term
+  FROM (VALUES
+    (1, 0, 'window'), (1, 1, 'join'),
+    (2, 0, 'hash'),   (2, 1, 'value'),
+    (3, 0, 'table'),  (3, 1, 'table'), (3, 2, 'key')
+  ) AS v(query_id, slot, term)
+),
+qlen AS (SELECT query_id, COUNT(*) AS len FROM q GROUP BY 1),
+j AS (
+  SELECT q.query_id, q.slot, pl.doc_id,
+         list_transform(pl.pos, x -> x - q.slot) AS sp
+  FROM q JOIN pl USING (term)
+),
+g AS (
+  SELECT query_id, doc_id,
+         COUNT(DISTINCT slot) AS ns,
+         CAST(len(list_reduce(list(sp), (a, b) -> list_intersect(a, b)))
+              AS BIGINT) AS phrase_tf
+  FROM j GROUP BY 1, 2
+),
+m AS (
+  SELECT g.query_id, g.doc_id, g.phrase_tf
+  FROM g JOIN qlen USING (query_id)
+  WHERE g.ns = qlen.len AND g.phrase_tf > 0
+)
+SELECT query_id, doc_id, phrase_tf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY phrase_tf DESC, doc_id ASC)
+            AS INT) AS rank
+FROM m
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY phrase_tf DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x103_phrase_batch_search", oracle=_X103_ORACLE)
+def x103_phrase_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three phrases (incl. a repeated-term one) scored in one plan
+    over the persisted positional index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_search_topk_batch,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x103", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    queries = spark.createDataFrame(
+        [
+            (1, ["window", "join"]),
+            (2, ["hash", "value"]),
+            (3, ["table", "table", "key"]),
+        ],
+        "query_id long, phrase array<string>",
+    )
+    return phrase_search_topk_batch(queries, path, k=10)

@@ -449,3 +449,90 @@ def test_positional_store_streaming_ingest_and_compaction(spark, tmp_path):
             ).collect(),
         )
     ) == want_prox
+
+
+# ---------------------------------------------------------------------------
+# Batch phrase search: one plan for a phrase eval set
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_topk_batch_matches_single_calls(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_search_topk,
+        phrase_search_topk_batch,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "big data big pipelines move big data big"),
+        (2, "data big data and more data"),
+        (3, "small data only here"),
+        (4, "big big big data data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, path, positional=True)
+
+    phrases = {
+        10: ("big", "data"),
+        11: ("data", "big"),
+        12: ("big", "data", "big"),   # repeated term, 3 slots
+        13: ("small", "pipelines"),   # no match anywhere
+    }
+    queries = spark.createDataFrame(
+        [(qid, list(ph)) for qid, ph in phrases.items()],
+        "query_id long, phrase array<string>",
+    )
+    got = sorted(
+        map(
+            tuple,
+            phrase_search_topk_batch(queries, path, k=10).collect(),
+        )
+    )
+    want = []
+    for qid, ph in phrases.items():
+        for r in phrase_search_topk(spark, path, ph, k=10).collect():
+            want.append((qid, r["doc_id"], r["phrase_tf"], r["rank"]))
+    assert got == sorted(want)
+    # sanity on the fixture: the repeated-term phrase matched doc 1
+    # twice ("big data big" at 1 and 5) and the no-match query is absent
+    by_q = {}
+    for q, d, tf, rk in got:
+        by_q.setdefault(q, []).append((d, tf, rk))
+    assert by_q[12] == [(1, 2, 1)]
+    assert 13 not in by_q
+    # the whole eval set reads the postings store EXACTLY once, and
+    # the per-query top-k plans as a group-limit (map-side), not a
+    # global window
+    plan = phrase_search_topk_batch(queries, path, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_phrase_search_topk_batch_guards(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        phrase_search_topk_batch,
+        write_search_index,
+    )
+
+    path = _positional_store(spark, tmp_path, name="bguard")
+    q = spark.createDataFrame(
+        [(1, ["alpha", "is"])], "query_id long, phrase array<string>"
+    )
+    with pytest.raises(ValueError, match="shorter than"):
+        phrase_search_topk_batch(q, path)
+    q2 = spark.createDataFrame(
+        [(1, ["alpha", "beta"]), (2, ["beta", "gamma"])],
+        "query_id long, phrase array<string>",
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        phrase_search_topk_batch(q2, path, max_queries=1)
+    flat = str(tmp_path / "bflat")
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, flat)
+    with pytest.raises(ValueError, match="not positional"):
+        phrase_search_topk_batch(q2, flat)
