@@ -2227,10 +2227,21 @@ def write_ivfpq_store(
     differs leaves the old build's other (cell, batch) partitions in
     place (and the new quantizer sidecar then mislabels them). A full
     rebuild must target a fresh path or delete the old layout first.
+
+    COMPACTION HORIZON: once :func:`compact_ivfpq_store` has folded
+    batches ≤ H into the base, a write with ``batch_id <= H``
+    (including the ``None`` → -1 base write) is REJECTED — its
+    partitions were relabeled away, so dynamic overwrite would land
+    the redelivered codes BESIDE their folded copies and every probe
+    would see those ids twice (the search-store r9 ADVICE hazard,
+    fixed symmetrically here).
     """
     from docker_etl_spark.sources.stores import store_writer_lock
 
     spark = index.sparkSession
+    _check_ivfpq_horizon(
+        spark, path, batch_id, caller="write_ivfpq_store"
+    )
     qrows = [
         ("meta", 0, 0, [len(coarse), len(codebooks), len(codebooks[0]),
                         len(codebooks[0][0]), quant_scale])
@@ -2266,6 +2277,37 @@ def write_ivfpq_store(
         # them in parallel first.
         quant.repartition(1).write.mode("overwrite").parquet(
             path + "/quantizer"
+        )
+
+
+def read_ivfpq_horizon(spark, path: str) -> int | None:
+    """The store's compaction horizon (highest ``up_to_batch`` any
+    :func:`compact_ivfpq_store` folded), or None if never compacted.
+    Its own 1-row ``{path}/horizon`` sidecar (the search-store
+    pattern): rewritten per compaction, and an incomplete rewrite
+    degrades to "no guard until the next compaction", never to a
+    corrupted quantizer sidecar."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    if not parquet_write_completed(spark, path + "/horizon"):
+        return None
+    row = spark.read.parquet(path + "/horizon").collect()[0]
+    return int(row["compacted_through"])
+
+
+def _check_ivfpq_horizon(
+    spark, path: str, batch_id: int | None, caller: str
+) -> None:
+    horizon = read_ivfpq_horizon(spark, path)
+    bid = -1 if batch_id is None else batch_id
+    if horizon is not None and bid <= horizon:
+        raise ValueError(
+            f"{caller}: batch_id={batch_id} is at or below the store's "
+            f"compaction horizon {horizon} at {path} — those partitions "
+            "were folded into the base, so this write would land "
+            "duplicate code rows beside their folded copies; redeliver "
+            "only batches above the horizon (pick compaction horizons "
+            "older than any batch your source can still redeliver)"
         )
 
 
@@ -2339,11 +2381,13 @@ def ivfpq_append(
     batch_id is safe.) Set ``assume_new_ids=False`` to enforce it:
     the batch is anti-joined against the store's ids (one
     column-pruned scan of codes/) and only genuinely new vectors are
-    encoded.
+    encoded. Writes below the store's compaction horizon are rejected
+    (see :func:`write_ivfpq_store`).
     """
     from docker_etl_spark.sources.stores import store_writer_lock
 
     spark = new_vecs.sparkSession
+    _check_ivfpq_horizon(spark, path, batch_id, caller="ivfpq_append")
     _idx, coarse, books, meta = load_ivfpq_store(spark, path)
     if not assume_new_ids:
         if id_col not in _idx.columns:
@@ -2351,9 +2395,14 @@ def ivfpq_append(
                 f"ivfpq_append: id_col={id_col!r} does not match the "
                 f"store's id column (store columns: {_idx.columns})"
             )
+        # Eager barrier (the search-store r9 ADVICE fix, applied
+        # symmetrically): the anti-join reads codes/ — the same root
+        # the write below dynamically overwrites. Materializing the
+        # surviving batch first means no store scan is live during
+        # the write.
         new_vecs = new_vecs.join(
             _idx.select(F.col(id_col)).distinct(), id_col, "left_anti"
-        )
+        ).localCheckpoint()
     enc = ivfpq_encode(
         new_vecs, vec_col, id_col, coarse, books,
         quant_scale=meta["quant_scale"],
@@ -2473,9 +2522,34 @@ def compact_ivfpq_store(
     Trade (explicit): ``as_of_batch`` snapshot reads remain exact
     for horizons >= ``up_to_batch``; below it the per-batch
     granularity is intentionally collapsed into the base — pick the
-    horizon as "older than any snapshot you still replay".
+    horizon as "older than any snapshot you still replay AND any
+    batch the source can still redeliver".
+
+    The horizon is RECORDED FIRST (a 1-row ``{path}/horizon``
+    sidecar under the writer lease, before the fold) and
+    :func:`write_ivfpq_store` / :func:`ivfpq_append` reject any
+    ``batch_id`` at or below it — a redelivered folded batch would
+    otherwise land duplicate code rows beside their folded copies
+    (the search-store r9 ADVICE hazard). A crash between the horizon
+    write and the fold leaves the guard active and the fold pending;
+    re-running the compaction completes it.
     """
-    from docker_etl_spark.sources.stores import compact_partitioned_store
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        store_writer_lock,
+    )
+
+    with store_writer_lock(path, owner="compact_ivfpq_store"):
+        prior = read_ivfpq_horizon(spark, path)
+        if prior is None or up_to_batch > prior:
+            (
+                spark.createDataFrame(
+                    [(int(up_to_batch),)], "compacted_through long"
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(path + "/horizon")
+            )
 
     def fold(df: DataFrame) -> DataFrame:
         return df.withColumn(

@@ -536,3 +536,64 @@ def test_phrase_search_topk_batch_guards(spark, tmp_path):
     write_search_index(p, s, flat)
     with pytest.raises(ValueError, match="not positional"):
         phrase_search_topk_batch(q2, flat)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ compaction horizon (the search-store r9 ADVICE fix, symmetric)
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark, n=150, dim=8):
+    rows = [
+        (i, [float((i * 7 + d * 13) % 23) / 3.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, dv array<double>")
+
+
+def test_ivfpq_write_below_compaction_horizon_rejected(spark, tmp_path):
+    from docker_etl_spark.operators.similarity import (
+        compact_ivfpq_store,
+        ivfpq_append,
+        ivfpq_build,
+        load_ivfpq_store,
+        read_ivfpq_horizon,
+        write_ivfpq_store,
+    )
+
+    df = _toy_vectors(spark)
+    base = df.filter(F.col("vec_id") < 50)
+    index, coarse, books = ivfpq_build(
+        base, "dv", "vec_id", dim=8, n_cells=2, m=2, k=3,
+        max_training_points=40,
+    )
+    store = str(tmp_path / "store")
+    write_ivfpq_store(index, coarse, books, store, batch_id=0, id_col="vec_id")
+    b1 = df.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    ivfpq_append(b1, store, "dv", "vec_id", batch_id=1)
+    ivfpq_append(df.filter(F.col("vec_id") >= 100), store, "dv", "vec_id",
+                 batch_id=2)
+    assert read_ivfpq_horizon(spark, store) is None
+    expect = sorted(map(tuple, load_ivfpq_store(spark, store)[0].collect()))
+
+    compact_ivfpq_store(spark, store, up_to_batch=1)
+    assert read_ivfpq_horizon(spark, store) == 1
+    # redelivering a folded batch would duplicate code rows: rejected
+    with pytest.raises(ValueError, match="compaction horizon"):
+        ivfpq_append(b1, store, "dv", "vec_id", batch_id=1)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        write_ivfpq_store(index, coarse, books, store, batch_id=0,
+                          id_col="vec_id")
+    with pytest.raises(ValueError, match="compaction horizon"):
+        write_ivfpq_store(index, coarse, books, store, id_col="vec_id")
+    # redelivery ABOVE the horizon stays idempotent; store unchanged
+    ivfpq_append(df.filter(F.col("vec_id") >= 100), store, "dv", "vec_id",
+                 batch_id=2)
+    assert sorted(
+        map(tuple, load_ivfpq_store(spark, store)[0].collect())
+    ) == expect
+    # a higher compaction raises the horizon; a lower one never lowers
+    compact_ivfpq_store(spark, store, up_to_batch=2)
+    assert read_ivfpq_horizon(spark, store) == 2
+    compact_ivfpq_store(spark, store, up_to_batch=1)
+    assert read_ivfpq_horizon(spark, store) == 2
