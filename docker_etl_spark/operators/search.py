@@ -919,6 +919,163 @@ def proximity_search_topk(
     ).select(id_col, "min_span", "rank")
 
 
+def proximity_search_topk_batch(
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    slop_col: str | None = None,
+    slop: int = 0,
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_queries: int | None = 4096,
+    max_query_terms: int = 4096,
+    max_positions_per_term: int = 128,
+) -> DataFrame:
+    """Min-span proximity search for a SET of term bags in ONE plan
+    (:func:`proximity_search_topk` × :func:`phrase_search_topk_batch`
+    — per-query calls are one Spark job each from a driver loop).
+
+    ``queries`` is (query_id, terms array<string>) with 2-4 DISTINCT
+    terms per query; ``slop`` applies to every query unless
+    ``slop_col`` names a per-query int column. One bounded driver
+    round-trip collects the distinct term set (static ``__pfx`` IN
+    partition filter + term IN pushed filter); the (query_id, term)
+    pairs broadcast onto ONE pruned postings scan. Per (query, doc)
+    the capped position lists (list PREFIX, ascending) collect and
+    the candidate (min, max) envelopes grow inside ONE
+    ``F.aggregate`` fold — the same cross-product semantics as the
+    single-query operator, per-group instead of per-column. A doc
+    qualifies when every term matched and min_span ≤ |terms| + slop;
+    per-query top-k is ``row_number() <= k`` partitioned by query
+    (WindowGroupLimit — map-side).
+
+    Output: (query_id, id_col, min_span, rank), span ascending, ties
+    on lower id. Raises on non-positional stores, on a query with
+    duplicate terms or a term count outside 2-4, and on terms
+    shorter than the store's min_token_len."""
+    spark = queries.sparkSession
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"proximity_search_topk_batch: store at {path} is not "
+            "positional — build it with build_positional_postings"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "proximity_search_topk_batch"
+    )
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"proximity_search_topk_batch: query set exceeds "
+                f"max_queries={max_queries}; the (query_id, term) pairs "
+                "are broadcast — chunk the eval set or raise the guard"
+            )
+    bad = queries.filter(
+        (F.size(F.array_distinct(F.col(terms_col))) != F.size(F.col(terms_col)))
+        | ~F.size(F.col(terms_col)).between(2, 4)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "proximity_search_topk_batch: every query needs 2-4 DISTINCT "
+            f"terms; offending query_id={bad[0][query_id_col]!r}"
+        )
+    qt = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("term")
+    )
+    term_rows = (
+        qt.select("term").distinct().limit(max_query_terms + 1).collect()
+    )
+    if len(term_rows) > max_query_terms:
+        raise ValueError(
+            f"proximity_search_topk_batch: distinct query terms exceed "
+            f"max_query_terms={max_query_terms}; the term set drives "
+            "partition pruning and must stay driver-bounded"
+        )
+    terms = sorted(r["term"] for r in term_rows)
+    short = [t for t in terms if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"proximity_search_topk_batch: terms {short} are shorter "
+            f"than the store's min_token_len={mtl} — never indexed"
+        )
+    prefixes = sorted({t[:prefix_len] for t in terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(terms)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"proximity_search_topk_batch: postings at {path} carry no "
+            "'pos' column — not a positional store"
+        )
+    j = p.join(F.broadcast(qt), "term").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.slice(F.col("pos"), 1, max_positions_per_term).alias("__pl"),
+    )
+    g = j.groupBy(query_id_col, id_col).agg(
+        F.count("*").alias("__nt"),
+        F.collect_list("__pl").alias("__pls"),
+    )
+    meta_cols = [F.col(query_id_col), F.size(F.col(terms_col)).alias("__len")]
+    if slop_col is not None:
+        meta_cols.append(F.col(slop_col).cast("long").alias("__slop"))
+    qmeta = queries.select(*meta_cols)
+    if slop_col is None:
+        qmeta = qmeta.withColumn("__slop", F.lit(int(slop)).cast("long"))
+    # envelope fold: acc = array<struct<mn,mx>> seeded from the first
+    # list, extended by each further list's cross product
+    envelopes = F.aggregate(
+        F.slice(F.col("__pls"), F.lit(2), F.size("__pls") - 1),
+        F.transform(
+            F.element_at("__pls", 1),
+            lambda q: F.struct(q.alias("mn"), q.alias("mx")),
+        ),
+        lambda acc, pl: F.flatten(
+            F.transform(
+                acc,
+                lambda c: F.transform(
+                    pl,
+                    lambda q: F.struct(
+                        F.least(c["mn"], q).alias("mn"),
+                        F.greatest(c["mx"], q).alias("mx"),
+                    ),
+                ),
+            )
+        ),
+    )
+    span = F.array_min(
+        F.transform(envelopes, lambda c: c["mx"] - c["mn"] + F.lit(1))
+    ).cast("long")
+    scored = (
+        g.join(F.broadcast(qmeta), query_id_col)
+        .filter(F.col("__nt") == F.col("__len"))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            span.alias("min_span"),
+            F.col("__len"),
+            F.col("__slop"),
+        )
+        .filter(F.col("min_span") <= F.col("__len") + F.col("__slop"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("min_span"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "min_span", "rank")
+    )
+
+
 def bm25_topk_batch_from_postings(
     postings: DataFrame,
     stats: DataFrame,

@@ -11706,3 +11706,97 @@ def x103_phrase_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, phrase array<string>",
     )
     return phrase_search_topk_batch(queries, path, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x104 — BATCH proximity search with PER-QUERY slop: a proximity
+# eval set (2- and 3-term bags) in ONE plan against the positional
+# index. Same probe shape as x103; the min-span cross-product
+# envelopes grow inside one F.aggregate fold per (query, doc) —
+# arity-generic, unlike the single-query operator's per-column
+# reduce. The oracle replays the identical fold with DuckDB's
+# list_reduce over struct lists (positions pre-lifted to {mn, mx}
+# so the accumulator type is uniform), including the 128-position
+# list-prefix cap.
+# ---------------------------------------------------------------------------
+
+_X104_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+q AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term, len, slop
+  FROM (VALUES
+    (1, 'window', 2, 3), (1, 'join',   2, 3),
+    (2, 'hash',   3, 2), (2, 'value',  3, 2), (2, 'table', 3, 2),
+    (3, 'vector', 2, 0), (3, 'scan',   2, 0)
+  ) AS v(query_id, term, len, slop)
+),
+pl AS (
+  SELECT doc_id, term, list_sort(list(pos))[1:128] AS pos
+  FROM posi
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT q.query_id, q.len, q.slop, pl.doc_id, pl.pos
+  FROM q JOIN pl USING (term)
+),
+g AS (
+  SELECT query_id, ANY_VALUE(len) AS len, ANY_VALUE(slop) AS slop, doc_id,
+         COUNT(*) AS nt,
+         CAST(list_min(list_transform(
+           list_reduce(
+             list_transform(list(pos),
+                            pl -> list_transform(pl, x -> {'mn': x, 'mx': x})),
+             (acc, pl) -> flatten(list_transform(acc,
+                 c -> list_transform(pl, x -> {'mn': least(c.mn, x.mn),
+                                               'mx': greatest(c.mx, x.mx)})))),
+           c -> c.mx - c.mn + 1)) AS BIGINT) AS min_span
+  FROM j GROUP BY query_id, doc_id
+),
+m AS (
+  SELECT query_id, doc_id, min_span
+  FROM g WHERE nt = len AND min_span <= len + slop
+)
+SELECT query_id, doc_id, min_span,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY min_span ASC, doc_id ASC)
+            AS INT) AS rank
+FROM m
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY min_span ASC, doc_id ASC) <= 10
+"""
+
+
+@register("x104_proximity_batch_search", oracle=_X104_ORACLE)
+def x104_proximity_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three proximity queries (mixed arity, per-query slop) in one
+    plan over the persisted positional index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        proximity_search_topk_batch,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x104", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    queries = spark.createDataFrame(
+        [
+            (1, ["window", "join"], 3),
+            (2, ["hash", "value", "table"], 2),
+            (3, ["vector", "scan"], 0),
+        ],
+        "query_id long, terms array<string>, slop int",
+    )
+    return proximity_search_topk_batch(queries, path, slop_col="slop", k=10)

@@ -794,6 +794,27 @@ def search_index_stream(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from docker_etl_spark.operators.search import (
+            read_search_index_horizon,
+        )
+
+        spark = batch_df.sparkSession
+        horizon = read_search_index_horizon(spark, store_path)
+        if horizon is not None and batch_id <= horizon:
+            # Redelivery of an already-COMPACTED batch (crash landed
+            # between the fold and the checkpoint commit). The fold
+            # only ever runs after this batch's append completed in
+            # the same delivery, so its rows are provably in the
+            # base — appending again would double-count (the horizon
+            # guard would raise); the correct streaming semantics is
+            # a no-op.
+            log.warning(
+                "search_index_stream: skipping redelivered batch %d at "
+                "or below the compaction horizon %d (already folded "
+                "into the base at %s)",
+                batch_id, horizon, store_path,
+            )
+            return
         append_search_index(
             batch_df, store_path, batch_id,
             text_col=text_col, id_col=id_col,
@@ -801,9 +822,7 @@ def search_index_stream(
             assume_new_ids=assume_new_ids,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_search_index(
-                batch_df.sparkSession, store_path, up_to_batch=batch_id
-            )
+            compact_search_index(spark, store_path, up_to_batch=batch_id)
 
     return _sink
 

@@ -80,6 +80,7 @@ KERNELS = [
     "x101_proximity_search",
     "x102_pmi_collocations",
     "x103_phrase_batch_search",
+    "x104_proximity_batch_search",
     "cp05_pmi_expanded_retrieval",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's

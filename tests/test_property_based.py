@@ -455,3 +455,49 @@ def test_minhash_signature_matches_python_model(spark, texts, num_perm):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_minhash_md5(t, 3, num_perm), (t, num_perm)
+
+
+def _py_pmi(texts: list[str], min_count: int) -> dict[tuple[str, str], tuple[int, int]]:
+    import math
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += 1
+    n = sum(pairs.values())
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (a, b), c in pairs.items():
+        c1[a] += c
+        c2[b] += c
+    out = {}
+    for (a, b), c in pairs.items():
+        if c < min_count:
+            continue
+        # the operator's exact formula: doubles cast before multiply,
+        # one ln, round-half-away at 1e6
+        ratio = (float(c) * float(n)) / (float(c1[a]) * float(c2[b]))
+        import decimal
+
+        q = decimal.Decimal(math.log(ratio) * 1_000_000).quantize(
+            0, rounding=decimal.ROUND_HALF_UP
+        )
+        out[(a, b)] = (c, int(q))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_texts, min_size=1, max_size=8), st.integers(1, 3))
+def test_pmi_collocations_matches_python_model(spark, texts, min_count):
+    from docker_etl_spark.operators.text_analysis import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_scaled"])
+        for r in pmi_collocations(df, min_count=min_count).collect()
+    }
+    assert got == _py_pmi([t.lower() for t in texts], min_count)

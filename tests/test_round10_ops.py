@@ -597,3 +597,191 @@ def test_ivfpq_write_below_compaction_horizon_rejected(spark, tmp_path):
     assert read_ivfpq_horizon(spark, store) == 2
     compact_ivfpq_store(spark, store, up_to_batch=1)
     assert read_ivfpq_horizon(spark, store) == 2
+
+
+# ---------------------------------------------------------------------------
+# Randomized brute-force agreement: proximity + batch phrase over one store
+# ---------------------------------------------------------------------------
+
+
+def test_proximity_and_phrase_batch_match_bruteforce_model(spark, tmp_path):
+    """Seeded random corpus, one positional store; min-span and
+    phrase-tf verified against pure-Python brute force for a sweep of
+    term pairs/triples and phrases (the property-test pattern with
+    the store build paid once)."""
+    import itertools
+    import random
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_search_topk_batch,
+        proximity_search_topk,
+        write_search_index,
+    )
+
+    rng = random.Random(20260816)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "it"]  # 'it' < mtl 3
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(2, 30))]
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "rand")
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, path, positional=True)
+
+    def positions(ws, term):
+        # 1-based RAW positions; min_token_len=3 filters 'it' from the
+        # index but it still consumes a position
+        return [i + 1 for i, w in enumerate(ws) if w == term and len(w) >= 3]
+
+    def brute_min_span(ws, terms):
+        pls = [positions(ws, t) for t in terms]
+        if any(not pl for pl in pls):
+            return None
+        return min(
+            max(c) - min(c) + 1 for c in itertools.product(*pls)
+        )
+
+    for terms in [("alpha", "beta"), ("gamma", "delta"),
+                  ("alpha", "beta", "gamma"), ("eps", "delta", "beta")]:
+        for slop in (0, 2, 5):
+            got = {
+                r["doc_id"]: r["min_span"]
+                for r in proximity_search_topk(
+                    spark, path, terms, slop=slop, k=100
+                ).collect()
+            }
+            want = {}
+            for i, ws in docs.items():
+                sp = brute_min_span(ws, terms)
+                if sp is not None and sp <= len(terms) + slop:
+                    want[i] = sp
+            assert got == want, (terms, slop)
+
+    def brute_phrase_tf(ws, phrase):
+        pls = [positions(ws, t) for t in set(phrase)]
+        if any(not pl for pl in pls):
+            return 0
+        n = 0
+        for st in range(1, len(ws) + 1):
+            if all(
+                st + off in positions(ws, t)
+                for off, t in enumerate(phrase)
+            ):
+                n += 1
+        return n
+
+    phrases = {
+        1: ["alpha", "beta"],
+        2: ["beta", "alpha", "beta"],
+        3: ["gamma", "gamma"],
+        4: ["delta", "eps", "alpha"],
+    }
+    q = spark.createDataFrame(
+        [(k, v) for k, v in phrases.items()],
+        "query_id long, phrase array<string>",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["phrase_tf"]
+        for r in phrase_search_topk_batch(q, path, k=100).collect()
+    }
+    want = {}
+    for qid, ph in phrases.items():
+        for i, ws in docs.items():
+            tf = brute_phrase_tf(ws, ph)
+            if tf > 0:
+                want[(qid, i)] = tf
+    assert got == want
+
+
+def test_proximity_search_topk_batch_matches_single_calls(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        proximity_search_topk,
+        proximity_search_topk_batch,
+    )
+
+    path = _positional_store(spark, tmp_path, name="proxbatch")
+    qdefs = {
+        10: (("alpha", "gamma"), 0),
+        11: (("alpha", "gamma"), 3),
+        12: (("alpha", "beta", "gamma"), 1),
+        13: (("delta", "beta"), 5),
+    }
+    q = spark.createDataFrame(
+        [(qid, list(t), s) for qid, (t, s) in qdefs.items()],
+        "query_id long, terms array<string>, slop int",
+    )
+    got = sorted(
+        map(
+            tuple,
+            proximity_search_topk_batch(
+                q, path, slop_col="slop", k=10
+            ).collect(),
+        )
+    )
+    want = []
+    for qid, (t, s) in qdefs.items():
+        for r in proximity_search_topk(spark, path, t, slop=s, k=10).collect():
+            want.append((qid, r["doc_id"], r["min_span"], r["rank"]))
+    assert got == sorted(want)
+    # one pruned scan for the whole eval set; group top-k is map-side
+    plan = (
+        proximity_search_topk_batch(q, path, slop_col="slop", k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "WindowGroupLimit" in plan
+    # duplicate-term / wrong-arity queries are rejected with the id
+    qbad = spark.createDataFrame(
+        [(7, ["alpha", "alpha"])], "query_id long, terms array<string>"
+    )
+    with pytest.raises(ValueError, match="query_id=7"):
+        proximity_search_topk_batch(qbad, path)
+
+
+def test_search_index_stream_skips_redelivered_compacted_batch(
+    spark, tmp_path
+):
+    """Crash between the scheduled fold and the checkpoint commit =>
+    the engine redelivers the folded batch; the sink must treat it as
+    a no-op (its rows are provably in the base), not raise through
+    the horizon guard and not double-count."""
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        write_search_index,
+    )
+    from docker_etl_spark.streaming import search_index_stream
+
+    df = _search_docs(spark)
+    store = str(tmp_path / "stream")
+    b = {i: df.filter(F.col("doc_id") % 3 == i) for i in range(3)}
+    p0, s0 = build_postings(b[0], "text", "doc_id")
+    write_search_index(p0, s0, store, batch_id=0)
+    sink = search_index_stream(store, compact_every=2)
+    sink(b[1], 1)  # append + fold (horizon=1)
+    expect = sorted(
+        map(
+            tuple,
+            search_bm25_topk(spark, store, ("hash", "join"), k=30).collect(),
+        )
+    )
+    sink(b[1], 1)  # redelivery after the fold: skip, no raise
+    got = sorted(
+        map(
+            tuple,
+            search_bm25_topk(spark, store, ("hash", "join"), k=30).collect(),
+        )
+    )
+    assert got == expect
+    sink(b[2], 2)  # later batches proceed normally
+    assert (
+        spark.read.parquet(store + "/postings")
+        .filter(F.col("__batch_id") == 2)
+        .count()
+        > 0
+    )
