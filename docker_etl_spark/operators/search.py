@@ -1114,6 +1114,65 @@ def bm25_topk_batch_from_postings(
     return _rank_topk_per_query(per_query, query_id_col, id_col, k)
 
 
+def search_index_census(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Index observability as ONE aggregate row — the health numbers
+    an operator watches to size compactions and catch ingest
+    anomalies (df skew from a stopword leak, dl drift from a
+    tokenizer change, batch-count growth from a stuck compactor):
+
+    - n_terms / n_docs / n_postings — vocabulary, corpus, and index
+      cardinalities (n_docs from distinct posting ids, so it counts
+      exactly the SEARCHABLE documents);
+    - max_df and its term — the stopword-leak probe;
+    - sum_dl / max_dl — token mass (exact ints, from per-doc firsts
+      so multi-posting docs count once);
+    - n_batches — live ``__batch_id`` partitions (compaction debt).
+
+    One pass over the postings store (two aggregates: per-term df →
+    global), no driver data beyond the 1-row result. ``as_of_batch``
+    snapshot-reads. All exact integers — cross-engine replayable.
+    """
+    p = spark.read.parquet(path + "/postings")
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    per_term = p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    term_stats = per_term.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    top_term = (
+        per_term.orderBy(F.desc("df"), F.asc("term"))
+        .limit(1)
+        .select(F.col("term").alias("max_df_term"))
+    )
+    per_doc = p.groupBy(id_col).agg(F.first("dl").cast("long").alias("dl"))
+    doc_stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.max("dl").cast("long").alias("max_dl"),
+    )
+    glob = p.agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.countDistinct("__batch_id").cast("long").alias("n_batches"),
+    )
+    return (
+        glob.crossJoin(F.broadcast(term_stats))
+        .crossJoin(F.broadcast(top_term))
+        .crossJoin(F.broadcast(doc_stats))
+        .select(
+            "n_terms", "n_docs", "n_postings", "max_df", "max_df_term",
+            "sum_dl", "max_dl", "n_batches",
+        )
+    )
+
+
 def compact_search_index(
     spark,
     path: str,

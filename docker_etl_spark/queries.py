@@ -11800,3 +11800,74 @@ def x104_proximity_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, terms array<string>, slop int",
     )
     return proximity_search_topk_batch(queries, path, slop_col="slop", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x105 — search-index census: the store's health numbers as ONE
+# exact-integer row (vocabulary/corpus/postings cardinalities, the
+# max-df stopword probe with its term, token mass, live batch
+# count). Runs over the x97 lifecycle (build even docs as batch 0,
+# append odd docs as batch 1) so the batch accounting is exercised;
+# the oracle re-derives every number from the corpus (searchable
+# docs = docs with >= 1 indexed token) and pins n_batches to the
+# two batches the query wrote.
+# ---------------------------------------------------------------------------
+
+_X105_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     t -> length(t) >= 3) AS toks
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+  FROM d WHERE len(toks) > 0
+),
+tf AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+),
+per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+top_term AS (
+  SELECT term AS max_df_term FROM per_term
+  ORDER BY df DESC, term ASC LIMIT 1
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_term) AS n_terms,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_postings,
+  (SELECT CAST(MAX(df) AS BIGINT) FROM per_term) AS max_df,
+  (SELECT max_df_term FROM top_term) AS max_df_term,
+  (SELECT CAST(SUM(dl) AS BIGINT) FROM docs) AS sum_dl,
+  (SELECT CAST(MAX(dl) AS BIGINT) FROM docs) AS max_dl,
+  CAST(2 AS BIGINT) AS n_batches
+"""
+
+
+@register("x105_search_index_census", oracle=_X105_ORACLE)
+def x105_search_index_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census over a two-batch (build + append) inverted index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        search_index_census,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(
+        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    path = _x90_store_path("x105", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, batch_id=0)
+    append_search_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, batch_id=1,
+        text_col="text", id_col="doc_id",
+    )
+    return search_index_census(spark, path)

@@ -81,6 +81,7 @@ KERNELS = [
     "x102_pmi_collocations",
     "x103_phrase_batch_search",
     "x104_proximity_batch_search",
+    "x105_search_index_census",
     "cp05_pmi_expanded_retrieval",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's

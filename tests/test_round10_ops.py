@@ -785,3 +785,44 @@ def test_search_index_stream_skips_redelivered_compacted_batch(
         .count()
         > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Search-index census (store observability)
+# ---------------------------------------------------------------------------
+
+
+def test_search_index_census_counts_and_asof(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        append_search_index,
+        build_postings,
+        search_index_census,
+        write_search_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb aaa"),        # dl=3, terms {aaa x2, bbb}
+            (2, "bbb ccc"),            # dl=2
+            (3, "x y"),                # zero indexed tokens: unsearchable
+            (4, "aaa"),                # dl=1
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "census")
+    p, s = build_postings(df.filter(F.col("doc_id") <= 2), "text", "doc_id")
+    write_search_index(p, s, path, batch_id=0)
+    append_search_index(df.filter(F.col("doc_id") > 2), path, batch_id=1)
+    row = search_index_census(spark, path).collect()[0].asDict()
+    assert row == {
+        "n_terms": 3,            # aaa bbb ccc
+        "n_docs": 3,             # doc 3 has no indexed tokens
+        "n_postings": 5,         # (1,aaa)(1,bbb)(2,bbb)(2,ccc)(4,aaa)
+        "max_df": 2,             # aaa and bbb both df=2 ...
+        "max_df_term": "aaa",    # ... tie -> lower term
+        "sum_dl": 6,
+        "max_dl": 3,
+        "n_batches": 2,
+    }
+    asof = search_index_census(spark, path, as_of_batch=0).collect()[0]
+    assert (asof["n_docs"], asof["n_postings"], asof["n_batches"]) == (2, 4, 1)
