@@ -1076,6 +1076,88 @@ def proximity_search_topk_batch(
     )
 
 
+def phrase_match_positions(
+    spark,
+    path: str,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """:func:`phrase_search_topk` that also returns WHERE the phrase
+    matched: the sorted 1-based start positions of every occurrence —
+    the snippet/highlight primitive, and the bridge into span surgery
+    (feed the starts to the scrub/extract operators instead of
+    re-scanning the corpus for the phrase text). Same probe shape
+    (term-prefix directory pruning, per-doc position pivot,
+    slot-shifted ``array_intersect`` fold — the fold's survivors ARE
+    the match starts, sorted here since intersect order follows its
+    first argument, not position order after the shifts).
+
+    Output: (id_col, phrase_tf, match_starts array<int>) for the top
+    ``k`` documents by exact-integer phrase frequency (ties → lower
+    id), via orderBy+limit (TakeOrderedAndProject — map-side).
+    Raises on non-positional stores and below-min_token_len terms,
+    like every positional probe."""
+    from functools import reduce
+
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"phrase_match_positions: store at {path} is not positional — "
+            "build it with build_positional_postings"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "phrase_match_positions"
+    )
+    short = [t for t in phrase if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"phrase_match_positions: phrase terms {short} are shorter "
+            f"than the store's min_token_len={mtl} — never indexed"
+        )
+    terms = sorted(set(phrase))
+    prefixes = sorted({t[:prefix_len] for t in terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(terms)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"phrase_match_positions: postings at {path} carry no 'pos' "
+            "column — not a positional store"
+        )
+    by_doc = p.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "pos"))
+        ).alias("__tp")
+    )
+
+    def _shifted(term: str, offset: int):
+        return F.transform(
+            F.element_at("__tp", F.lit(term)), lambda x: x - F.lit(offset)
+        )
+
+    slots = [_shifted(t, i) for i, t in enumerate(phrase)]
+    matches = F.sort_array(
+        reduce(lambda a, b: F.array_intersect(a, b), slots)
+    )
+    scored = by_doc.select(
+        F.col(id_col),
+        F.size(matches).cast("long").alias("phrase_tf"),
+        matches.alias("match_starts"),
+    ).filter(F.col("phrase_tf") > 0)
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("phrase_tf"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("phrase_tf"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "phrase_tf", "match_starts", "rank")
+
+
 def bm25_topk_batch_from_postings(
     postings: DataFrame,
     stats: DataFrame,

@@ -11871,3 +11871,64 @@ def x105_search_index_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text", id_col="doc_id",
     )
     return search_index_census(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# x106 — phrase match POSITIONS (the snippet/highlight primitive and
+# the bridge into span surgery): x100's probe returning the sorted
+# 1-based start position of every occurrence alongside the exact-
+# integer phrase frequency. The oracle re-derives the positional
+# intersection and sorts the surviving starts.
+# ---------------------------------------------------------------------------
+
+_X106_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS pos FROM posi GROUP BY 1, 2
+),
+m AS (
+  SELECT a.doc_id,
+         list_sort(list_intersect(a.pos,
+                                  list_transform(b.pos, x -> x - 1)))
+             AS match_starts
+  FROM pl a JOIN pl b ON a.doc_id = b.doc_id
+  WHERE a.term = 'window' AND b.term = 'join'
+),
+s AS (
+  SELECT doc_id, CAST(len(match_starts) AS BIGINT) AS phrase_tf,
+         match_starts
+  FROM m WHERE len(match_starts) > 0
+)
+SELECT doc_id, phrase_tf, match_starts,
+       CAST(ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT)
+           AS rank
+FROM s
+QUALIFY ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x106_phrase_match_positions", oracle=_X106_ORACLE)
+def x106_phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where 'window join' matches: sorted start positions, top-10
+    docs by phrase frequency, via the persisted positional index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_match_positions,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x106", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    return phrase_match_positions(spark, path, ("window", "join"), k=10)

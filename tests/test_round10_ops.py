@@ -826,3 +826,27 @@ def test_search_index_census_counts_and_asof(spark, tmp_path):
     }
     asof = search_index_census(spark, path, as_of_batch=0).collect()[0]
     assert (asof["n_docs"], asof["n_postings"], asof["n_batches"]) == (2, 4, 1)
+
+
+def test_phrase_match_positions_returns_sorted_starts(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_match_positions,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "big data big pipelines move big data big"),
+        (2, "data big data and more data"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pos")
+    p, s = build_positional_postings(df, "text", "doc_id")
+    write_search_index(p, s, path, positional=True)
+    got = {
+        r["doc_id"]: (r["phrase_tf"], r["match_starts"], r["rank"])
+        for r in phrase_match_positions(spark, path, ("big", "data")).collect()
+    }
+    # doc 1: "big data" at 1 and 6; doc 2: at 2
+    assert got == {1: (2, [1, 6], 1), 2: (1, [2], 2)}
