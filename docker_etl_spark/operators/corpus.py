@@ -1081,6 +1081,36 @@ def _remove_spans(base: DataFrame, hits: DataFrame, k: int, id_col: str) -> Data
     )
 
 
+def scrub_spans_at(
+    docs: DataFrame,
+    hits: DataFrame,
+    span_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut ``span_len``-token spans at externally-located start
+    positions — the public face of the span-removal kernel for
+    callers that already KNOW where the spans are (a positional-index
+    phrase probe, a PII detector emitting offsets, a policy list of
+    match starts) instead of re-deriving them from window hashes the
+    way :func:`cross_doc_span_dedup` / :func:`scrub_benchmark_spans`
+    do. ``hits`` carries (id_col, ``pos``) 1-based raw-token starts —
+    exactly :func:`~docker_etl_spark.operators.search.
+    phrase_match_positions`' exploded ``match_starts`` (both sides
+    tokenize as split-on-space lowercase, so positions line up by
+    construction).
+
+    Returns every document (hit or not): (id, clean_text, n_tokens,
+    n_removed, removed_frac). The per-doc mask is a map-side HOF over
+    the sorted start list (document-length bounded); the only shuffle
+    is the hits groupBy — |occurrences|, not corpus scale.
+    """
+    base = docs.select(
+        F.col(id_col), doc_tokens(text_col).alias("__toks")
+    )
+    return _remove_spans(base, hits, span_len, id_col)
+
+
 def cross_doc_span_dedup(
     docs: DataFrame,
     k: int = 6,

@@ -1081,7 +1081,7 @@ def phrase_match_positions(
     path: str,
     phrase: tuple[str, ...],
     id_col: str = "doc_id",
-    k: int = 10,
+    k: int | None = 10,
     prefix_len: int | None = None,
     as_of_batch: int | None = None,
 ) -> DataFrame:
@@ -1098,6 +1098,9 @@ def phrase_match_positions(
     Output: (id_col, phrase_tf, match_starts array<int>) for the top
     ``k`` documents by exact-integer phrase frequency (ties → lower
     id), via orderBy+limit (TakeOrderedAndProject — map-side).
+    ``k=None`` returns EVERY matching document unranked (no rank
+    column, no global ordering anywhere) — the span-surgery shape,
+    where downstream wants all occurrences, not a leaderboard.
     Raises on non-positional stores and below-min_token_len terms,
     like every positional probe."""
     from functools import reduce
@@ -1149,6 +1152,8 @@ def phrase_match_positions(
         F.size(matches).cast("long").alias("phrase_tf"),
         matches.alias("match_starts"),
     ).filter(F.col("phrase_tf") > 0)
+    if k is None:
+        return scored
     from pyspark.sql import Window
 
     top = scored.orderBy(F.desc("phrase_tf"), F.asc(id_col)).limit(k)

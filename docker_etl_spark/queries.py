@@ -11932,3 +11932,87 @@ def x106_phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_search_index(postings, stats, path, positional=True)
     return phrase_match_positions(spark, path, ("window", "join"), k=10)
+
+
+# ---------------------------------------------------------------------------
+# cp06 — index-guided span scrub: phrase occurrences located by the
+# PERSISTED positional index (x106's probe, k=None -> every match),
+# then cut from the corpus by the span-removal kernel (x54/x55's
+# mask) — the "find via index, edit via surgery" composition a
+# policy-removal pipeline runs, with no corpus re-scan for the
+# phrase text. Output is per-document exact integers + the md5 of
+# the scrubbed text, so the oracle pins the edited CONTENT, not
+# just counts.
+# ---------------------------------------------------------------------------
+
+_CP06_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+pl AS (
+  SELECT doc_id, term, list_sort(list(pos)) AS pos FROM posi GROUP BY 1, 2
+),
+m AS (
+  SELECT a.doc_id,
+         list_sort(list_intersect(a.pos,
+                                  list_transform(b.pos, x -> x - 1)))
+             AS starts
+  FROM pl a JOIN pl b ON a.doc_id = b.doc_id
+  WHERE a.term = 'window' AND b.term = 'join'
+),
+hits AS (SELECT doc_id, starts FROM m WHERE len(starts) > 0),
+j AS (
+  SELECT w.doc_id, w.t,
+         COALESCE(h.starts, CAST([] AS INT[])) AS starts
+  FROM w LEFT JOIN hits h USING (doc_id)
+),
+kk AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(t) + 1),
+                     p -> len(list_filter(starts,
+                                          s -> p >= s AND p < s + 2)) = 0)
+             AS kept
+  FROM j
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       md5(array_to_string(list_transform(kept, p -> t[p]), ' '))
+           AS clean_md5
+FROM kk
+"""
+
+
+@register("cp06_index_guided_scrub", oracle=_CP06_ORACLE)
+def cp06_index_guided_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub every 'window join' occurrence, located via the
+    persisted positional index, from the whole corpus."""
+    import shutil
+
+    from docker_etl_spark.operators.corpus import scrub_spans_at
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_match_positions,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("cp06", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    hits = phrase_match_positions(
+        spark, path, ("window", "join"), k=None
+    ).select("doc_id", F.explode("match_starts").alias("pos"))
+    out = scrub_spans_at(d, hits, span_len=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )

@@ -850,3 +850,25 @@ def test_phrase_match_positions_returns_sorted_starts(spark, tmp_path):
     }
     # doc 1: "big data" at 1 and 6; doc 2: at 2
     assert got == {1: (2, [1, 6], 1), 2: (1, [2], 2)}
+
+
+def test_scrub_spans_at_cuts_overlapping_spans_and_keeps_others(spark):
+    from docker_etl_spark.operators.corpus import scrub_spans_at
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "untouched words here"),
+        ],
+        "doc_id long, text string",
+    )
+    # spans of 3 at starts 2 and 4: tokens 2-4 and 4-6 cut (overlap at 4)
+    hits = spark.createDataFrame(
+        [(1, 2), (1, 4)], "doc_id long, pos int"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in scrub_spans_at(docs, hits, span_len=3).collect()
+    }
+    assert got[1] == ("a", 6, 5)
+    assert got[2] == ("untouched words here", 3, 0)
