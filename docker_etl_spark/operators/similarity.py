@@ -2239,9 +2239,6 @@ def write_ivfpq_store(
     from docker_etl_spark.sources.stores import store_writer_lock
 
     spark = index.sparkSession
-    _check_ivfpq_horizon(
-        spark, path, batch_id, caller="write_ivfpq_store"
-    )
     qrows = [
         ("meta", 0, 0, [len(coarse), len(codebooks), len(codebooks[0]),
                         len(codebooks[0][0]), quant_scale])
@@ -2256,6 +2253,9 @@ def write_ivfpq_store(
         qrows, "part string, idx0 int, idx1 int, vals array<bigint>"
     )
     with store_writer_lock(path, owner="write_ivfpq_store"):
+        # horizon check under the lease (a concurrent compaction could
+        # otherwise raise the horizon between check and write)
+        _check_ivfpq_horizon(spark, path, batch_id, caller="write_ivfpq_store")
         (
             index.select(
                 F.col(id_col),
@@ -2387,6 +2387,7 @@ def ivfpq_append(
     from docker_etl_spark.sources.stores import store_writer_lock
 
     spark = new_vecs.sparkSession
+    # fail-fast pre-check; re-checked under the lease before the write
     _check_ivfpq_horizon(spark, path, batch_id, caller="ivfpq_append")
     _idx, coarse, books, meta = load_ivfpq_store(spark, path)
     if not assume_new_ids:
@@ -2408,6 +2409,7 @@ def ivfpq_append(
         quant_scale=meta["quant_scale"],
     )
     with store_writer_lock(path, owner="ivfpq_append"):
+        _check_ivfpq_horizon(spark, path, batch_id, caller="ivfpq_append")
         (
             enc.select(
                 F.col(id_col),
