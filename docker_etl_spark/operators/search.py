@@ -1260,6 +1260,82 @@ def search_index_census(
     )
 
 
+def prefix_search_topk(
+    spark,
+    path: str,
+    term_prefix: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_expanded_terms: int = 4096,
+) -> DataFrame:
+    """Prefix (wildcard) search — ``wind*`` — over the persisted
+    index: the multi-term query rewrite (Lucene's PrefixQuery → OR of
+    expanded terms) expressed directly against the store layout.
+    When the query prefix covers the store's partition prefix the
+    scan prunes to ONE ``__pfx`` directory (shorter prefixes prune by
+    partition-value ``startswith``, still directory-level); matched
+    terms stay a DataFrame throughout — per-term df derives from the
+    fetched rows exactly as :func:`search_bm25_topk` does, so NO
+    driver round-trip carries the expansion (only a bounded count
+    enforces ``max_expanded_terms``, the maxBooleanClauses guard —
+    a 1-char prefix over a 100 TB vocabulary must fail loudly, not
+    broadcast a million-term table).
+
+    Scoring is the module's exact-integer BM25 chain summed over a
+    document's MATCHED terms (rarer expansions weigh more via idf —
+    Lucene's scoring rewrite, not the constant-score one); top-k via
+    orderBy+limit (TakeOrderedAndProject). Output: (id_col, n_terms,
+    score_scaled, rank) — :func:`search_bm25_topk`'s shape.
+    """
+    from pyspark.sql import Window
+
+    if not term_prefix:
+        raise ValueError("prefix_search_topk: empty term_prefix")
+    _mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "prefix_search_topk"
+    )
+    part_pfx = term_prefix[:prefix_len]
+    p = spark.read.parquet(path + "/postings").filter(
+        (
+            F.col("__pfx") == part_pfx
+            if len(term_prefix) >= prefix_len
+            else F.col("__pfx").startswith(part_pfx)
+        )
+        & F.col("term").startswith(term_prefix)
+    )
+    st = spark.read.parquet(path + "/stats")
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+        st = st.filter(F.col("__batch_id") <= as_of_batch)
+    n_terms = (
+        p.select("term").distinct().limit(max_expanded_terms + 1).count()
+    )
+    if n_terms > max_expanded_terms:
+        raise ValueError(
+            f"prefix_search_topk: prefix {term_prefix!r} expands to more "
+            f"than max_expanded_terms={max_expanded_terms} terms — the "
+            "df table must stay broadcast-bounded; use a longer prefix "
+            "or raise the guard explicitly"
+        )
+    totals = st.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = _integer_term_scores(p, dfreq, totals, id_col)
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("__ts").cast("long").alias("score_scaled"),
+    )
+    top = agg.orderBy(F.desc("score_scaled"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_scaled"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "n_terms", "score_scaled", "rank"
+    )
+
+
 def compact_search_index(
     spark,
     path: str,

@@ -12016,3 +12016,81 @@ def cp06_index_guided_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("clean_text")).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x107 — prefix (wildcard) search: Lucene's PrefixQuery rewrite
+# against the store layout — 'val*' prunes to the 'va' partition
+# directory, expands against the fetched dictionary slice WITHOUT a
+# driver round-trip (df derives from fetched rows; only a bounded
+# count enforces the maxBooleanClauses-style guard), and scores the
+# exact-integer BM25 sum over each doc's matched expansions. The
+# oracle re-derives the expansion with LIKE and replays the chain.
+# ---------------------------------------------------------------------------
+
+_X107_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term LIKE 'val%'
+    GROUP BY 1, 2, 3
+),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ts AS (
+    SELECT tf.doc_id,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * tf.tf * s.sum_dl)
+           // (16 * tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * tf.dl * s.n_docs)
+               AS term_score
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+),
+aggd AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score) AS BIGINT) AS score_scaled
+    FROM ts GROUP BY 1
+)
+SELECT doc_id, n_terms, score_scaled,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS INT)
+           AS rank
+FROM aggd
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x107_prefix_search", oracle=_X107_ORACLE)
+def x107_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for the wildcard query 'val*' over the persisted
+    index (expands to value/values/... in the fixture vocabulary)."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        prefix_search_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x107", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    return prefix_search_topk(spark, path, "val", k=10)

@@ -872,3 +872,52 @@ def test_scrub_spans_at_cuts_overlapping_spans_and_keeps_others(spark):
     }
     assert got[1] == ("a", 6, 5)
     assert got[2] == ("untouched words here", 3, 0)
+
+
+# ---------------------------------------------------------------------------
+# Prefix (wildcard) search
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_search_expansion_scoring_and_guards(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        prefix_search_topk,
+        search_bm25_topk,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "window windows wind turbine"),
+        (2, "window update"),
+        (3, "winter storms arrive"),
+        (4, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pfx")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, path)
+
+    # 'wind*' expands to {wind, window, windows}: docs 1 and 2 match;
+    # scoring equals an explicit multi-term BM25 over the expansion
+    got = sorted(
+        map(tuple, prefix_search_topk(spark, path, "wind", k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_bm25_topk(
+                spark, path, ("wind", "window", "windows"), k=10
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert {r[0] for r in got} == {1, 2}
+    # a 1-char prefix (shorter than the partition prefix) still works
+    # via the startswith partition filter
+    # ('words' in doc 4 also starts with 'w', so every doc matches)
+    wi = {r["doc_id"] for r in prefix_search_topk(spark, path, "w", k=10).collect()}
+    assert wi == {1, 2, 3, 4}
+    # the maxBooleanClauses-style guard fails loudly
+    with pytest.raises(ValueError, match="max_expanded_terms"):
+        prefix_search_topk(spark, path, "w", k=10, max_expanded_terms=2)
