@@ -1336,6 +1336,59 @@ def prefix_search_topk(
     )
 
 
+def fuzzy_term_suggest(
+    spark,
+    path: str,
+    term: str,
+    max_dist: int = 1,
+    k: int = 5,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Did-you-mean over the index DICTIONARY: terms within
+    ``max_dist`` Levenshtein edits of the (likely misspelled) query
+    term, ranked by document frequency — the spell-correction arm of
+    a search stack (Lucene's FuzzyQuery/DirectSpellChecker shape).
+
+    The scan is DICTIONARY-scale, not corpus-scale: per-term df
+    aggregates first (vocabulary-bounded), then a length band
+    ``| len(t) − len(term) | ≤ max_dist`` prunes the distance
+    computation lossless-ly (the x85 entity-resolution recipe —
+    length is a Levenshtein lower bound) before the exact
+    ``levenshtein()`` filter. No prefix pruning: an edit can change
+    the first character, so partition pruning would silently drop
+    legal candidates (Lucene pays the same full-dictionary walk via
+    its FST automaton). The exact query term itself is excluded —
+    suggestions are alternatives, not echoes.
+
+    Output: (term, df, dist, rank), rank by df desc (popular
+    corrections first), then dist asc, then term — all exact
+    integers, cross-engine replayable."""
+    from pyspark.sql import Window
+
+    if not term:
+        raise ValueError("fuzzy_term_suggest: empty term")
+    p = spark.read.parquet(path + "/postings")
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    dict_df = p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    lo, hi = len(term) - max_dist, len(term) + max_dist
+    cand = dict_df.filter(
+        F.length("term").between(lo, hi) & (F.col("term") != term)
+    ).select(
+        "term",
+        "df",
+        F.levenshtein(F.col("term"), F.lit(term)).cast("int").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    order = [F.desc("df"), F.asc("dist"), F.asc("term")]
+    top = cand.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "term", "df", "dist", "rank"
+    )
+
+
 def compact_search_index(
     spark,
     path: str,

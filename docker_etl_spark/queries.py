@@ -12094,3 +12094,61 @@ def x107_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_search_index(postings, stats, path)
     return prefix_search_topk(spark, path, "val", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x108 — fuzzy term suggestion ("did you mean"): dictionary-scale
+# Levenshtein candidates for a misspelled query term, length-banded
+# losslessly (the x85 recipe) before the exact distance filter,
+# ranked by document frequency. No prefix pruning BY DESIGN — an
+# edit can change the first character (Lucene's FuzzyQuery pays the
+# same dictionary walk). The oracle re-derives the dictionary, df
+# and distances with DuckDB's levenshtein().
+# ---------------------------------------------------------------------------
+
+_X108_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+tf AS (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+),
+dict AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+cand AS (
+    SELECT term, df,
+           CAST(levenshtein(term, 'windoq') AS INT) AS dist
+    FROM dict
+    WHERE length(term) BETWEEN 5 AND 7 AND term <> 'windoq'
+)
+SELECT term, df, dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, dist ASC, term ASC) AS INT)
+           AS rank
+FROM cand
+WHERE dist <= 1
+QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, dist ASC, term ASC) <= 5
+"""
+
+
+@register("x108_fuzzy_term_suggest", oracle=_X108_ORACLE)
+def x108_fuzzy_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correct 'windoq' against the index dictionary."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        fuzzy_term_suggest,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x108", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    return fuzzy_term_suggest(spark, path, "windoq", max_dist=1, k=5)

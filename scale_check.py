@@ -85,6 +85,7 @@ KERNELS = [
     "x106_phrase_match_positions",
     "cp06_index_guided_scrub",
     "x107_prefix_search",
+    "x108_fuzzy_term_suggest",
     "cp05_pmi_expanded_retrieval",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's

@@ -921,3 +921,35 @@ def test_prefix_search_expansion_scoring_and_guards(spark, tmp_path):
     # the maxBooleanClauses-style guard fails loudly
     with pytest.raises(ValueError, match="max_expanded_terms"):
         prefix_search_topk(spark, path, "w", k=10, max_expanded_terms=2)
+
+
+def test_fuzzy_term_suggest_band_and_ranking(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        fuzzy_term_suggest,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "window window window"),
+        (2, "window widow"),
+        (3, "winnow grinder"),
+        (4, "meadow window"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "fuzzy")
+    p, s = build_postings(df, "text", "doc_id")
+    write_search_index(p, s, path)
+    got = [
+        (r["term"], r["df"], r["dist"], r["rank"])
+        for r in fuzzy_term_suggest(spark, path, "windod", max_dist=1).collect()
+    ]
+    # 'window' df=3 dist=1; 'winnow' is dist 2 (excluded); 'widow'
+    # len 5 is inside the band but dist 2 (excluded)
+    assert got == [("window", 3, 1, 1)]
+    # dist 2 widens the net; ranking is df desc then dist then term
+    got2 = [
+        (r["term"], r["df"], r["dist"])
+        for r in fuzzy_term_suggest(spark, path, "windod", max_dist=2).collect()
+    ]
+    assert got2 == [("window", 3, 1), ("widow", 1, 2), ("winnow", 1, 2)]
