@@ -790,6 +790,68 @@ def phrase_search_topk_batch(
     )
 
 
+def _min_span_sweep(pls_col, n_col):
+    """The classic LINEAR minimal-covering-window sweep over a list
+    of per-term position lists — merge every list into ONE sorted
+    (pos, term-tag) stream, fold left tracking the LAST-SEEN position
+    of each term; once every term has been seen, the tightest window
+    ENDING at the current element is ``pos − min(last_seen) + 1``,
+    and MinSpan is the minimum over all elements. O(Σ tf_i · n) work
+    and O(n) state per document — replacing the r10 cross-product
+    envelope whose candidate count was Π min(tf_i, cap) (multi-GB in
+    one row for a term-stuffed doc at arity 4; r10 ADVICE). Identical
+    ``min_span`` values by the standard equivalence: the minimal
+    covering window over the merged sequence IS the minimal envelope
+    over one-position-per-term choices.
+
+    ``pls_col``: array of per-term position arrays (ascending ints);
+    ``n_col``: the term count (int column or literal). Returns the
+    bigint MinSpan column (documents are pre-filtered to contain
+    every term, so the fold always finds a window)."""
+    merged = F.sort_array(
+        F.flatten(
+            F.transform(
+                pls_col,
+                lambda pl, i: F.transform(
+                    pl,
+                    lambda p: F.struct(
+                        p.cast("int").alias("pos"),
+                        i.cast("int").alias("tag"),
+                    ),
+                ),
+            )
+        )
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("int"), n_col).alias("ls"),
+        F.lit(1 << 62).cast("long").alias("best"),
+    )
+
+    def step(acc, e):
+        ls2 = F.transform(
+            acc["ls"],
+            lambda v, j: F.when(j == e["tag"], e["pos"]).otherwise(v),
+        )
+        mn = F.array_min(ls2)
+        return F.struct(
+            ls2.alias("ls"),
+            F.when(
+                mn > 0,
+                F.least(acc["best"], (e["pos"] - mn + 1).cast("long")),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+        )
+
+    return F.aggregate(merged, init, step)["best"]
+
+
+#: Proximity queries are short bags; 16 terms is already generous
+#: (Lucene callers rarely exceed a handful). The sweep is linear, so
+#: this guards only the O(n) per-element state copy, not memory.
+_MAX_PROXIMITY_TERMS = 16
+
+
 def proximity_search_topk(
     spark,
     path: str,
@@ -811,24 +873,23 @@ def proximity_search_topk(
 
     Probe shape is :func:`phrase_search_topk`'s: term-prefix
     directory pruning, pivot each doc's per-term position lists into
-    a map, then pure JVM HOFs — candidate (min, max) envelopes grow
-    one term at a time via nested ``transform``/``flatten`` (the
-    cross product of position choices), and the span is the envelope
-    width. The combo count per document is Π min(tf_i, cap) with
-    ``max_positions_per_term`` capping each list (positions ascend,
-    so the cap keeps the document PREFIX — exact for all but
-    pathological term-stuffed docs; raise it for exactness on those).
-    Proximity queries are short by nature (2-4 terms); for longer
-    bags use :func:`search_bm25_topk`, whose cost is linear.
+    a map, then pure JVM HOFs — the LINEAR sorted-merge MinSpan sweep
+    (:func:`_min_span_sweep`): per document the capped position lists
+    merge into one sorted (pos, term) stream and one fold tracks the
+    last-seen position per term, so per-row memory is O(Σ tf_i), not
+    the r10 cross product's Π min(tf_i, cap) (a term-stuffed doc at
+    arity 4 could plan a multi-GB array in ONE row; r10 ADVICE).
+    ``max_positions_per_term`` caps each list to its PREFIX
+    (positions ascend) — now an IO/precision knob for pathological
+    term-stuffed docs, not a memory guard; raise it for exactness.
 
     Output: (id_col, min_span, rank) — rank ascending by span (a
     tighter cluster of the terms ranks higher), ties on lower id;
     top-k via orderBy+limit (TakeOrderedAndProject, map-side).
-    Raises on non-positional stores, duplicate/short terms, or
-    more than 4 terms (the combo product is exponential in terms).
+    Raises on non-positional stores, duplicate/short terms, or more
+    than 16 terms (use :func:`search_bm25_topk` for long bags — a
+    16-term "proximity" query is a ranking problem, not a span one).
     """
-    from functools import reduce
-
     meta = read_search_index_meta(spark, path)
     if meta is not None and not meta["positional"]:
         raise ValueError(
@@ -844,11 +905,11 @@ def proximity_search_topk(
             "proximity_search_topk: duplicate query terms — min-span over "
             "a bag with repeats is ill-defined here; pass distinct terms"
         )
-    if not 2 <= len(terms) <= 4:
+    if not 2 <= len(terms) <= _MAX_PROXIMITY_TERMS:
         raise ValueError(
-            "proximity_search_topk: takes 2-4 distinct terms (the combo "
-            "product is exponential in term count; use search_bm25_topk "
-            "for longer bags)"
+            f"proximity_search_topk: takes 2-{_MAX_PROXIMITY_TERMS} "
+            "distinct terms (use search_bm25_topk for longer bags — "
+            "min-span over dozens of terms is a ranking problem)"
         )
     short = [t for t in terms if len(t) < mtl]
     if short:
@@ -885,28 +946,9 @@ def proximity_search_topk(
             F.element_at("__tp", F.lit(term)), 1, max_positions_per_term
         )
 
-    cand = F.transform(
-        _capped(tlist[0]), lambda q: F.struct(q.alias("mn"), q.alias("mx"))
+    span = _min_span_sweep(
+        F.array(*[_capped(t) for t in tlist]), F.lit(len(tlist))
     )
-
-    def _extend(prev, term: str):
-        return F.flatten(
-            F.transform(
-                prev,
-                lambda c: F.transform(
-                    _capped(term),
-                    lambda q: F.struct(
-                        F.least(c["mn"], q).alias("mn"),
-                        F.greatest(c["mx"], q).alias("mx"),
-                    ),
-                ),
-            )
-        )
-
-    cand = reduce(_extend, tlist[1:], cand)
-    span = F.array_min(
-        F.transform(cand, lambda c: c["mx"] - c["mn"] + F.lit(1))
-    ).cast("long")
     scored = by_doc.select(
         F.col(id_col), span.alias("min_span")
     ).filter(F.col("min_span") <= len(tlist) + slop)
@@ -938,23 +980,23 @@ def proximity_search_topk_batch(
     (:func:`proximity_search_topk` × :func:`phrase_search_topk_batch`
     — per-query calls are one Spark job each from a driver loop).
 
-    ``queries`` is (query_id, terms array<string>) with 2-4 DISTINCT
+    ``queries`` is (query_id, terms array<string>) with 2-16 DISTINCT
     terms per query; ``slop`` applies to every query unless
     ``slop_col`` names a per-query int column. One bounded driver
     round-trip collects the distinct term set (static ``__pfx`` IN
     partition filter + term IN pushed filter); the (query_id, term)
     pairs broadcast onto ONE pruned postings scan. Per (query, doc)
     the capped position lists (list PREFIX, ascending) collect and
-    the candidate (min, max) envelopes grow inside ONE
-    ``F.aggregate`` fold — the same cross-product semantics as the
-    single-query operator, per-group instead of per-column. A doc
-    qualifies when every term matched and min_span ≤ |terms| + slop;
-    per-query top-k is ``row_number() <= k`` partitioned by query
-    (WindowGroupLimit — map-side).
+    ONE :func:`_min_span_sweep` fold merges them into a sorted
+    (pos, term) stream tracking last-seen positions — linear in total
+    positions (the r10 cross-product envelope is gone; r10 ADVICE). A
+    doc qualifies when every term matched and min_span ≤ |terms| +
+    slop; per-query top-k is ``row_number() <= k`` partitioned by
+    query (WindowGroupLimit — map-side).
 
     Output: (query_id, id_col, min_span, rank), span ascending, ties
     on lower id. Raises on non-positional stores, on a query with
-    duplicate terms or a term count outside 2-4, and on terms
+    duplicate terms or a term count outside 2-16, and on terms
     shorter than the store's min_token_len."""
     spark = queries.sparkSession
     meta = read_search_index_meta(spark, path)
@@ -976,12 +1018,13 @@ def proximity_search_topk_batch(
             )
     bad = queries.filter(
         (F.size(F.array_distinct(F.col(terms_col))) != F.size(F.col(terms_col)))
-        | ~F.size(F.col(terms_col)).between(2, 4)
+        | ~F.size(F.col(terms_col)).between(2, _MAX_PROXIMITY_TERMS)
     ).limit(1).collect()
     if bad:
         raise ValueError(
-            "proximity_search_topk_batch: every query needs 2-4 DISTINCT "
-            f"terms; offending query_id={bad[0][query_id_col]!r}"
+            f"proximity_search_topk_batch: every query needs "
+            f"2-{_MAX_PROXIMITY_TERMS} DISTINCT terms; offending "
+            f"query_id={bad[0][query_id_col]!r}"
         )
     qt = queries.select(
         F.col(query_id_col), F.explode(F.col(terms_col)).alias("term")
@@ -1028,30 +1071,7 @@ def proximity_search_topk_batch(
     qmeta = queries.select(*meta_cols)
     if slop_col is None:
         qmeta = qmeta.withColumn("__slop", F.lit(int(slop)).cast("long"))
-    # envelope fold: acc = array<struct<mn,mx>> seeded from the first
-    # list, extended by each further list's cross product
-    envelopes = F.aggregate(
-        F.slice(F.col("__pls"), F.lit(2), F.size("__pls") - 1),
-        F.transform(
-            F.element_at("__pls", 1),
-            lambda q: F.struct(q.alias("mn"), q.alias("mx")),
-        ),
-        lambda acc, pl: F.flatten(
-            F.transform(
-                acc,
-                lambda c: F.transform(
-                    pl,
-                    lambda q: F.struct(
-                        F.least(c["mn"], q).alias("mn"),
-                        F.greatest(c["mx"], q).alias("mx"),
-                    ),
-                ),
-            )
-        ),
-    )
-    span = F.array_min(
-        F.transform(envelopes, lambda c: c["mx"] - c["mn"] + F.lit(1))
-    ).cast("long")
+    span = _min_span_sweep(F.col("__pls"), F.col("__nt").cast("int"))
     scored = (
         g.join(F.broadcast(qmeta), query_id_col)
         .filter(F.col("__nt") == F.col("__len"))

@@ -306,8 +306,12 @@ def test_proximity_search_guards(spark, tmp_path):
     path = _positional_store(spark, tmp_path)
     with pytest.raises(ValueError, match="duplicate"):
         proximity_search_topk(spark, path, ("alpha", "alpha"))
-    with pytest.raises(ValueError, match="2-4"):
+    with pytest.raises(ValueError, match="2-16"):
         proximity_search_topk(spark, path, ("alpha",))
+    with pytest.raises(ValueError, match="2-16"):
+        proximity_search_topk(
+            spark, path, tuple(f"term{i:02d}" for i in range(17))
+        )
     with pytest.raises(ValueError, match="shorter than"):
         proximity_search_topk(spark, path, ("alpha", "is"))
     flat = str(tmp_path / "flat")
