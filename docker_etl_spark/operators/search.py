@@ -503,7 +503,15 @@ def search_bm25_topk_batch(
     document is absent (left-join against the query set to surface
     zeros, the x93 eval recipe). Duplicate terms within a query are
     deduped (a repeated term must not double its score).
+
+    The query frame is eagerly materialized ONCE on entry
+    (``localCheckpoint`` — the house barrier): the guard count, term
+    collect and broadcast joins are separate driver actions, and for
+    a derived/nondeterministic ``queries`` plan each action would
+    otherwise re-execute it — a set validated under one evaluation
+    could differ by the time it reaches the joins (r10 ADVICE).
     """
+    queries = queries.localCheckpoint()
     spark = queries.sparkSession
     _mtl, prefix_len = _resolve_search_meta(
         spark, path, None, prefix_len, "search_bm25_topk_batch"
@@ -698,7 +706,13 @@ def phrase_search_topk_batch(
     surface zeros, the x93 eval recipe). Raises on non-positional
     stores and on phrase terms shorter than the store's
     min_token_len (never indexed — the phrase cannot match; filter
-    such phrases out upstream)."""
+    such phrases out upstream).
+
+    The query frame is eagerly materialized once on entry
+    (``localCheckpoint``) so the guard count, term collect and
+    broadcast joins all see the same rows even for a derived or
+    nondeterministic ``queries`` plan (r10 ADVICE)."""
+    queries = queries.localCheckpoint()
     spark = queries.sparkSession
     meta = read_search_index_meta(spark, path)
     if meta is not None and not meta["positional"]:
@@ -997,7 +1011,13 @@ def proximity_search_topk_batch(
     Output: (query_id, id_col, min_span, rank), span ascending, ties
     on lower id. Raises on non-positional stores, on a query with
     duplicate terms or a term count outside 2-16, and on terms
-    shorter than the store's min_token_len."""
+    shorter than the store's min_token_len.
+
+    The query frame is eagerly materialized once on entry
+    (``localCheckpoint``) so the guard count, arity validation, term
+    collect and broadcast joins all see the same rows even for a
+    derived or nondeterministic ``queries`` plan (r10 ADVICE)."""
+    queries = queries.localCheckpoint()
     spark = queries.sparkSession
     meta = read_search_index_meta(spark, path)
     if meta is not None and not meta["positional"]:

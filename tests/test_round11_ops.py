@@ -114,3 +114,51 @@ def test_proximity_batch_five_terms_and_stuffed(spark, tmp_path):
     # -> span 5. q11: doc1 span 2 (ccc adjacent to the next aaa in
     # the repeating body); doc2 span 5 fails slop=1.
     assert got == {(10, 1): 5, (11, 1): 2}
+
+# ---------------------------------------------------------------------------
+# Batch probes materialize the caller's query frame exactly once
+# (r10 ADVICE: the guard count / validation / term collect were
+# separate actions re-executing a derived queries plan)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_probes_evaluate_query_frame_once(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        phrase_search_topk_batch,
+        proximity_search_topk_batch,
+        search_bm25_topk_batch,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "gamma alpha beta words"),
+    ]
+    path = _positional_store(spark, tmp_path, rows, "once")
+
+    def run(probe, data, schema):
+        acc = spark.sparkContext.accumulator(0)
+
+        def tag(row):
+            acc.add(1)
+            return row
+
+        rdd = spark.sparkContext.parallelize(data, 2).map(tag)
+        q = spark.createDataFrame(rdd, schema)
+        probe(q, path, k=5).collect()
+        assert acc.value == len(data), probe.__name__
+
+    run(
+        search_bm25_topk_batch,
+        [(1, ["alpha", "beta"]), (2, ["gamma"])],
+        "query_id long, terms array<string>",
+    )
+    run(
+        phrase_search_topk_batch,
+        [(1, ["alpha", "beta"]), (2, ["gamma", "alpha"])],
+        "query_id long, phrase array<string>",
+    )
+    run(
+        proximity_search_topk_batch,
+        [(1, ["alpha", "beta"]), (2, ["gamma", "alpha"])],
+        "query_id long, terms array<string>",
+    )
