@@ -368,9 +368,14 @@ def parquet_path_exists(spark, path: str) -> bool:
 
 def parquet_write_completed(spark, path: str) -> bool:
     """Existence check that also REJECTS a crashed partial write: the
-    directory must exist AND carry either Spark's ``_SUCCESS`` job-
-    commit marker or at least one committed data file (``_temporary``
-    task staging is skipped — files there never job-committed).
+    directory must exist AND carry at least one committed data file
+    (``_temporary`` task staging is skipped — files there never
+    job-committed). A ``_SUCCESS`` marker alone is NOT enough
+    (ADVICE r10): a job that crashed between marker commit and
+    renaming its data files — or a manually truncated sidecar —
+    leaves a marker-only directory ``spark.read.parquet`` cannot
+    schema-infer, defeating the self-heal this probe exists to
+    provide.
 
     Sidecar readers need this instead of :func:`parquet_path_exists`
     (ADVICE r9): a crash between ``mkdir`` and job commit of a 1-row
@@ -378,18 +383,38 @@ def parquet_write_completed(spark, path: str) -> bool:
     that EXISTS but cannot be read, and an exists-only probe then
     fails every later read/write instead of letting the lock-guarded
     rewrite self-heal. An incomplete sidecar is reported absent, so
-    the next writer rewrites it under the store lease."""
+    the next writer rewrites it under the store lease.
+
+    Non-local (object-store) paths get the same data-file check via
+    a recursive Hadoop FileSystem listing — bounded for the 1-row
+    sidecars this guards (a handful of objects per prefix)."""
     local = _local_path(path)
-    if local is None:
-        # Object stores have no partial-directory state to recover
-        # (job commit IS the object PUT); fall back to existence.
-        return parquet_path_exists(spark, path)
-    if not os.path.isdir(local):
+    if local is not None:
+        if not os.path.isdir(local):
+            return False
+        for root, dirs, files in os.walk(local):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(f.endswith(".parquet") for f in files):
+                return True
         return False
-    if os.path.exists(os.path.join(local, "_SUCCESS")):
-        return True
-    for root, dirs, files in os.walk(local):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        if any(f.endswith(".parquet") for f in files):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        name = f.getName()
+        if not name.endswith(".parquet"):
+            continue
+        # skip task-staging files under _temporary/.hidden dirs
+        parent, staged = f.getParent(), False
+        while parent is not None and str(parent) != str(hpath):
+            if parent.getName().startswith(("_", ".")):
+                staged = True
+                break
+            parent = parent.getParent()
+        if not staged:
             return True
     return False

@@ -796,23 +796,69 @@ def search_index_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from docker_etl_spark.operators.search import (
             read_search_index_horizon,
+            read_search_index_meta,
         )
+        from docker_etl_spark.operators.text_analysis import tokens
 
         spark = batch_df.sparkSession
         horizon = read_search_index_horizon(spark, store_path)
         if horizon is not None and batch_id <= horizon:
             # Redelivery of an already-COMPACTED batch (crash landed
-            # between the fold and the checkpoint commit). The fold
-            # only ever runs after this batch's append completed in
-            # the same delivery, so its rows are provably in the
-            # base — appending again would double-count (the horizon
-            # guard would raise); the correct streaming semantics is
-            # a no-op.
+            # between the fold and the checkpoint commit) is a no-op —
+            # but only if the batch's rows really ARE in the base.
+            # An out-of-band compact_search_index with up_to_batch at
+            # or above a batch this stream never delivered would
+            # otherwise silently discard every later batch ≤ horizon
+            # (r10 ADVICE). Verify by probing a bounded sample of the
+            # batch's INDEXABLE doc ids against the store (a doc whose
+            # tokens are all below min_token_len legitimately has no
+            # posting rows; with assume_new_ids=False a deduped id was
+            # already present, so presence still holds). The postings
+            # scan is id-unpruned but this path only runs on the rare
+            # redelivery-below-horizon recovery, never per batch.
+            meta = read_search_index_meta(spark, store_path)
+            mtl = meta["min_token_len"] if meta is not None else (
+                3 if min_token_len is None else min_token_len
+            )
+            indexable = F.exists(
+                tokens(text_col), lambda t: F.length(t) >= mtl
+            )
+            sample_ids = [
+                r[0]
+                for r in batch_df.filter(indexable)
+                .select(id_col)
+                .orderBy(id_col)
+                .limit(16)
+                .collect()
+            ]
+            if sample_ids:
+                present = {
+                    r[0]
+                    for r in spark.read.parquet(store_path + "/postings")
+                    .filter(F.col(id_col).isin(sample_ids))
+                    .select(id_col)
+                    .distinct()
+                    .collect()
+                }
+                missing = [i for i in sample_ids if i not in present]
+                if missing:
+                    raise ValueError(
+                        f"search_index_stream: batch {batch_id} is at or "
+                        f"below the compaction horizon {horizon} at "
+                        f"{store_path} but its documents (e.g. ids "
+                        f"{missing[:4]}) are NOT in the store — the "
+                        "horizon was advanced past a batch this stream "
+                        "never appended (out-of-band compaction?); "
+                        "skipping would silently lose data. Rebuild the "
+                        "index or re-ingest from a source offset above "
+                        "the folded range."
+                    )
             log.warning(
                 "search_index_stream: skipping redelivered batch %d at "
                 "or below the compaction horizon %d (already folded "
-                "into the base at %s)",
-                batch_id, horizon, store_path,
+                "into the base at %s; sample of %d batch ids verified "
+                "present)",
+                batch_id, horizon, store_path, len(sample_ids),
             )
             return
         append_search_index(

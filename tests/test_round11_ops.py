@@ -162,3 +162,63 @@ def test_batch_probes_evaluate_query_frame_once(spark, tmp_path):
         [(1, ["alpha", "beta"]), (2, ["gamma", "alpha"])],
         "query_id long, terms array<string>",
     )
+
+
+# ---------------------------------------------------------------------------
+# parquet_write_completed: a _SUCCESS marker alone is not a completed
+# write (r10 ADVICE — marker-only dirs fail schema inference)
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_write_completed_rejects_marker_only_dir(spark, tmp_path):
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    marker_only = tmp_path / "marker_only"
+    marker_only.mkdir()
+    (marker_only / "_SUCCESS").touch()
+    assert not parquet_write_completed(spark, str(marker_only))
+    # adding one committed data file flips it
+    (marker_only / "part-00000.parquet").write_bytes(b"PAR1")
+    assert parquet_write_completed(spark, str(marker_only))
+
+
+# ---------------------------------------------------------------------------
+# search_index_stream: skipping a redelivered below-horizon batch now
+# VERIFIES the batch's rows are in the store (r10 ADVICE — an
+# out-of-band compaction past an undelivered batch was silent loss)
+# ---------------------------------------------------------------------------
+
+
+def test_search_index_stream_raises_on_never_appended_folded_batch(
+    spark, tmp_path
+):
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        compact_search_index,
+        write_search_index,
+    )
+    from docker_etl_spark.streaming import search_index_stream
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta words")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "oob")
+    p, s = build_postings(docs, "text", "doc_id")
+    write_search_index(p, s, store, batch_id=0)
+    # operator error: compaction horizon advanced past batch 5, which
+    # the stream never delivered
+    compact_search_index(spark, store, up_to_batch=5)
+    fresh = spark.createDataFrame(
+        [(10, "never ingested document")], "doc_id long, text string"
+    )
+    sink = search_index_stream(store)
+    with pytest.raises(ValueError, match="NOT in the store"):
+        sink(fresh, 3)
+    # a batch whose docs ARE present (true redelivery) still skips
+    sink(docs, 2)  # no raise; ids 1,2 verified present
+    # an all-unindexable batch has nothing to verify -> safe skip
+    sink(
+        spark.createDataFrame([(99, "a b c")], "doc_id long, text string"),
+        1,
+    )
