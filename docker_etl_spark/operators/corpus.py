@@ -1111,6 +1111,52 @@ def scrub_spans_at(
     return _remove_spans(base, hits, span_len, id_col)
 
 
+def extract_snippets_at(
+    docs: DataFrame,
+    hits: DataFrame,
+    span_len: int,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pull ``window`` context tokens AROUND each externally-located
+    span — the search-results-page highlighter, and the READ twin of
+    :func:`scrub_spans_at` (that one cuts the span out; this one
+    shows it with context). ``hits`` carries (id_col, ``pos``)
+    1-based raw-token span starts — exactly
+    :func:`~docker_etl_spark.operators.search.
+    phrase_match_positions`' exploded ``match_starts`` (both sides
+    tokenize as split-on-space lowercase, so positions line up by
+    construction; reference has no search/snippet surface — this is
+    the training-data-pipeline extension of its report formatting,
+    e.g. jobs/search-alert rendering).
+
+    Output: ONE ROW PER OCCURRENCE — (id, pos, snip_start, snip_end,
+    snippet) where the snippet is the space-joined tokens of
+    [max(1, pos−window), min(n_tokens, pos+span_len−1+window)],
+    clamped at document edges. Scale shape: docs inner-join hits on
+    the id (occurrence-scale — documents without matches never leave
+    the scan), then the slice is a map-side HOF bounded by document
+    length; no corpus-scale state anywhere.
+    """
+    base = docs.select(
+        F.col(id_col), doc_tokens(text_col).alias("__toks")
+    )
+    j = base.join(
+        hits.select(F.col(id_col), F.col("pos").cast("int").alias("pos")),
+        id_col,
+    )
+    s = F.greatest(F.lit(1), F.col("pos") - window)
+    e = F.least(F.size("__toks"), F.col("pos") + (span_len - 1) + window)
+    return j.select(
+        F.col(id_col),
+        F.col("pos"),
+        s.cast("int").alias("snip_start"),
+        e.cast("int").alias("snip_end"),
+        F.array_join(F.slice("__toks", s, e - s + 1), " ").alias("snippet"),
+    )
+
+
 def cross_doc_span_dedup(
     docs: DataFrame,
     k: int = 6,

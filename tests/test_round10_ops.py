@@ -81,6 +81,7 @@ def test_incomplete_meta_sidecar_self_heals(spark, tmp_path):
     # the redelivered first write healed the sidecar
     assert read_search_index_meta(spark, path) == {
         "prefix_len": 1, "min_token_len": 4, "positional": False,
+        "has_dict": True,
     }
     got = {
         r["doc_id"]

@@ -101,6 +101,7 @@ def test_search_index_meta_sidecar_defaults_and_rejects_conflicts(
     write_search_index(p, s, path, batch_id=0, min_token_len=5, prefix_len=1)
     assert read_search_index_meta(spark, path) == {
         "prefix_len": 1, "min_token_len": 5, "positional": False,
+        "has_dict": True,
     }
     # probe with NO prefix_len: resolves 1 from the sidecar and finds docs
     out = {
