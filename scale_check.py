@@ -87,6 +87,11 @@ KERNELS = [
     "x107_prefix_search",
     "x108_fuzzy_term_suggest",
     "cp05_pmi_expanded_retrieval",
+    "x109_bm25_stopword_skip",
+    "x110_search_dictionary",
+    "x111_positional_quality_eval",
+    "cp07_snippet_extraction",
+    "cp08_relevance_feedback",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the

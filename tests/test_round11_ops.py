@@ -423,3 +423,38 @@ def test_bm25_stopword_skip_single_and_batch(spark, tmp_path):
     assert 2 not in by_q  # all-stopword query matches nothing
     assert set(by_q.get(3, {})) == {1, 5}
     assert by_q[1] == by_q[3]
+
+
+# ---------------------------------------------------------------------------
+# Snippet extraction (read twin of scrub_spans_at)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_snippets_at_edges_and_content(spark):
+    from docker_etl_spark.operators.corpus import extract_snippets_at
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 1), (1, 5), (1, 9), (2, 2)], "doc_id long, pos int"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): (
+            r["snip_start"], r["snip_end"], r["snippet"]
+        )
+        for r in extract_snippets_at(
+            docs, hits, span_len=2, window=2
+        ).collect()
+    }
+    # pos 1: left edge clamps at 1; span [1,2] + 2 right context
+    assert got[(1, 1)] == (1, 4, "a b c d")
+    # pos 5: full window both sides -> tokens 3..8
+    assert got[(1, 5)] == (3, 8, "c d e f g h")
+    # pos 9: right edge clamps at 10
+    assert got[(1, 9)] == (7, 10, "g h i j")
+    # short doc: both edges clamp
+    assert got[(2, 2)] == (1, 3, "x y z")
+    # docs without hits produce no rows
+    assert len(got) == 4
