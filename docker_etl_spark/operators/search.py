@@ -239,8 +239,15 @@ def read_search_dictionary(
     append-only id contract), and compaction SUM/MAX-folds the same
     columns — so SUM(df) here always equals the posting-row count
     the pre-dictionary readers derived."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
     meta = read_search_index_meta(spark, path)
     if meta is None or not meta["has_dict"]:
+        return None
+    # crash window: meta committed but the first dict write did not —
+    # report "no dictionary" (callers fall back to postings) and let
+    # the redelivered write heal it, the sidecar self-heal contract
+    if not parquet_write_completed(spark, path + "/dict"):
         return None
     d = spark.read.parquet(path + "/dict")
     if prefixes is not None:

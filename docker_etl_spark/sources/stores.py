@@ -388,12 +388,18 @@ def parquet_write_completed(spark, path: str) -> bool:
     Non-local (object-store) paths get the same data-file check via
     a recursive Hadoop FileSystem listing — bounded for the 1-row
     sidecars this guards (a handful of objects per prefix)."""
+    def _hidden(name: str) -> bool:
+        # Spark's own listing convention (InMemoryFileIndex): names
+        # starting with "_" or "." are hidden/staging UNLESS they
+        # contain "=" — partition directories like "__pfx=ab" are data
+        return name.startswith(("_", ".")) and "=" not in name
+
     local = _local_path(path)
     if local is not None:
         if not os.path.isdir(local):
             return False
         for root, dirs, files in os.walk(local):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            dirs[:] = [d for d in dirs if not _hidden(d)]
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
@@ -411,7 +417,7 @@ def parquet_write_completed(spark, path: str) -> bool:
         # skip task-staging files under _temporary/.hidden dirs
         parent, staged = f.getParent(), False
         while parent is not None and str(parent) != str(hpath):
-            if parent.getName().startswith(("_", ".")):
+            if _hidden(parent.getName()):
                 staged = True
                 break
             parent = parent.getParent()

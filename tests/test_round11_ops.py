@@ -458,3 +458,72 @@ def test_extract_snippets_at_edges_and_content(spark):
     assert got[(2, 2)] == (1, 3, "x y z")
     # docs without hits produce no rows
     assert len(got) == 4
+
+
+def test_dictionary_crash_window_falls_back(spark, tmp_path):
+    """meta says has_dict but the first dict write never committed
+    (crash window): reads report no dictionary and fall back, the
+    next write heals."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        fuzzy_term_suggest,
+        read_search_dictionary,
+        write_search_index,
+    )
+
+    store = str(tmp_path / "crash")
+    p, s = build_postings(
+        _docs(spark, [(1, "alpha beta"), (2, "alpne beta")]),
+        "text", "doc_id",
+    )
+    write_search_index(p, s, store, batch_id=0)
+    shutil.rmtree(store + "/dict")
+    assert read_search_dictionary(spark, store) is None
+    got = fuzzy_term_suggest(spark, store, "alphc", max_dist=2, k=5)
+    assert {r["term"] for r in got.collect()} == {"alpha", "alpne"}
+    # redelivery of the batch heals the dictionary
+    write_search_index(p, s, store, batch_id=0)
+    assert read_search_dictionary(spark, store) is not None
+
+
+def test_streaming_ingest_writes_dictionary(spark, tmp_path):
+    """search_index_stream batches carry dictionary deltas; the
+    folded dictionary equals the postings truth after N batches."""
+    from docker_etl_spark.operators.search import read_search_dictionary
+    from docker_etl_spark.streaming import search_index_stream
+
+    store = str(tmp_path / "sdict")
+    sink = search_index_stream(store)
+    docs = _docs(
+        spark,
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "alpha delta")],
+    )
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") == i + 1), i)
+    truth = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(store + "/postings")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    got = {
+        r["term"]: r["df"]
+        for r in read_search_dictionary(spark, store).collect()
+    }
+    assert got == truth == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+
+
+def test_parquet_write_completed_sees_partition_dirs(spark, tmp_path):
+    """Partition directories named with a leading underscore column
+    (__pfx=ab) are DATA, not staging — the hidden-name rule must
+    carve out names containing '=' (Spark's own listing convention)."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    path = str(tmp_path / "parts")
+    spark.createDataFrame(
+        [("ab", 1), ("cd", 2)], "__pfx string, v int"
+    ).write.partitionBy("__pfx").parquet(path)
+    assert parquet_write_completed(spark, path)
