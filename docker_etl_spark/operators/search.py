@@ -984,6 +984,67 @@ def _min_span_sweep(pls_col, n_col):
     return F.aggregate(merged, init, step)["best"]
 
 
+def _ordered_window_sweep(pls_col, n_col):
+    """The LINEAR minimum-window-subsequence sweep — the ORDERED twin
+    of :func:`_min_span_sweep` (Lucene's in-order SpanNearQuery):
+    the smallest raw-position window containing slot 0, …, slot n−1
+    in that order. Same merged sorted (pos, slot-tag) stream; the
+    fold keeps, per prefix length i, the LATEST feasible start of a
+    slot-0..i subsequence chain (the classic DP): slot 0 always
+    refreshes its start to the current position, slot i>0 inherits
+    the start recorded for prefix i−1 when one exists, and a
+    completed chain at slot n−1 offers ``pos − start + 1``. Slots
+    must carry DISTINCT terms (the caller enforces it): with repeats,
+    two slots would share merged entries at one position and a single
+    token could illegally serve consecutive slots.
+    O(Σ tf_i · n) work, O(n) state. Returns the bigint minimal
+    window, or the 2^62 sentinel when no in-order chain exists
+    (callers filter on the slop bound, which is always far below)."""
+    merged = F.sort_array(
+        F.flatten(
+            F.transform(
+                pls_col,
+                lambda pl, i: F.transform(
+                    pl,
+                    lambda p: F.struct(
+                        p.cast("int").alias("pos"),
+                        i.cast("int").alias("tag"),
+                    ),
+                ),
+            )
+        )
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("int"), n_col).alias("ls"),
+        F.lit(1 << 62).cast("long").alias("best"),
+    )
+
+    def step(acc, e):
+        # start of the chain this element would extend: its own pos
+        # for slot 0, else prefix (tag-1)'s recorded start (1-based
+        # element_at(ls, tag) IS the 0-based ls[tag-1])
+        new_start = F.when(e["tag"] == 0, e["pos"]).otherwise(
+            F.element_at(acc["ls"], e["tag"])
+        )
+        ls2 = F.transform(
+            acc["ls"],
+            lambda v, j: F.when(
+                (j == e["tag"]) & (new_start != -1), new_start
+            ).otherwise(v),
+        )
+        return F.struct(
+            ls2.alias("ls"),
+            F.when(
+                (e["tag"] == n_col - 1) & (new_start != -1),
+                F.least(acc["best"], (e["pos"] - new_start + 1).cast("long")),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+        )
+
+    return F.aggregate(merged, init, step)["best"]
+
+
 #: Proximity queries are short bags; 16 terms is already generous
 #: (Lucene callers rarely exceed a handful). The sweep is linear, so
 #: this guards only the O(n) per-element state copy, not memory.
@@ -1097,6 +1158,103 @@ def proximity_search_topk(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select(id_col, "min_span", "rank")
+
+
+def ordered_window_search_topk(
+    spark,
+    path: str,
+    terms: tuple[str, ...],
+    slop: int = 0,
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_positions_per_term: int = 128,
+) -> DataFrame:
+    """ORDERED proximity search over the persisted positional index —
+    Lucene's in-order SpanNearQuery / the "A … B … C" pattern: rank
+    documents by the smallest raw-position window containing the
+    query terms AS A SUBSEQUENCE in the given order, keeping windows
+    ≤ ``len(terms) + slop``. The order-sensitive sibling of
+    :func:`proximity_search_topk` (same probe shape: term-prefix
+    directory pruning, per-doc position pivot) built on the linear
+    minimum-window-subsequence sweep (:func:`_ordered_window_sweep` —
+    O(Σ tf_i) per doc, never a cross product).
+
+    Output: (id_col, min_window, rank) — window ascending, ties on
+    lower id; top-k via orderBy+limit (TakeOrderedAndProject).
+    Raises on non-positional stores, duplicate/short terms, or term
+    counts outside 2-16 (duplicates would let one token serve two
+    slots — use :func:`phrase_search_topk` for exact repeats).
+    """
+    from pyspark.sql import Window
+
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"ordered_window_search_topk: store at {path} is not "
+            "positional — build it with build_positional_postings"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "ordered_window_search_topk"
+    )
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "ordered_window_search_topk: duplicate query terms — one "
+            "token could serve two slots; use phrase_search_topk for "
+            "exact repeats"
+        )
+    if not 2 <= len(terms) <= _MAX_PROXIMITY_TERMS:
+        raise ValueError(
+            f"ordered_window_search_topk: takes 2-{_MAX_PROXIMITY_TERMS} "
+            "distinct terms"
+        )
+    short = [t for t in terms if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"ordered_window_search_topk: terms {short} are shorter than "
+            f"the store's min_token_len={mtl} — they were never indexed"
+        )
+    tsorted = sorted(terms)
+    prefixes = sorted({t[:prefix_len] for t in tsorted})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(tsorted)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"ordered_window_search_topk: postings at {path} carry no "
+            "'pos' column — not a positional store"
+        )
+    by_doc = (
+        p.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "pos"))
+            ).alias("__tp"),
+            F.count("*").alias("__nt"),
+        )
+        .filter(F.col("__nt") == len(terms))
+    )
+
+    def _capped(term: str):
+        return F.slice(
+            F.element_at("__tp", F.lit(term)), 1, max_positions_per_term
+        )
+
+    # slot order = QUERY order (the sweep is order-sensitive)
+    win = _ordered_window_sweep(
+        F.array(*[_capped(t) for t in terms]), F.lit(len(terms))
+    )
+    scored = by_doc.select(
+        F.col(id_col), win.alias("min_window")
+    ).filter(F.col("min_window") <= len(terms) + slop)
+    top = scored.orderBy(F.asc("min_window"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("min_window"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "min_window", "rank")
 
 
 def proximity_search_topk_batch(
@@ -1532,6 +1690,145 @@ def prefix_search_topk(
     )
 
 
+def phrase_prefix_search_topk(
+    spark,
+    path: str,
+    phrase: tuple[str, ...],
+    last_prefix: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_expanded_terms: int = 4096,
+) -> DataFrame:
+    """Phrase-prefix search — Elasticsearch's ``match_phrase_prefix``,
+    the search-as-you-type primitive: the fixed ``phrase`` slots must
+    match exactly (the positional-intersection fold) and the FINAL
+    slot matches ANY indexed term starting with ``last_prefix``
+    ("big da" → "big data", "big dataset", …). The expansion never
+    touches the driver: expansion-term positions UNION per document
+    inside the same pivot aggregate (one flatten — distinct positions,
+    since two terms cannot share a position), shift by −len(phrase),
+    and intersect with the fixed-slot fold; only a bounded count
+    enforces ``max_expanded_terms`` (read from the r11 dictionary
+    sidecar when the store has one — vocab-scale — else the pruned
+    postings). ONE pruned scan covers fixed + expansion terms (the
+    partition filter is an OR of partition-column predicates — still
+    directory pruning). A term may serve both roles ("dat" expanding
+    to a fixed term is legal).
+
+    Output: (id_col, phrase_tf, rank) — phrase_tf counts completed
+    occurrences (any expansion term at the final slot), ranked like
+    :func:`phrase_search_topk`. Raises on non-positional stores,
+    empty phrase/prefix, short fixed terms, or a prefix shorter than
+    the store's min_token_len that could only expand to unindexed
+    terms."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"phrase_prefix_search_topk: store at {path} is not "
+            "positional — build it with build_positional_postings"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "phrase_prefix_search_topk"
+    )
+    if not phrase:
+        raise ValueError(
+            "phrase_prefix_search_topk: empty fixed phrase — use "
+            "prefix_search_topk for a bare prefix query"
+        )
+    if not last_prefix:
+        raise ValueError("phrase_prefix_search_topk: empty last_prefix")
+    short = [t for t in phrase if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"phrase_prefix_search_topk: phrase terms {short} are "
+            f"shorter than the store's min_token_len={mtl}"
+        )
+    fixed_terms = sorted(set(phrase))
+    fixed_pfx = sorted({t[:prefix_len] for t in fixed_terms})
+    part_pfx = last_prefix[:prefix_len]
+    exp_part_pred = (
+        F.col("__pfx") == part_pfx
+        if len(last_prefix) >= prefix_len
+        else F.col("__pfx").startswith(part_pfx)
+    )
+    exp_term_pred = F.col("term").startswith(last_prefix)
+    p = spark.read.parquet(path + "/postings").filter(
+        (F.col("__pfx").isin(fixed_pfx) & F.col("term").isin(fixed_terms))
+        | (exp_part_pred & exp_term_pred)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"phrase_prefix_search_topk: postings at {path} carry no "
+            "'pos' column — not a positional store"
+        )
+    # maxBooleanClauses guard on the expansion (dictionary-scale read
+    # when the store has the r11 sidecar)
+    d = read_search_dictionary(spark, path, as_of_batch=as_of_batch)
+    if d is not None:
+        guard_src = spark.read.parquet(path + "/dict").filter(
+            exp_part_pred & exp_term_pred
+        )
+        if as_of_batch is not None:
+            guard_src = guard_src.filter(F.col("__batch_id") <= as_of_batch)
+    else:
+        guard_src = p.filter(exp_term_pred)
+    n_exp = (
+        guard_src.select("term")
+        .distinct()
+        .limit(max_expanded_terms + 1)
+        .count()
+    )
+    if n_exp > max_expanded_terms:
+        raise ValueError(
+            f"phrase_prefix_search_topk: prefix {last_prefix!r} expands "
+            f"to more than max_expanded_terms={max_expanded_terms} terms "
+            "— use a longer prefix or raise the guard explicitly"
+        )
+    is_fixed = F.col("term").isin(fixed_terms)
+    by_doc = p.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.when(is_fixed, F.struct("term", "pos")))
+        ).alias("__tp"),
+        F.count_distinct(F.when(is_fixed, F.col("term"))).alias("__nf"),
+        F.sort_array(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.when(exp_term_pred, F.col("pos")))
+                )
+            )
+        ).alias("__ep"),
+    ).filter(
+        (F.col("__nf") == len(fixed_terms)) & (F.size("__ep") > 0)
+    )
+
+    def _shifted(term: str, offset: int):
+        return F.transform(
+            F.element_at("__tp", F.lit(term)), lambda x: x - F.lit(offset)
+        )
+
+    slots = [_shifted(t, i) for i, t in enumerate(phrase)]
+    slots.append(
+        F.transform(F.col("__ep"), lambda x: x - F.lit(len(phrase)))
+    )
+    matches = reduce(lambda a, b: F.array_intersect(a, b), slots)
+    scored = by_doc.select(
+        F.col(id_col), F.size(matches).cast("long").alias("phrase_tf")
+    ).filter(F.col("phrase_tf") > 0)
+    top = scored.orderBy(F.desc("phrase_tf"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("phrase_tf"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "phrase_tf", "rank")
+
+
 def fuzzy_term_suggest(
     spark,
     path: str,
@@ -1589,6 +1886,98 @@ def fuzzy_term_suggest(
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "term", "df", "dist", "rank"
+    )
+
+
+def search_boolean_topk(
+    spark,
+    path: str,
+    must: tuple[str, ...] = (),
+    should: tuple[str, ...] = (),
+    must_not: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Boolean retrieval over the persisted index — Lucene's
+    BooleanQuery: a document qualifies when it contains EVERY ``must``
+    term and NONE of the ``must_not`` terms, and is scored by the
+    exact-integer BM25 sum over its matched ``must`` + ``should``
+    terms (MUST_NOT never scores — pure exclusion, Lucene semantics).
+    With ``must`` empty the query is disjunctive over ``should``
+    (at least one match, since only matching docs have rows).
+
+    ONE pruned postings scan covers all three roles (the terms' union
+    drives the static ``__pfx`` IN partition filter); the role split
+    is a map-side CASE over the fetched rows, the filter/exclusion is
+    the same per-doc hash aggregate the scoring needs, and top-k is
+    orderBy+limit (TakeOrderedAndProject). A stopword-grade
+    ``must_not`` term fetches corpus-scale postings by necessity —
+    exclusion must see every occurrence; that is the operator's
+    documented cost, same as Lucene's.
+
+    Output: (id_col, n_terms, score_scaled, rank) — n_terms counts
+    matched SCORING terms (must + should). Raises when a term appears
+    in more than one role (ambiguous semantics).
+    """
+    from pyspark.sql import Window
+
+    roles = [set(must), set(should), set(must_not)]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            both = roles[i] & roles[j]
+            if both:
+                raise ValueError(
+                    f"search_boolean_topk: terms {sorted(both)} appear in "
+                    "more than one of must/should/must_not — ambiguous"
+                )
+    if not must and not should:
+        raise ValueError(
+            "search_boolean_topk: needs at least one must or should term"
+        )
+    _mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "search_boolean_topk"
+    )
+    all_terms = sorted(set(must) | set(should) | set(must_not))
+    scoring_terms = sorted(set(must) | set(should))
+    prefixes = sorted({t[:prefix_len] for t in all_terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(all_terms)
+    )
+    st = spark.read.parquet(path + "/stats")
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+        st = st.filter(F.col("__batch_id") <= as_of_batch)
+    totals = st.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    sp = p.filter(F.col("term").isin(scoring_terms))
+    dfreq = sp.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = _integer_term_scores(sp, dfreq, totals, id_col)
+    gates = p.groupBy(id_col).agg(
+        F.count_distinct(
+            F.when(F.col("term").isin(list(must)), F.col("term"))
+        ).alias("__nm"),
+        F.max(
+            F.when(F.col("term").isin(list(must_not)), 1).otherwise(0)
+        ).alias("__neg"),
+    )
+    agg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("__ts").cast("long").alias("score_scaled"),
+        )
+        .join(gates, id_col)
+        .filter((F.col("__nm") == len(must)) & (F.col("__neg") == 0))
+        .select(id_col, "n_terms", "score_scaled")
+    )
+    top = agg.orderBy(F.desc("score_scaled"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_scaled"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "n_terms", "score_scaled", "rank"
     )
 
 

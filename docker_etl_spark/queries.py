@@ -12642,3 +12642,211 @@ def cp08_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb_terms = {r["term"] for r in fb.collect()}
     expanded = tuple(sorted({"dup"} | fb_terms))
     return search_bm25_topk(spark, path, expanded, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x112 — boolean retrieval (Lucene BooleanQuery): MUST narrows to the
+# rare term's documents, MUST_NOT excludes via the same single pruned
+# scan (a pure gate — never scores), SHOULD contributes score when
+# present. One postings scan for all three roles; the oracle replays
+# the gates as EXISTS/NOT-EXISTS over the tf table and the scoring
+# chain over must+should rows only.
+# ---------------------------------------------------------------------------
+
+_X112_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN ('dup', 'window', 'merge')
+    GROUP BY 1, 2, 3
+),
+gated AS (
+    SELECT doc_id FROM tf WHERE term = 'dup'
+    EXCEPT
+    SELECT doc_id FROM tf WHERE term = 'merge'
+),
+stf AS (
+    SELECT * FROM tf
+    WHERE term IN ('dup', 'window')
+      AND doc_id IN (SELECT doc_id FROM gated)
+),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tf WHERE term IN ('dup', 'window') GROUP BY 1
+),
+ts AS (
+    SELECT stf.doc_id,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * stf.tf * s.sum_dl)
+           // (16 * stf.tf * s.sum_dl + 5 * s.sum_dl + 15 * stf.dl * s.n_docs)
+               AS term_score
+    FROM stf JOIN dfq USING (term) CROSS JOIN stats s
+),
+aggd AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score) AS BIGINT) AS score_scaled
+    FROM ts GROUP BY 1
+)
+SELECT doc_id, n_terms, score_scaled,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS INT)
+           AS rank
+FROM aggd
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x112_boolean_search", oracle=_X112_ORACLE)
+def x112_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """must='dup', should='window', must_not='merge' over the
+    persisted index — one pruned scan for all three roles."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_boolean_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x112", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    return search_boolean_topk(
+        spark, path, must=("dup",), should=("window",),
+        must_not=("merge",), k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x113 — ORDERED min-window search (in-order SpanNearQuery, the
+# "A ... B ... C" pattern): smallest window containing the terms as a
+# subsequence IN ORDER, via the linear minimum-window-subsequence
+# sweep (never a cross product). The oracle enumerates ordered chains
+# with an a.pos < b.pos < c.pos triple join over the 128-capped
+# per-term position lists (the x101 cap-replay discipline) and takes
+# the per-doc minimum.
+# ---------------------------------------------------------------------------
+
+_X113_SLOP = 6
+
+_X113_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+capped AS (
+  SELECT doc_id, term, pos
+  FROM posi
+  WHERE term IN ('hash', 'join', 'scan')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, term ORDER BY pos) <= 128
+),
+chains AS (
+  SELECT a.doc_id,
+         CAST(MIN(c.pos - a.pos + 1) AS BIGINT) AS min_window
+  FROM capped a
+  JOIN capped b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  JOIN capped c ON c.doc_id = a.doc_id AND c.pos > b.pos
+  WHERE a.term = 'hash' AND b.term = 'join' AND c.term = 'scan'
+  GROUP BY 1
+)
+SELECT doc_id, min_window,
+       CAST(ROW_NUMBER() OVER (ORDER BY min_window ASC, doc_id ASC) AS INT)
+           AS rank
+FROM chains WHERE min_window <= 3 + {_X113_SLOP}
+QUALIFY ROW_NUMBER() OVER (ORDER BY min_window ASC, doc_id ASC) <= 10
+"""
+
+
+@register("x113_ordered_window_search", oracle=_X113_ORACLE)
+def x113_ordered_window_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs where 'hash' ... 'join' ... 'scan' appear in order
+    within a window of 3+6 tokens, via the persisted index."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        ordered_window_search_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x113", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    return ordered_window_search_topk(
+        spark, path, ("hash", "join", "scan"), slop=_X113_SLOP, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# x114 — phrase-prefix search (match_phrase_prefix, search-as-you-
+# type): the fixed slot matches exactly, the FINAL slot matches any
+# indexed term starting with the prefix — expansion positions union
+# per document inside the pivot aggregate (no driver round-trip;
+# the bounded guard count reads the dictionary sidecar), shift by
+# the phrase length and intersect with the fixed fold. The 1-char
+# prefix exercises the partition-value startswith pruning branch.
+# The oracle counts raw adjacency with LIKE on the completed slot.
+# ---------------------------------------------------------------------------
+
+_X114_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+  FROM (
+    SELECT doc_id, i
+    FROM w, unnest(range(1, len(t))) AS u(i)
+    WHERE t[i] = 'big' AND t[i + 1] LIKE 's%' AND length(t[i + 1]) >= 3
+  )
+  GROUP BY 1
+)
+SELECT doc_id, phrase_tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT)
+           AS rank
+FROM occ
+QUALIFY ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id ASC) <= 10
+"""
+
+
+@register("x114_phrase_prefix_search", oracle=_X114_ORACLE)
+def x114_phrase_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by 'big s*' completions via the positional store."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        phrase_prefix_search_topk,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x114", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    return phrase_prefix_search_topk(spark, path, ("big",), "s", k=10)

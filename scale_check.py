@@ -92,6 +92,9 @@ KERNELS = [
     "x111_positional_quality_eval",
     "cp07_snippet_extraction",
     "cp08_relevance_feedback",
+    "x112_boolean_search",
+    "x113_ordered_window_search",
+    "x114_phrase_prefix_search",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the

@@ -527,3 +527,181 @@ def test_parquet_write_completed_sees_partition_dirs(spark, tmp_path):
         [("ab", 1), ("cd", 2)], "__pfx string, v int"
     ).write.partitionBy("__pfx").parquet(path)
     assert parquet_write_completed(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Boolean retrieval, ordered min-window, phrase-prefix (round-11
+# retrieval-surface widening)
+# ---------------------------------------------------------------------------
+
+
+def test_search_boolean_topk_semantics(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk,
+        search_boolean_topk,
+        write_search_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha gamma"),
+        (4, "beta gamma"),
+        (5, "alpha beta banned"),
+        (6, "banned words only"),
+    ]
+    store = str(tmp_path / "bool")
+    p, s = build_postings(_docs(spark, rows), "text", "doc_id")
+    write_search_index(p, s, store)
+    # must=alpha, should=beta, must_not=banned
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score_scaled"])
+        for r in search_boolean_topk(
+            spark, store, must=("alpha",), should=("beta",),
+            must_not=("banned",), k=10,
+        ).collect()
+    }
+    # docs with alpha, minus doc5 (banned): 1,2,3; n_terms counts
+    # matched scoring terms (alpha+beta for 1,2; alpha for 3)
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 2 and got[2][0] == 2 and got[3][0] == 1
+    # pure-must equals BM25 over the same term with identical scores
+    bm = {
+        r["doc_id"]: r["score_scaled"]
+        for r in search_bm25_topk(spark, store, ("alpha",), k=10).collect()
+    }
+    onlymust = {
+        r["doc_id"]: r["score_scaled"]
+        for r in search_boolean_topk(
+            spark, store, must=("alpha",), k=10
+        ).collect()
+    }
+    assert onlymust == {i: bm[i] for i in onlymust}
+    assert set(onlymust) == {1, 2, 3, 5}
+    # should-only: at least one should term
+    sh = {
+        r["doc_id"]
+        for r in search_boolean_topk(
+            spark, store, should=("gamma", "banned"), k=10
+        ).collect()
+    }
+    assert sh == {1, 3, 4, 5, 6}
+    with pytest.raises(ValueError, match="more than one"):
+        search_boolean_topk(spark, store, must=("alpha",), should=("alpha",))
+    with pytest.raises(ValueError, match="at least one"):
+        search_boolean_topk(spark, store, must_not=("alpha",))
+
+
+def test_ordered_window_search_vs_brute(spark, tmp_path):
+    import random
+
+    from docker_etl_spark.operators.search import (
+        ordered_window_search_topk,
+    )
+
+    rng = random.Random(20260817)
+    vocab = ["aaa", "bbb", "ccc", "pad", "fill"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+        for i in range(40)
+    }
+    path = _positional_store(
+        spark, tmp_path,
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "ordered",
+    )
+
+    def brute(ws, terms):
+        best = None
+        n = len(terms)
+        for i, w in enumerate(ws):
+            if w != terms[0]:
+                continue
+            j, need = i, 1
+            while need < n:
+                j += 1
+                if j >= len(ws):
+                    break
+                if ws[j] == terms[need]:
+                    need += 1
+            if need == n:
+                cand = j - i + 1
+                best = cand if best is None else min(best, cand)
+        return best
+
+    for terms in [("aaa", "bbb"), ("bbb", "aaa"),
+                  ("aaa", "bbb", "ccc"), ("ccc", "aaa")]:
+        for slop in (0, 3, 10):
+            got = {
+                r["doc_id"]: r["min_window"]
+                for r in ordered_window_search_topk(
+                    spark, path, terms, slop=slop, k=100
+                ).collect()
+            }
+            want = {}
+            for i, ws in docs.items():
+                # NB greedy scan is NOT generally optimal for min
+                # window subsequence, but with the FIRST match greedy
+                # from each start of terms[0] it is (standard result)
+                b = brute(ws, terms)
+                if b is not None and b <= len(terms) + slop:
+                    want[i] = b
+            assert got == want, (terms, slop)
+    # order sensitivity: "aaa bbb" in doc "bbb aaa" must NOT match
+    p2 = _positional_store(
+        spark, tmp_path, [(1, "bbb zzz aaa")], "ordered2"
+    )
+    assert ordered_window_search_topk(
+        spark, p2, ("aaa", "bbb"), slop=10
+    ).count() == 0
+    assert ordered_window_search_topk(
+        spark, p2, ("bbb", "aaa"), slop=10
+    ).count() == 1
+    with pytest.raises(ValueError, match="duplicate"):
+        ordered_window_search_topk(spark, p2, ("aaa", "aaa"))
+
+
+def test_phrase_prefix_search(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        phrase_prefix_search_topk,
+    )
+
+    rows = [
+        (1, "big data rules"),            # big da* -> data
+        (2, "big dataset wins"),          # big da* -> dataset
+        (3, "big dog barks"),             # no da* after big
+        (4, "data big data"),             # big@2 data@3 matches
+        (5, "big data big dataset"),      # two completions
+        (6, "small data only"),           # no 'big'
+    ]
+    path = _positional_store(spark, tmp_path, rows, "pp")
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_prefix_search_topk(
+            spark, path, ("big",), "da", k=10
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 1, 5: 2}
+    # two fixed slots
+    got2 = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_prefix_search_topk(
+            spark, path, ("data", "big"), "da", k=10
+        ).collect()
+    }
+    assert got2 == {4: 1, 5: 1}
+    # expansion term identical to a fixed term is legal
+    got3 = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_prefix_search_topk(
+            spark, path, ("big",), "data", k=10
+        ).collect()
+    }
+    assert got3 == {1: 1, 2: 1, 4: 1, 5: 2}
+    with pytest.raises(ValueError, match="empty fixed phrase"):
+        phrase_prefix_search_topk(spark, path, (), "da")
+    with pytest.raises(ValueError, match="expands to more"):
+        phrase_prefix_search_topk(
+            spark, path, ("big",), "d", max_expanded_terms=1
+        )
