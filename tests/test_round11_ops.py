@@ -705,3 +705,24 @@ def test_phrase_prefix_search(spark, tmp_path):
         phrase_prefix_search_topk(
             spark, path, ("big",), "d", max_expanded_terms=1
         )
+
+
+def test_phrase_prefix_partition_pruning_plan(spark, tmp_path):
+    """The OR of fixed-term and expansion partition predicates is
+    extracted into PartitionFilters (Catalyst derives the implied
+    partition-only disjunction), so the scan prunes to the fixed
+    terms' directories plus the expansion prefix directory."""
+    from docker_etl_spark.operators.search import (
+        phrase_prefix_search_topk,
+    )
+
+    rows = [(1, "big data rules"), (2, "zeta omega unrelated")]
+    path = _positional_store(spark, tmp_path, rows, "ppplan")
+    plan = phrase_prefix_search_topk(
+        spark, path, ("big",), "da", k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_lines and "__pfx" in part_lines[0]
+    assert "= bi)" in part_lines[0] and "= da)" in part_lines[0]
