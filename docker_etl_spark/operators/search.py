@@ -1259,6 +1259,150 @@ def ordered_window_search_topk(
     ).select(id_col, "min_window", "rank")
 
 
+def ordered_window_search_topk_batch(
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    slop_col: str | None = None,
+    slop: int = 0,
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_queries: int | None = 4096,
+    max_query_terms: int = 4096,
+    max_positions_per_term: int = 128,
+) -> DataFrame:
+    """Ordered min-window search for a SET of term sequences in ONE
+    plan (:func:`ordered_window_search_topk` ×
+    :func:`proximity_search_topk_batch` — per-query calls are one
+    Spark job each from a driver loop). ``queries`` is (query_id,
+    terms array<string>) with 2-16 DISTINCT terms per query IN the
+    order they must appear; ``slop`` applies to every query unless
+    ``slop_col`` names a per-query int column.
+
+    Probe shape is the batch-proximity one — bounded distinct-term
+    collect → static ``__pfx``/term pushed filters, broadcast
+    (query_id, slot, term) pairs, ONE pruned positional scan — but
+    the per-(query, doc) fold is the ORDERED sweep, so the collected
+    position lists carry their slot and are re-ordered by it before
+    the merge (slot order is the semantics). Per-query top-k is
+    ``row_number() <= k`` partitioned by query (WindowGroupLimit).
+
+    Output: (query_id, id_col, min_window, rank), window ascending,
+    ties on lower id. Raises like the single-query operator; the
+    query frame is eagerly materialized once on entry."""
+    queries = queries.localCheckpoint()
+    spark = queries.sparkSession
+    meta = read_search_index_meta(spark, path)
+    if meta is not None and not meta["positional"]:
+        raise ValueError(
+            f"ordered_window_search_topk_batch: store at {path} is not "
+            "positional — build it with build_positional_postings"
+        )
+    mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "ordered_window_search_topk_batch"
+    )
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"ordered_window_search_topk_batch: query set exceeds "
+                f"max_queries={max_queries}; the (query_id, slot, term) "
+                "pairs are broadcast — chunk the eval set or raise the "
+                "guard"
+            )
+    bad = queries.filter(
+        (F.size(F.array_distinct(F.col(terms_col))) != F.size(F.col(terms_col)))
+        | ~F.size(F.col(terms_col)).between(2, _MAX_PROXIMITY_TERMS)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"ordered_window_search_topk_batch: every query needs "
+            f"2-{_MAX_PROXIMITY_TERMS} DISTINCT terms; offending "
+            f"query_id={bad[0][query_id_col]!r}"
+        )
+    qt = queries.select(
+        F.col(query_id_col),
+        F.posexplode(F.col(terms_col)).alias("__slot", "term"),
+    )
+    term_rows = (
+        qt.select("term").distinct().limit(max_query_terms + 1).collect()
+    )
+    if len(term_rows) > max_query_terms:
+        raise ValueError(
+            f"ordered_window_search_topk_batch: distinct query terms "
+            f"exceed max_query_terms={max_query_terms}; the term set "
+            "drives partition pruning and must stay driver-bounded"
+        )
+    terms = sorted(r["term"] for r in term_rows)
+    short = [t for t in terms if len(t) < mtl]
+    if short:
+        raise ValueError(
+            f"ordered_window_search_topk_batch: terms {short} are "
+            f"shorter than the store's min_token_len={mtl} — never "
+            "indexed"
+        )
+    prefixes = sorted({t[:prefix_len] for t in terms})
+    p = spark.read.parquet(path + "/postings").filter(
+        F.col("__pfx").isin(prefixes) & F.col("term").isin(terms)
+    )
+    if as_of_batch is not None:
+        p = p.filter(F.col("__batch_id") <= as_of_batch)
+    if "pos" not in p.columns:
+        raise ValueError(
+            f"ordered_window_search_topk_batch: postings at {path} carry "
+            "no 'pos' column — not a positional store"
+        )
+    j = p.join(F.broadcast(qt), "term").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.struct(
+            F.col("__slot").alias("slot"),
+            F.slice(F.col("pos"), 1, max_positions_per_term).alias("pl"),
+        ).alias("__spl"),
+    )
+    g = j.groupBy(query_id_col, id_col).agg(
+        F.count("*").alias("__nt"),
+        # slot order IS the semantics: sort the collected (slot, pl)
+        # structs by slot before stripping to the list-of-lists the
+        # sweep consumes
+        F.transform(
+            F.array_sort(F.collect_list("__spl")), lambda s: s["pl"]
+        ).alias("__pls"),
+    )
+    meta_cols = [F.col(query_id_col), F.size(F.col(terms_col)).alias("__len")]
+    if slop_col is not None:
+        meta_cols.append(F.col(slop_col).cast("long").alias("__slop"))
+    qmeta = queries.select(*meta_cols)
+    if slop_col is None:
+        qmeta = qmeta.withColumn("__slop", F.lit(int(slop)).cast("long"))
+    win = _ordered_window_sweep(F.col("__pls"), F.col("__nt").cast("int"))
+    scored = (
+        g.join(F.broadcast(qmeta), query_id_col)
+        .filter(F.col("__nt") == F.col("__len"))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            win.alias("min_window"),
+            F.col("__len"),
+            F.col("__slop"),
+        )
+        .filter(F.col("min_window") <= F.col("__len") + F.col("__slop"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("min_window"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "min_window", "rank")
+    )
+
+
 def proximity_search_topk_batch(
     queries: DataFrame,
     path: str,
@@ -1980,6 +2124,92 @@ def search_boolean_topk(
     w = Window.orderBy(F.desc("score_scaled"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "n_terms", "score_scaled", "rank"
+    )
+
+
+def fuzzy_term_suggest_batch(
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    max_dist: int = 1,
+    k: int = 5,
+    as_of_batch: int | None = None,
+    max_queries: int | None = 4096,
+) -> DataFrame:
+    """Did-you-mean for a SET of (likely misspelled) terms in ONE
+    dictionary scan — :func:`fuzzy_term_suggest`'s batch shape (the
+    spell-correction pass a query log runs nightly; per-term calls
+    are one full dictionary walk EACH from a driver loop).
+
+    ``queries`` is (query_id, term). The dictionary (sidecar when the
+    store has one, postings aggregate otherwise) is scanned once; the
+    lossless length band becomes an EQUI-join — each query term
+    explodes to its admissible candidate lengths (|len−max_dist| …
+    len+max_dist, ≤ 2·max_dist+1 rows per query) and broadcasts onto
+    the dictionary keyed by ``length(term)`` — so no nested-loop join
+    ever forms and the exact ``levenshtein`` filter runs only on
+    band-surviving pairs (the x85 recipe, batched). Per-query top-k
+    is ``row_number() <= k`` partitioned by query (WindowGroupLimit —
+    map-side). The exact query term is excluded per query.
+
+    Output: (query_id, term, df, dist, rank) ranked df desc / dist
+    asc / term asc within each query. The query frame is eagerly
+    materialized once on entry (the batch-probe barrier)."""
+    from pyspark.sql import Window
+
+    queries = queries.localCheckpoint()
+    spark = queries.sparkSession
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"fuzzy_term_suggest_batch: query set exceeds "
+                f"max_queries={max_queries}; the banded query table is "
+                "broadcast — chunk the set or raise the guard"
+            )
+    d = read_search_dictionary(spark, path, as_of_batch=as_of_batch)
+    if d is None:
+        p = spark.read.parquet(path + "/postings")
+        if as_of_batch is not None:
+            p = p.filter(F.col("__batch_id") <= as_of_batch)
+        d = p.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(term_col).alias("__qterm"),
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(1), F.length(term_col) - F.lit(max_dist)
+                ),
+                F.length(term_col) + F.lit(max_dist),
+            )
+        ).alias("__band"),
+    )
+    cand = (
+        d.select("term", "df")
+        .withColumn("__band", F.length("term"))
+        .join(F.broadcast(qb), "__band")
+        .filter(F.col("term") != F.col("__qterm"))
+        .select(
+            F.col(query_id_col),
+            "term",
+            "df",
+            F.levenshtein(F.col("term"), F.col("__qterm"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("df"), F.asc("dist"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "term", "df", "dist", "rank")
     )
 
 

@@ -12850,3 +12850,149 @@ def x114_phrase_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_search_index(postings, stats, path, positional=True)
     return phrase_prefix_search_topk(spark, path, ("big",), "s", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x115 — BATCH ordered min-window search: an eval set of in-order
+# term sequences in ONE plan (the batch-proximity probe shape with
+# the ORDERED sweep — collected position lists carry their slot and
+# re-order by it before the merge). Queries 1 and 2 are the same
+# pair reversed, so the hash pins order sensitivity end-to-end.
+# The oracle enumerates ordered chains per query with a pair join
+# over the 128-capped position lists.
+# ---------------------------------------------------------------------------
+
+_X115_ORACLE = """
+WITH q(query_id, t1, t2, slop) AS (
+  VALUES (1, 'window', 'join', 4),
+         (2, 'join', 'window', 4),
+         (3, 'scan', 'batch', 2)
+),
+w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+posi AS (
+  SELECT doc_id, t[i] AS term, CAST(i AS INT) AS pos
+  FROM w, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[i]) >= 3
+),
+capped AS (
+  SELECT doc_id, term, pos
+  FROM posi
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, term ORDER BY pos) <= 128
+),
+chains AS (
+  SELECT q.query_id, a.doc_id,
+         CAST(MIN(b.pos - a.pos + 1) AS BIGINT) AS min_window,
+         ANY_VALUE(q.slop) AS slop
+  FROM q
+  JOIN capped a ON a.term = q.t1
+  JOIN capped b ON b.doc_id = a.doc_id AND b.term = q.t2
+                AND b.pos > a.pos
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, min_window,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY min_window ASC, doc_id ASC) AS INT)
+           AS rank
+FROM chains WHERE min_window <= 2 + slop
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY min_window ASC, doc_id ASC) <= 10
+"""
+
+
+@register("x115_ordered_window_batch", oracle=_X115_ORACLE)
+def x115_ordered_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three in-order pair queries (one reversed) in one plan."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_positional_postings,
+        ordered_window_search_topk_batch,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_positional_postings(d, "text", "doc_id")
+    path = _x90_store_path("x115", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, positional=True)
+    q = spark.createDataFrame(
+        [
+            (1, ["window", "join"], 4),
+            (2, ["join", "window"], 4),
+            (3, ["scan", "batch"], 2),
+        ],
+        "query_id long, terms array<string>, slop int",
+    )
+    return ordered_window_search_topk_batch(q, path, slop_col="slop", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x116 — BATCH did-you-mean: a query log's misspellings corrected in
+# ONE dictionary scan — the lossless length band becomes an EQUI-join
+# (each query term explodes to its admissible candidate lengths and
+# broadcasts onto the dictionary keyed by length(term)), so no
+# nested-loop join forms and Levenshtein runs only on band survivors.
+# One query ('qqqqqq') has no candidate within one edit and is absent.
+# ---------------------------------------------------------------------------
+
+_X116_ORACLE = """
+WITH q(query_id, qterm) AS (
+  VALUES (1, 'windoq'), (2, 'jion'), (3, 'scam'), (4, 'qqqqqq')
+),
+d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+dict AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        GROUP BY 1, 2
+    )
+    GROUP BY 1
+),
+cand AS (
+    SELECT q.query_id, dict.term, dict.df,
+           CAST(levenshtein(dict.term, q.qterm) AS INT) AS dist
+    FROM dict JOIN q
+      ON length(dict.term) BETWEEN length(q.qterm) - 1
+                                AND length(q.qterm) + 1
+    WHERE dict.term <> q.qterm
+)
+SELECT query_id, term, df, dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY df DESC, dist ASC, term ASC) AS INT)
+           AS rank
+FROM cand
+WHERE dist <= 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY df DESC, dist ASC, term ASC) <= 5
+"""
+
+
+@register("x116_fuzzy_suggest_batch", oracle=_X116_ORACLE)
+def x116_fuzzy_suggest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four misspellings corrected off one dictionary scan."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        fuzzy_term_suggest_batch,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x116", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path)
+    q = spark.createDataFrame(
+        [(1, "windoq"), (2, "jion"), (3, "scam"), (4, "qqqqqq")],
+        "query_id long, term string",
+    )
+    return fuzzy_term_suggest_batch(q, path, max_dist=1, k=5)

@@ -726,3 +726,83 @@ def test_phrase_prefix_partition_pruning_plan(spark, tmp_path):
     ]
     assert part_lines and "__pfx" in part_lines[0]
     assert "= bi)" in part_lines[0] and "= da)" in part_lines[0]
+
+
+def test_ordered_window_batch_matches_single(spark, tmp_path):
+    import random
+
+    from docker_etl_spark.operators.search import (
+        ordered_window_search_topk,
+        ordered_window_search_topk_batch,
+    )
+
+    rng = random.Random(20260818)
+    vocab = ["aaa", "bbb", "ccc", "pad"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        for i in range(25)
+    }
+    path = _positional_store(
+        spark, tmp_path,
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "obatch",
+    )
+    qs = [
+        (1, ["aaa", "bbb"], 4),
+        (2, ["bbb", "aaa"], 4),
+        (3, ["aaa", "bbb", "ccc"], 8),
+    ]
+    q = spark.createDataFrame(
+        qs, "query_id long, terms array<string>, slop int"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["min_window"]
+        for r in ordered_window_search_topk_batch(
+            q, path, slop_col="slop", k=100
+        ).collect()
+    }
+    want = {}
+    for qid, terms, slop in qs:
+        for r in ordered_window_search_topk(
+            spark, path, tuple(terms), slop=slop, k=100
+        ).collect():
+            want[(qid, r["doc_id"])] = r["min_window"]
+    assert got == want and len(got) > 0
+    # order sensitivity survives the batch fold: queries 1 and 2 must
+    # not be identical result sets on an asymmetric corpus
+    r1 = {d for (qq, d) in got if qq == 1}
+    r2 = {d for (qq, d) in got if qq == 2}
+    assert r1 != r2
+
+
+def test_fuzzy_suggest_batch_matches_single(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        fuzzy_term_suggest,
+        fuzzy_term_suggest_batch,
+    )
+
+    rows = [
+        (1, "window scan filter join"),
+        (2, "window window merge scan"),
+        (3, "vector filter join join"),
+    ]
+    path = _positional_store(spark, tmp_path, rows, "fsb")
+    q = spark.createDataFrame(
+        [(1, "windoq"), (2, "jion"), (3, "scam"), (4, "zzzzzz")],
+        "query_id long, term string",
+    )
+    got = {}
+    for r in fuzzy_term_suggest_batch(q, path, max_dist=1, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["term"], r["df"], r["dist"], r["rank"])
+        )
+    for qid, term in [(1, "windoq"), (2, "jion"), (3, "scam"), (4, "zzzzzz")]:
+        single = [
+            (r["term"], r["df"], r["dist"], r["rank"])
+            for r in fuzzy_term_suggest(
+                spark, path, term, max_dist=1, k=5
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(single), qid
+    assert 4 not in got  # no candidate within one edit
+    assert {t for t, *_ in got[1]} == {"window"}
