@@ -95,6 +95,8 @@ KERNELS = [
     "x112_boolean_search",
     "x113_ordered_window_search",
     "x114_phrase_prefix_search",
+    "x115_ordered_window_batch",
+    "x116_fuzzy_suggest_batch",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the
