@@ -17,6 +17,24 @@ module gives the index its store lifecycle (the x45/x90 pattern):
 - :func:`search_bm25_topk` fetches exactly the query terms' postings
   and ranks documents by an EXACT-INTEGER BM25 sum.
 
+Since r11 every store also carries a TERM DICTIONARY sidecar at
+``{path}/dict`` — per-batch (term, df, sum_tf, max_tf) deltas under
+the postings' own layout, folded at compaction (the Lucene terms-
+dictionary analogue) — so dictionary-shaped reads (fuzzy suggest,
+census term stats, prefix/phrase-prefix expansion guards, batch df
+tables, the stopword skip) aggregate vocab-scale rows instead of
+corpus-scale postings. The probe family on top of the store:
+
+- ranked retrieval: :func:`search_bm25_topk` (+ batch), boolean
+  must/should/must_not (:func:`search_boolean_topk`), prefix
+  wildcard (:func:`prefix_search_topk`), stopword-skipping variants;
+- positional: exact phrase (+ batch), unordered MinSpan proximity
+  (+ batch, linear sweep), ORDERED min-window (+ batch, linear DP
+  sweep), phrase-prefix autocomplete, match positions → span
+  scrub/snippets;
+- dictionary: fuzzy did-you-mean (+ batch), census, the dictionary
+  read itself (:func:`read_search_dictionary`).
+
 Integer BM25 (the cross-engine discipline): with k1 = 5/4 and
 b = 3/4 (exact binary fractions) the saturation term
 
