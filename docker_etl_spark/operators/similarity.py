@@ -2311,10 +2311,85 @@ def _check_ivfpq_horizon(
         )
 
 
+def read_ivfpq_deletes(
+    spark, path: str, as_of_batch: int | None = None
+) -> DataFrame | None:
+    """The store's PENDING tombstones (one id per deleted vector per
+    delete batch, ``{path}/deletes`` partitioned by ``__batch_id``)
+    or None when it carries none — the search-store sidecar pattern
+    (:func:`~docker_etl_spark.operators.search.read_search_deletes`),
+    gated on the sidecar being committed so the crash window reads as
+    absent. ``as_of_batch`` snapshot-reads the delete history."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    if not parquet_write_completed(spark, path + "/deletes"):
+        return None
+    d = spark.read.parquet(path + "/deletes")
+    if as_of_batch is not None:
+        d = d.filter(F.col("__batch_id") <= as_of_batch)
+    return d
+
+
+def delete_from_ivfpq_store(
+    spark,
+    path: str,
+    vec_ids,
+    batch_id: int,
+    id_col: str = "vec_id",
+) -> None:
+    """Tombstone vectors in a persisted IVF-PQ index — FAISS's
+    ``remove_ids`` re-expressed for the store layout (the search
+    store's :func:`~docker_etl_spark.operators.search.
+    delete_from_search_index`, symmetrically): ids land as a bounded
+    ``{path}/deletes`` sidecar delta; every
+    :func:`load_ivfpq_store`-based probe immediately anti-joins its
+    codes frame against it (ids only, applied after cell pruning);
+    the next :func:`compact_ivfpq_store` whose horizon covers
+    ``batch_id`` physically drops the code rows and clears the
+    applied tombstones. Writer-lease-guarded, idempotent under
+    redelivery (dynamic overwrite of its own partition), rejected at
+    or below the compaction horizon; a deleted id must not be
+    re-ingested (its tombstone excludes the new copy too —
+    ``ivfpq_append(assume_new_ids=False)`` keeps treating deleted
+    ids as seen)."""
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(
+            F.col(vec_ids.columns[0]).alias(id_col)
+        ).distinct()
+    else:
+        vals = list(vec_ids)
+        if not vals:
+            raise ValueError("delete_from_ivfpq_store: empty vec_ids")
+        ids = spark.createDataFrame(
+            [(v,) for v in vals], [id_col]
+        ).distinct()
+    with store_writer_lock(path, owner="delete_from_ivfpq_store"):
+        horizon = read_ivfpq_horizon(spark, path)
+        if horizon is not None and batch_id <= horizon:
+            raise ValueError(
+                f"delete_from_ivfpq_store: batch_id={batch_id} is at or "
+                f"below the store's compaction horizon {horizon} at "
+                f"{path} — tombstones at that height were already "
+                "applied physically and cleared; issue deletes only "
+                "above the horizon"
+            )
+        (
+            ids.withColumn("__batch_id", F.lit(int(batch_id)))
+            .repartition(1)
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(path + "/deletes")
+        )
+
+
 def load_ivfpq_store(
     spark,
     path: str,
     as_of_batch: int | None = None,
+    apply_deletes: bool = True,
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]], dict]:
     """Reload a :func:`write_ivfpq_store` index →
     (index frame (id, __cell, pq_code), coarse, codebooks, meta).
@@ -2354,6 +2429,20 @@ def load_ivfpq_store(
         if c not in ("__cell", "pq_code", "__batch_id")
     ]
     index = codes.select(*id_name, "__cell", "pq_code")
+    # tombstone filter (every probe sees only live vectors; the
+    # bounded anti-join rides ABOVE the cell-pruned scan, so
+    # partition pruning is unchanged). ``apply_deletes=False`` is the
+    # ingest path's raw view — deleted ids stay "seen" for the
+    # append-only id contract.
+    if apply_deletes:
+        dels = read_ivfpq_deletes(spark, path, as_of_batch=as_of_batch)
+        if dels is not None:
+            dc = [c for c in dels.columns if c != "__batch_id"][0]
+            index = index.join(
+                dels.select(F.col(dc).alias(id_name[0])).distinct(),
+                id_name[0],
+                "left_anti",
+            )
     return index, coarse, books, meta
 
 
@@ -2389,7 +2478,12 @@ def ivfpq_append(
     spark = new_vecs.sparkSession
     # fail-fast pre-check; re-checked under the lease before the write
     _check_ivfpq_horizon(spark, path, batch_id, caller="ivfpq_append")
-    _idx, coarse, books, meta = load_ivfpq_store(spark, path)
+    # raw view (apply_deletes=False): a deleted id stays "seen", so
+    # assume_new_ids=False filters re-ingests of purged ids — their
+    # tombstone would exclude the new copy anyway
+    _idx, coarse, books, meta = load_ivfpq_store(
+        spark, path, apply_deletes=False
+    )
     if not assume_new_ids:
         if id_col not in _idx.columns:
             raise ValueError(
@@ -2553,15 +2647,41 @@ def compact_ivfpq_store(
                 .parquet(path + "/horizon")
             )
 
+    # tombstones at or below the horizon are applied PHYSICALLY here
+    # (FAISS remove_ids semantics, the search-store r12 recipe): the
+    # codes fold anti-joins them and the applied entries are cleared
+    # from the sidecar LAST — a crash between the folds leaves them
+    # pending, which is safe (probes keep anti-joining ids whose rows
+    # are gone) and a re-run completes the clear
+    dels = read_ivfpq_deletes(spark, path, as_of_batch=up_to_batch)
+    del_ids = None
+    del_id_col = None
+    if dels is not None:
+        del_id_col = [c for c in dels.columns if c != "__batch_id"][0]
+        ids = dels.select(del_id_col).distinct().localCheckpoint()
+        if ids.limit(1).count() > 0:
+            del_ids = ids
+
     def fold(df: DataFrame) -> DataFrame:
-        return df.withColumn(
+        out = df.withColumn(
             "__batch_id",
             F.when(
                 F.col("__batch_id") <= up_to_batch, F.lit(-1)
             ).otherwise(F.col("__batch_id")),
         )
+        if del_ids is not None:
+            id_name = [
+                c for c in df.columns
+                if c not in ("__cell", "pq_code", "__batch_id")
+            ][0]
+            out = out.join(
+                del_ids.select(F.col(del_id_col).alias(id_name)),
+                id_name,
+                "left_anti",
+            )
+        return out
 
-    return compact_partitioned_store(
+    res = compact_partitioned_store(
         spark,
         path + "/codes",
         ("__cell", "__batch_id"),
@@ -2570,3 +2690,16 @@ def compact_ivfpq_store(
         transform=fold,
         lock_path=path,
     )
+    if del_ids is not None:
+        compact_partitioned_store(
+            spark,
+            path + "/deletes",
+            ("__batch_id",),
+            target_rows_per_file=target_rows_per_file,
+            owner="compact_ivfpq_store",
+            transform=lambda df: df.filter(
+                F.col("__batch_id") > up_to_batch
+            ),
+            lock_path=path,
+        )
+    return res

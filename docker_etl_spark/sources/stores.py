@@ -389,10 +389,12 @@ def parquet_write_completed(spark, path: str) -> bool:
     a recursive Hadoop FileSystem listing — bounded for the 1-row
     sidecars this guards (a handful of objects per prefix)."""
     def _hidden(name: str) -> bool:
-        # Spark's own listing convention (InMemoryFileIndex): names
-        # starting with "_" or "." are hidden/staging UNLESS they
-        # contain "=" — partition directories like "__pfx=ab" are data
-        return name.startswith(("_", ".")) and "=" not in name
+        # Spark's own listing convention (InMemoryFileIndex): "."-led
+        # names are ALWAYS hidden; "_"-led names are hidden unless
+        # they contain "=" (partition directories like "__pfx=ab")
+        return name.startswith(".") or (
+            name.startswith("_") and "=" not in name
+        )
 
     local = _local_path(path)
     if local is not None:
@@ -408,6 +410,12 @@ def parquet_write_completed(spark, path: str) -> bool:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return False
+    # listFiles returns FILESYSTEM-QUALIFIED paths; qualify the root
+    # the same way or an authority-less input (hdfs:/x) never matches
+    # the walk's stop condition and the staging check climbs past the
+    # store root, misreading hidden-named ancestors as task staging
+    # (ADVICE r11).
+    root = str(fs.makeQualified(hpath))
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         f = it.next().getPath()
@@ -416,7 +424,7 @@ def parquet_write_completed(spark, path: str) -> bool:
             continue
         # skip task-staging files under _temporary/.hidden dirs
         parent, staged = f.getParent(), False
-        while parent is not None and str(parent) != str(hpath):
+        while parent is not None and str(parent) != root:
             if _hidden(parent.getName()):
                 staged = True
                 break

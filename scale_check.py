@@ -97,6 +97,11 @@ KERNELS = [
     "x114_phrase_prefix_search",
     "x115_ordered_window_batch",
     "x116_fuzzy_suggest_batch",
+    "x117_search_delete_lifecycle",
+    "x118_ivfpq_delete_lifecycle",
+    "x119_maxscore_pruned_topk",
+    "cp09_bm25_term_snippets",
+    "x120_bm25_proximity_boost",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the
