@@ -333,6 +333,127 @@ def write_digest_store(
         out.write.mode(mode).partitionBy("digest_prefix").parquet(path)
 
 
+def load_digest_store(spark, path: str) -> DataFrame:
+    """Read a :func:`write_digest_store` layout with the partition
+    column PINNED to string. Spark infers partition-value types from
+    the directory names; a store whose live prefixes happen to all
+    parse numerically (e.g. a small or heavily-purged store left
+    with only ``digest_prefix=09``) silently comes back with an INT
+    partition column — string prefix pruning then fails with a cast
+    error and a rewrite would rename the directory (``09`` → ``9``).
+    Hex prefixes are strings; pin them."""
+    df = spark.read.parquet(path)
+    if (
+        "digest_prefix" in df.columns
+        and dict(df.dtypes)["digest_prefix"] != "string"
+    ):
+        fields = ", ".join(
+            f"{c} {'string' if c == 'digest_prefix' else t}"
+            for c, t in df.dtypes
+        )
+        df = spark.read.schema(fields).parquet(path)
+    return df
+
+
+def delete_from_digest_store(
+    spark,
+    path: str,
+    digests,
+    digest_col: str = "content_md5",
+) -> int:
+    """Purge digests from a content-digest store — the takedown
+    lifecycle's DEDUP-LEDGER leg (r12: a purge that tombstones the
+    search/vector stores but leaves the digest ledger keeps
+    rejecting re-licensed or corrected re-ingests of the same
+    content as "duplicate of deleted content" forever).
+
+    Unlike the search/IVF-PQ tombstone sidecars, this is an
+    IMMEDIATE TARGETED PARTITION REWRITE — exactly what the
+    digest-prefix layout is for: the delete list's prefixes (at most
+    16^prefix_chars directories, typically far fewer) are the only
+    partitions read, anti-joined, and dynamically overwritten; the
+    rest of a store holding billions of digests is untouched.
+    Dynamic overwrite only replaces partitions PRESENT in the new
+    data, so prefixes whose every digest was deleted are removed
+    explicitly afterwards (they would otherwise survive as stale
+    directories). The whole mutation holds the single-writer lease;
+    the batch-your-takedowns pattern (one call per purge batch, not
+    per digest) keeps the rewrite count bounded.
+
+    ``digests``: list of digest strings or a 1-column DataFrame.
+    Returns the number of digest rows removed."""
+    from docker_etl_spark.sources.stores import (
+        parquet_path_exists,
+        store_writer_lock,
+    )
+
+    if isinstance(digests, DataFrame):
+        dl = digests.select(
+            F.col(digests.columns[0]).alias(digest_col)
+        ).distinct()
+    else:
+        vals = list(digests)
+        if not vals:
+            raise ValueError("delete_from_digest_store: empty digests")
+        dl = spark.createDataFrame(
+            [(v,) for v in vals], [digest_col]
+        ).distinct()
+    if not parquet_path_exists(spark, path):
+        return 0
+    with store_writer_lock(path, owner="delete_from_digest_store"):
+        # infer prefix_chars from the layout (first partition value)
+        sample = (
+            load_digest_store(spark, path).select("digest_prefix").limit(1)
+        ).collect()
+        if not sample:
+            return 0
+        n_pfx = len(sample[0][0])
+        dl = dl.withColumn(
+            "digest_prefix", F.substring(F.col(digest_col), 1, n_pfx)
+        ).localCheckpoint()
+        prefixes = sorted(
+            r[0] for r in dl.select("digest_prefix").distinct().collect()
+        )
+        affected = load_digest_store(spark, path).filter(
+            F.col("digest_prefix").isin(prefixes)
+        )
+        kept = affected.join(
+            dl.select(digest_col), digest_col, "left_anti"
+        )
+        # eager barrier: the write below dynamically overwrites the
+        # same partitions this plan reads (the r9 read-then-overwrite
+        # hazard); the slice is prefix-bounded, so the checkpoint is
+        # cheap relative to the rewrite
+        kept = kept.localCheckpoint()
+        n_before = affected.count()
+        n_after = kept.count()
+        survivors = {
+            r[0]
+            for r in kept.select("digest_prefix").distinct().collect()
+        }
+        (
+            kept.repartition("digest_prefix")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("digest_prefix")
+            .parquet(path)
+        )
+        # prefixes left with zero survivors: dynamic overwrite wrote
+        # nothing there — drop the stale directories explicitly
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in prefixes:
+            if p not in survivors:
+                hp = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/digest_prefix={p}"
+                )
+                fs = hp.getFileSystem(conf)
+                if fs.exists(hp):
+                    fs.delete(hp, True)
+    spark.catalog.clearCache()
+    return n_before - n_after
+
+
 def incremental_content_dedup(
     new_docs: DataFrame,
     store: DataFrame,

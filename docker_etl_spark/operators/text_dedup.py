@@ -592,11 +592,110 @@ def write_signature_store(
         exploded.write.mode(mode).partitionBy("band").parquet(path)
 
 
-def load_signature_store(spark, path: str) -> DataFrame:
+def _signature_deletes_path(path: str) -> str:
+    # SIBLING, not a subdirectory: the store root is a bare band=N
+    # partition layout, so an in-root sidecar would corrupt partition
+    # discovery for every reader
+    return path.rstrip("/") + ".__deletes"
+
+
+def read_signature_deletes(spark, path: str) -> DataFrame | None:
+    """Pending signature-store tombstones (distinct ids), or None.
+    Gated on the sidecar being committed (crash window reads as
+    absent — the house sidecar self-heal contract)."""
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    dpath = _signature_deletes_path(path)
+    if not parquet_write_completed(spark, dpath):
+        return None
+    return spark.read.parquet(dpath).distinct()
+
+
+def delete_from_signature_store(
+    spark, path: str, ids, id_col: str = "doc_id"
+) -> None:
+    """Tombstone documents in a MinHash signature store — the
+    takedown lifecycle's NEAR-DUP leg (r12; the search/IVF-PQ delete
+    pattern applied to the dedup ledger): a purged document's
+    signatures must stop suppressing future near-duplicates of its
+    content, or a re-licensed/corrected re-ingest is silently
+    dropped forever. Ids land in a sibling ``<path>.__deletes``
+    sidecar under the store's writer lease (append — purge batches
+    accumulate; duplicates are deduped at read);
+    :func:`load_signature_store` anti-joins it immediately, and
+    :func:`apply_signature_deletes` rewrites the band partitions to
+    drop the rows physically. A full rewrite is the honest cost of
+    physical deletion here — an id's signatures live in EVERY band
+    partition — which is exactly why the read-side tombstone comes
+    first and the rewrite batches many purges."""
+    from docker_etl_spark.sources.stores import store_writer_lock
+
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        vals = list(ids)
+        if not vals:
+            raise ValueError("delete_from_signature_store: empty ids")
+        idf = spark.createDataFrame(
+            [(v,) for v in vals], [id_col]
+        ).distinct()
+    with store_writer_lock(path, owner="delete_from_signature_store"):
+        idf.repartition(1).write.mode("append").parquet(
+            _signature_deletes_path(path)
+        )
+
+
+def apply_signature_deletes(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> dict | None:
+    """Physically drop tombstoned signatures: one band-layout rewrite
+    through the crash-recovering store swap, then the sidecar is
+    cleared (LAST — a crash leaves tombstones pending, which is safe:
+    readers keep anti-joining rows that may already be gone). No-op
+    (returns None) when no tombstones are pending."""
+    import shutil
+
+    from docker_etl_spark.sources.stores import (
+        compact_partitioned_store,
+        store_writer_lock,
+    )
+
+    dels = read_signature_deletes(spark, path)
+    if dels is None:
+        return None
+    idc = dels.columns[0]
+    pinned = dels.localCheckpoint()
+    if pinned.limit(1).count() == 0:
+        return None
+    res = compact_partitioned_store(
+        spark,
+        path,
+        ("band",),
+        target_rows_per_file=target_rows_per_file,
+        owner="apply_signature_deletes",
+        transform=lambda df: df.join(pinned, idc, "left_anti"),
+    )
+    with store_writer_lock(path, owner="apply_signature_deletes"):
+        shutil.rmtree(_signature_deletes_path(path), ignore_errors=True)
+    return res
+
+
+def load_signature_store(
+    spark, path: str, apply_deletes: bool = True
+) -> DataFrame:
     """Read a :func:`write_signature_store` layout back. The returned
     frame is already band-exploded — pass it to
-    :func:`incremental_minhash_dedup` with ``store_exploded=True``."""
-    return spark.read.parquet(path)
+    :func:`incremental_minhash_dedup` with ``store_exploded=True``.
+    Pending tombstones (:func:`delete_from_signature_store`) are
+    anti-joined out unless ``apply_deletes=False`` (the raw view —
+    e.g. auditing what a purge will drop)."""
+    df = spark.read.parquet(path)
+    if apply_deletes:
+        dels = read_signature_deletes(spark, path)
+        if dels is not None:
+            idc = dels.columns[0]
+            df = df.join(dels, idc, "left_anti")
+    return df
 
 
 def incremental_minhash_dedup(

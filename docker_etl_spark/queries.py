@@ -13542,3 +13542,78 @@ def x120_bm25_proximity_boost(
     return search_bm25_proximity_topk(
         spark, path, ("hash", "scan"), k=10, boost_scale=1_000_000
     )
+
+
+# ---------------------------------------------------------------------------
+# x121 — takedown across the dedup ledger (r12): a purge that
+# tombstones the search/vector stores but leaves the DIGEST ledger
+# behind keeps rejecting re-licensed re-ingests of the same content
+# as "duplicate of deleted content" forever. Build the ledger from
+# two-thirds of the corpus, purge a slice of digests (a targeted
+# prefix-partition rewrite — only the delete list's directories are
+# touched), then redeliver the FULL corpus through the incremental
+# gate: survivors are exactly the never-stored contents plus the
+# purged ones. The oracle replays md5 identity, the intra-batch
+# min-id survivor rule and the set algebra.
+# ---------------------------------------------------------------------------
+
+_X121_ORACLE = """
+WITH d AS (
+    SELECT doc_id, md5(text) AS content_md5 FROM documents
+),
+batch_unique AS (
+    SELECT content_md5, MIN(doc_id) AS doc_id FROM d GROUP BY 1
+),
+stored AS (
+    SELECT DISTINCT content_md5 FROM d WHERE doc_id % 3 <> 0
+),
+purged AS (
+    SELECT DISTINCT content_md5 FROM d WHERE doc_id % 6 = 1
+),
+live_store AS (
+    SELECT content_md5 FROM stored
+    EXCEPT
+    SELECT content_md5 FROM purged
+)
+SELECT b.doc_id, b.content_md5
+FROM batch_unique b
+LEFT JOIN live_store s USING (content_md5)
+WHERE s.content_md5 IS NULL
+"""
+
+
+@register("x121_digest_purge_reopen", oracle=_X121_ORACLE)
+def x121_digest_purge_reopen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-ledger purge reopens ingest for the purged content."""
+    import shutil
+
+    from docker_etl_spark.operators.dedupe import (
+        delete_from_digest_store,
+        incremental_content_dedup,
+        load_digest_store,
+        write_digest_store,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    digests = d.select(
+        "doc_id", F.md5(F.col("text")).alias("content_md5")
+    )
+    path = _x90_store_path("x121", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_digest_store(
+        digests.filter(F.col("doc_id") % 3 != 0)
+        .select("content_md5")
+        .distinct(),
+        path,
+    )
+    delete_from_digest_store(
+        spark,
+        path,
+        digests.filter(F.col("doc_id") % 6 == 1)
+        .select("content_md5")
+        .distinct(),
+    )
+    survivors = incremental_content_dedup(
+        d, load_digest_store(spark, path)
+    )
+    return survivors.select("doc_id", "content_md5")

@@ -621,6 +621,7 @@ def cdc_chunk_dedup_stream(
     from docker_etl_spark.operators.corpus import cdc_chunks
     from docker_etl_spark.operators.dedupe import (
         incremental_content_dedup,
+        load_digest_store,
         write_digest_store,
     )
     from docker_etl_spark.sources.stores import parquet_path_exists
@@ -637,7 +638,7 @@ def cdc_chunk_dedup_stream(
             F.col(id_col) * 1000000 + F.col("chunk_idx"),
         )
         if parquet_path_exists(spark, store_path):
-            store = spark.read.parquet(store_path)
+            store = load_digest_store(spark, store_path)
         else:
             store = spark.createDataFrame([], "content_md5 string")
         survivors = incremental_content_dedup(
@@ -873,6 +874,157 @@ def search_index_stream(
     return _sink
 
 
+def search_delete_stream(
+    store_path: str,
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink applying a TOMBSTONE stream (takedown / PII-
+    purge / CDC-delete events carrying document ids) to a persisted
+    search index — the streaming twin of
+    :func:`~docker_etl_spark.operators.search.
+    delete_from_search_index`: each micro-batch's ids land as that
+    batch's ``{path}/deletes`` delta (probes exclude them
+    immediately; the next covering compaction applies them
+    physically and re-derives stats/dictionary). Redelivery of the
+    same batch is idempotent (dynamic overwrite of its own
+    partition).
+
+    BATCH CLOCK: the sink passes the stream's ``batch_id`` straight
+    through, and the deletes sidecar shares the INGEST batches'
+    ``__batch_id`` axis for snapshot reads and the horizon guard —
+    when one store receives both an ingest stream and a delete
+    stream, drive both from the same logical clock (one source, one
+    query, or an offset scheme) or pick compaction horizons older
+    than either stream's redelivery window.
+
+    A redelivered batch at or below the compaction horizon follows
+    the r11 verified-skip discipline: probe a bounded sample of the
+    batch's ids against the postings — if any is still PRESENT the
+    tombstone was never applied (the horizon advanced past a delete
+    batch this stream never landed — out-of-band compaction) and the
+    sink raises loudly instead of silently dropping a purge request;
+    if all are absent the deletes were applied and cleared, and the
+    skip is safe (an id never ingested is also absent, and its
+    tombstone is a no-op by contract either way)."""
+    from docker_etl_spark.operators.search import (
+        delete_from_search_index,
+        read_search_index_horizon,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        horizon = read_search_index_horizon(spark, store_path)
+        if horizon is not None and batch_id <= horizon:
+            sample_ids = [
+                r[0]
+                for r in batch_df.select(id_col)
+                .orderBy(id_col)
+                .limit(16)
+                .collect()
+            ]
+            present = []
+            if sample_ids:
+                present = [
+                    r[0]
+                    for r in spark.read.parquet(store_path + "/postings")
+                    .filter(F.col(id_col).isin(sample_ids))
+                    .select(id_col)
+                    .distinct()
+                    .collect()
+                ]
+            if present:
+                raise ValueError(
+                    f"search_delete_stream: batch {batch_id} is at or "
+                    f"below the compaction horizon {horizon} at "
+                    f"{store_path} but its documents (e.g. ids "
+                    f"{present[:4]}) are STILL PRESENT — the horizon "
+                    "was advanced past a delete batch this stream "
+                    "never landed (out-of-band compaction?); skipping "
+                    "would silently drop a purge request. Re-issue the "
+                    "deletes above the horizon."
+                )
+            log.warning(
+                "search_delete_stream: skipping redelivered delete "
+                "batch %d at or below the compaction horizon %d "
+                "(sample of %d ids verified absent at %s)",
+                batch_id, horizon, len(sample_ids), store_path,
+            )
+            return
+        if batch_df.limit(1).count() == 0:
+            return  # empty micro-batch: nothing to tombstone
+        delete_from_search_index(
+            spark, store_path, batch_df.select(id_col), batch_id,
+            id_col=id_col,
+        )
+
+    return _sink
+
+
+def ivfpq_delete_stream(
+    store_path: str,
+    id_col: str = "vec_id",
+) -> Callable[[DataFrame, int], None]:
+    """:func:`search_delete_stream`'s twin for the persisted IVF-PQ
+    store: tombstone ids land as ``{path}/deletes`` deltas
+    (:func:`~docker_etl_spark.operators.similarity.
+    delete_from_ivfpq_store`); probes exclude immediately, the next
+    covering compaction drops the code rows physically. Same batch-
+    clock contract and verified-skip discipline on redelivery below
+    the horizon (presence probed against ``codes/``)."""
+    from docker_etl_spark.operators.similarity import (
+        delete_from_ivfpq_store,
+        read_ivfpq_horizon,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        horizon = read_ivfpq_horizon(spark, store_path)
+        if horizon is not None and batch_id <= horizon:
+            sample_ids = [
+                r[0]
+                for r in batch_df.select(id_col)
+                .orderBy(id_col)
+                .limit(16)
+                .collect()
+            ]
+            present = []
+            if sample_ids:
+                present = [
+                    r[0]
+                    for r in spark.read.parquet(store_path + "/codes")
+                    .filter(F.col(id_col).isin(sample_ids))
+                    .select(id_col)
+                    .distinct()
+                    .collect()
+                ]
+            if present:
+                raise ValueError(
+                    f"ivfpq_delete_stream: batch {batch_id} is at or "
+                    f"below the compaction horizon {horizon} at "
+                    f"{store_path} but its vectors (e.g. ids "
+                    f"{present[:4]}) are STILL PRESENT — out-of-band "
+                    "compaction advanced the horizon past a delete "
+                    "batch this stream never landed; skipping would "
+                    "silently drop a purge request. Re-issue the "
+                    "deletes above the horizon."
+                )
+            log.warning(
+                "ivfpq_delete_stream: skipping redelivered delete "
+                "batch %d at or below the compaction horizon %d "
+                "(sample of %d ids verified absent at %s)",
+                batch_id, horizon, len(sample_ids), store_path,
+            )
+            return
+        if batch_df.limit(1).count() == 0:
+            return
+        delete_from_ivfpq_store(
+            spark, store_path, batch_df.select(id_col), batch_id,
+            id_col=id_col,
+        )
+
+    return _sink
+
+
 def curation_stream(
     digest_store_path: str,
     sig_store_path: str,
@@ -941,6 +1093,7 @@ def curation_stream(
     from docker_etl_spark.operators.corpus import gopher_quality
     from docker_etl_spark.operators.dedupe import (
         incremental_content_dedup,
+        load_digest_store,
         write_digest_store,
     )
     from docker_etl_spark.sources.stores import (
