@@ -3241,3 +3241,268 @@ def bm25_term_snippets(
             "snip_start", "snip_end", "snippet",
         )
     )
+
+
+def search_bm25_topk_batch_pruned(
+    queries: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+    k: int = 10,
+    prefix_len: int | None = None,
+    as_of_batch: int | None = None,
+    max_query_terms: int = 4096,
+    max_queries: int | None = 4096,
+    nonessential_ub_ratio: float = 0.5,
+    _diag: dict | None = None,
+) -> DataFrame:
+    """MaxScore-pruned BATCH retrieval — bit-identical output to
+    :func:`search_bm25_topk_batch`, for the eval-set shape where
+    pruning pays most: a nightly retrieval-quality run sends hundreds
+    of queries, and every one that carries a common term drags that
+    term's corpus-scale postings through the (query, doc) aggregate.
+
+    Per-QUERY MaxScore split (the single-probe algorithm of
+    :func:`search_bm25_topk_pruned`, batched):
+
+    1. One bounded dictionary collect yields (df, max_tf) for the
+       whole term set; each query independently splits into
+       essential / non-essential terms by its own ceiling ratio.
+    2. Phase 1 is ONE pruned scan over the union of all queries'
+       essential terms; the (query, doc) partial aggregate doubles
+       as the candidate set. Per-query θ (the k-th partial) comes
+       back in one bounded collect (≤ |queries| rows — the rank-k
+       row of a WindowGroupLimit).
+    3. Queries whose θ strictly beats their non-essential ceiling
+       sum are PRUNED: phase 2 fetches their common terms' rows
+       semi-joined to (query, doc) candidates, so non-candidate
+       stopword rows never reach the scoring aggregate. Every other
+       query (fewer than k candidates, θ ≤ S_C, all-common split,
+       no term in store) is re-run through the exhaustive batch
+       plan as a SUBSET — handled exactly once, never approximated.
+    4. Valid-query finals (partial + remainder) union the
+       exhaustive subset; per-query top-k ranks identically to the
+       exhaustive path (score desc, id asc).
+
+    Falls back to the exhaustive batch entirely when the store has
+    no dictionary. ``_diag`` (a dict) records the per-query mode for
+    tests/ops."""
+    from pyspark.sql import Window
+
+    diag = _diag if _diag is not None else {}
+    queries = queries.localCheckpoint()
+    spark = queries.sparkSession
+
+    def exhaustive_all(reason: str) -> DataFrame:
+        diag["mode"] = "exhaustive"
+        diag["reason"] = reason
+        return search_bm25_topk_batch(
+            queries, path, query_id_col=query_id_col, terms_col=terms_col,
+            id_col=id_col, k=k, prefix_len=prefix_len,
+            as_of_batch=as_of_batch, max_query_terms=max_query_terms,
+            max_queries=max_queries,
+        )
+
+    meta = read_search_index_meta(spark, path)
+    if meta is None or not meta["has_dict"]:
+        return exhaustive_all("store has no dictionary")
+    _mtl, prefix_len = _resolve_search_meta(
+        spark, path, None, prefix_len, "search_bm25_topk_batch_pruned"
+    )
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"search_bm25_topk_batch_pruned: query set exceeds "
+                f"max_queries={max_queries}; chunk the eval set or raise "
+                "the guard explicitly"
+            )
+    qt_rows = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+        )
+        .dropDuplicates([query_id_col, "term"])
+        .limit(max_query_terms * 8 + 1)
+        .collect()
+    )
+    per_q: dict = {}
+    for r in qt_rows:
+        per_q.setdefault(r[query_id_col], []).append(r["term"])
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+    if len(all_terms) > max_query_terms:
+        raise ValueError(
+            f"search_bm25_topk_batch_pruned: distinct query terms exceed "
+            f"max_query_terms={max_query_terms}"
+        )
+    st = spark.read.parquet(path + "/stats")
+    if as_of_batch is not None:
+        st = st.filter(F.col("__batch_id") <= as_of_batch)
+    tot = st.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    ).collect()[0]
+    nd, sdl = int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0)
+    if nd <= 0 or sdl <= 0:
+        return exhaustive_all("empty stats")
+    d = read_search_dictionary(
+        spark, path, as_of_batch=as_of_batch,
+        prefixes=sorted({t[:prefix_len] for t in all_terms}),
+        terms=all_terms,
+    )
+    if d is None:
+        return exhaustive_all("dictionary sidecar unreadable")
+    present = {
+        r["term"]: (int(r["df"]), int(r["max_tf"]))
+        for r in d.select("term", "df", "max_tf").collect()
+    }
+    ub = {
+        t: _ts_upper_bound(
+            _lw_py(nd, present[t][0]), present[t][1], sdl, nd
+        )
+        for t in all_terms if t in present
+    }
+    split: dict = {}
+    s_c: dict = {}
+    exhaust_q: list = []
+    for q, ts in per_q.items():
+        tp = [t for t in ts if t in present]
+        if not tp:
+            continue  # no term in store -> no rows in either path
+        m = max(ub[t] for t in tp)
+        cset = [t for t in tp if ub[t] <= nonessential_ub_ratio * m]
+        eset = [t for t in tp if t not in set(cset)]
+        if not cset or not eset:
+            exhaust_q.append(q)
+            continue
+        split[q] = (eset, cset)
+        s_c[q] = sum(ub[t] for t in cset)
+    if not split:
+        return exhaustive_all("no query splits")
+
+    totals = spark.createDataFrame(
+        [(nd, sdl)], "n_docs long, sum_dl long"
+    )
+
+    def live_scan(subset: list[str]) -> DataFrame:
+        pfx = sorted({t[:prefix_len] for t in subset})
+        p = spark.read.parquet(path + "/postings").filter(
+            F.col("__pfx").isin(pfx) & F.col("term").isin(subset)
+        )
+        if as_of_batch is not None:
+            p = p.filter(F.col("__batch_id") <= as_of_batch)
+        return _live_postings(p, spark, path, id_col, as_of_batch)
+
+    e_terms = sorted({t for e, _c in split.values() for t in e})
+    dfreq_all = spark.createDataFrame(
+        [(t, present[t][0]) for t in sorted(present)],
+        "term string, df long",
+    )
+    qt_e = spark.createDataFrame(
+        [(q, t) for q, (e, _c) in split.items() for t in e],
+        [query_id_col, "term"],
+    )
+    scored_e = _integer_term_scores(
+        live_scan(e_terms), dfreq_all, totals, id_col
+    )
+    cand = (
+        scored_e.join(F.broadcast(qt_e), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.count("*").cast("long").alias("__ne"),
+            F.sum("__ts").cast("long").alias("__se"),
+        )
+        .localCheckpoint()
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__se"), F.asc(id_col)
+    )
+    kth = {
+        r[query_id_col]: int(r["__se"])
+        for r in cand.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") == k)
+        .select(query_id_col, "__se")
+        .collect()
+    }
+    valid = [q for q in split if q in kth and kth[q] > s_c[q]]
+    invalid = [q for q in split if q not in set(valid)] + exhaust_q
+    diag.update(
+        valid=sorted(map(str, valid)),
+        exhaustive_queries=sorted(map(str, invalid)),
+        s_c={str(q): int(v) for q, v in s_c.items()},
+        theta={str(q): v for q, v in kth.items()},
+    )
+    parts = []
+    if valid:
+        c_terms = sorted({t for q in valid for t in split[q][1]})
+        qt_c = spark.createDataFrame(
+            [(q, t) for q in valid for t in split[q][1]],
+            [query_id_col, "term"],
+        )
+        vcand = cand.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(q,) for q in valid], [query_id_col]
+                )
+            ),
+            query_id_col,
+            "left_semi",
+        )
+        scored_c = _integer_term_scores(
+            live_scan(c_terms), dfreq_all, totals, id_col
+        )
+        agg_c = (
+            scored_c.join(F.broadcast(qt_c), "term")
+            .join(
+                vcand.select(query_id_col, id_col),
+                [query_id_col, id_col],
+                "left_semi",
+            )
+            .groupBy(query_id_col, id_col)
+            .agg(
+                F.count("*").cast("long").alias("__nc"),
+                F.sum("__ts").cast("long").alias("__sc"),
+            )
+        )
+        full = vcand.join(agg_c, [query_id_col, id_col], "left").select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.col("__ne") + F.coalesce(F.col("__nc"), F.lit(0)))
+            .cast("long")
+            .alias("n_terms"),
+            (F.col("__se") + F.coalesce(F.col("__sc"), F.lit(0)))
+            .cast("long")
+            .alias("score_scaled"),
+        )
+        wr = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score_scaled"), F.asc(id_col)
+        )
+        parts.append(
+            full.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "n_terms", "score_scaled",
+                    "rank")
+        )
+    if invalid:
+        sub = queries.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(q,) for q in invalid], [query_id_col]
+                )
+            ),
+            query_id_col,
+            "left_semi",
+        )
+        parts.append(
+            search_bm25_topk_batch(
+                sub, path, query_id_col=query_id_col,
+                terms_col=terms_col, id_col=id_col, k=k,
+                prefix_len=prefix_len, as_of_batch=as_of_batch,
+                max_query_terms=max_query_terms, max_queries=max_queries,
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -13617,3 +13617,107 @@ def x121_digest_purge_reopen(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, load_digest_store(spark, path)
     )
     return survivors.select("doc_id", "content_md5")
+
+
+# ---------------------------------------------------------------------------
+# x122 — batch MaxScore retrieval (the r12 single-probe pruning,
+# batched for the nightly eval-set shape): each query independently
+# splits essential/non-essential off the dictionary ceilings; one
+# shared pruned scan scores all essential terms, per-query θ comes
+# back in one bounded collect, and common-term rows enter the
+# scoring aggregate only semi-joined to candidates of queries whose
+# θ strictly beats their ceiling sum — the rest re-run exhaustively
+# as a subset. Bit-identical by construction, so the oracle is the
+# exhaustive batch SQL (x98's shape) — the hash match proves the
+# two-phase split, the validity check and the fallback routing all
+# preserve exact ranking.
+# ---------------------------------------------------------------------------
+
+_X122_PAIRS = [
+    (1, ("dup", "batch")),
+    (2, ("dup", "key", "scan")),
+    (3, ("batch", "scan")),
+    (4, ("dup",)),
+]
+_X122_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for _q, ts in _X122_PAIRS for t in ts})
+)
+_X122_PAIRS_SQL = ", ".join(
+    f"({q}, '{t}')" for q, ts in _X122_PAIRS for t in ts
+)
+
+_X122_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> length(t) >= 3) AS toks
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM docs
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+    WHERE term IN ({_X122_TERMS_SQL})
+    GROUP BY 1, 2, 3
+),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ts AS (
+    SELECT tf.doc_id, tf.term,
+           (GREATEST(CAST(round(ln(CAST(2 * s.n_docs - 2 * dfq.df + 1 AS DOUBLE)
+                                  / CAST(2 * dfq.df + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT),
+                     CAST(0 AS BIGINT))
+            * 36 * tf.tf * s.sum_dl)
+           // (16 * tf.tf * s.sum_dl + 5 * s.sum_dl + 15 * tf.dl * s.n_docs)
+               AS term_score
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+),
+q(query_id, term) AS (VALUES {_X122_PAIRS_SQL}),
+aggd AS (
+    SELECT CAST(q.query_id AS BIGINT) AS query_id, ts.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(ts.term_score) AS BIGINT) AS score_scaled
+    FROM ts JOIN q ON ts.term = q.term
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms, score_scaled,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score_scaled DESC, doc_id ASC
+       ) AS INT) AS rank
+FROM aggd
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id ASC
+) <= 5
+"""
+
+
+@register("x122_maxscore_batch", oracle=_X122_ORACLE)
+def x122_maxscore_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MaxScore splits over one shared essential scan."""
+    import shutil
+
+    from docker_etl_spark.operators.search import (
+        build_postings,
+        search_bm25_topk_batch_pruned,
+        write_search_index,
+    )
+
+    d = load_docs_spread(spark, sf_dir)
+    postings, stats = build_postings(d, "text", "doc_id")
+    path = _x90_store_path("x122", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_search_index(postings, stats, path, batch_id=0)
+    q = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in _X122_PAIRS],
+        "query_id long, terms array<string>",
+    )
+    return search_bm25_topk_batch_pruned(q, path, k=5)

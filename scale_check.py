@@ -103,6 +103,7 @@ KERNELS = [
     "cp09_bm25_term_snippets",
     "x120_bm25_proximity_boost",
     "x121_digest_purge_reopen",
+    "x122_maxscore_batch",
     # cp02 (full curation pipeline) is excluded: the replica corpus
     # suffixes every token with "_N", which fails the quality gate's
     # alpha-fraction test and empties the pipeline after stage 1 — the

@@ -956,3 +956,98 @@ def test_delete_from_signature_store_lifecycle(spark, tmp_path):
     )
     # idempotent: nothing pending -> no-op
     assert apply_signature_deletes(spark, path) is None
+
+
+def test_write_completed_hides_dot_partition_dirs(spark, tmp_path):
+    """r11 ADVICE: Spark's InMemoryFileIndex hides ANY '.'-led name
+    regardless of '='; parquet_write_completed must mirror that —
+    a stray .col=v directory holds files Spark reads would never
+    see, so it must not count as a committed write."""
+    import os
+
+    from docker_etl_spark.sources.stores import parquet_write_completed
+
+    root = tmp_path / "dotstore"
+    (root / ".col=v").mkdir(parents=True)
+    # a real parquet file, but under a dot-led partition-like dir
+    spark.createDataFrame([(1,)], "a long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "tmp_write"))
+    src = next(
+        p for p in (root / "tmp_write").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    os.rename(src, root / ".col=v" / src.name)
+    import shutil as _sh
+    _sh.rmtree(root / "tmp_write")
+    assert parquet_write_completed(spark, str(root)) is False
+    # an underscore-led name WITH '=' is a data partition and counts
+    (root / "_col=v").mkdir()
+    os.rename(
+        root / ".col=v" / src.name, root / "_col=v" / src.name
+    )
+    assert parquet_write_completed(spark, str(root)) is True
+
+
+def test_maxscore_batch_matches_exhaustive(spark, tmp_path):
+    """Batch MaxScore: per-query splits with a mixed valid/fallback
+    population must reproduce the exhaustive batch bit-for-bit."""
+    from docker_etl_spark.operators.search import (
+        search_bm25_topk_batch,
+        search_bm25_topk_batch_pruned,
+    )
+
+    path = _store(spark, tmp_path, "bskew", rows=_skewed_rows(60),
+                  split=30)
+    q = spark.createDataFrame(
+        [
+            (1, ["rare", "common"]),          # prunable
+            (2, ["common", "pad"]),           # all-common -> exhaustive
+            (3, ["rare", "pad", "common"]),   # prunable
+            (4, ["filler1", "filler2"]),      # similar ubs -> either
+            (5, ["absentterm"]),              # no term in store
+            (6, ["rare"]),                    # single essential, C empty
+        ],
+        "query_id long, terms array<string>",
+    )
+    diag = {}
+    for kk in (2, 3, 7):
+        got = sorted(
+            tuple(r) for r in search_bm25_topk_batch_pruned(
+                q, path, k=kk, _diag=diag
+            ).collect()
+        )
+        ref = sorted(
+            tuple(r) for r in search_bm25_topk_batch(
+                q, path, k=kk
+            ).collect()
+        )
+        assert got == ref, (kk, diag)
+    # at k=7 the prunable queries have >= 7 candidates (60 docs, 4
+    # rare) -> they fall back too; at small k they prune
+    diag = {}
+    search_bm25_topk_batch_pruned(q, path, k=3, _diag=diag).collect()
+    assert "1" in diag["valid"] and "3" in diag["valid"], diag
+    assert "2" in diag["exhaustive_queries"], diag
+
+
+def test_maxscore_batch_tombstone_and_string_ids(spark, tmp_path):
+    from docker_etl_spark.operators.search import (
+        delete_from_search_index,
+        search_bm25_topk_batch,
+        search_bm25_topk_batch_pruned,
+    )
+
+    path = _store(spark, tmp_path, "bskew2", rows=_skewed_rows(45),
+                  split=20)
+    delete_from_search_index(spark, path, [15, 30], batch_id=2)
+    q = spark.createDataFrame(
+        [("qa", ["rare", "common"]), ("qb", ["common"])],
+        "query_id string, terms array<string>",
+    )
+    got = sorted(tuple(r) for r in search_bm25_topk_batch_pruned(
+        q, path, k=2).collect())
+    ref = sorted(tuple(r) for r in search_bm25_topk_batch(
+        q, path, k=2).collect())
+    assert got == ref and len(got) == 4
+    assert not {15, 30} & {r[1] for r in got}
