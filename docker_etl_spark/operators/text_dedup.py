@@ -599,16 +599,49 @@ def _signature_deletes_path(path: str) -> str:
     return path.rstrip("/") + ".__deletes"
 
 
+def _next_signature_del_batch(spark, dpath: str) -> int:
+    """Next ``__del_batch`` partition value: one past the highest
+    existing partition directory (a pure listing — no data read).
+    Called under the store's writer lease, so the sequence is
+    monotonic per store."""
+    from docker_etl_spark.sources.stores import parquet_path_exists
+
+    if not parquet_path_exists(spark, dpath):
+        return 0
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(dpath)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    mx = -1
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__del_batch="):
+            try:
+                mx = max(mx, int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return mx + 1
+
+
 def read_signature_deletes(spark, path: str) -> DataFrame | None:
     """Pending signature-store tombstones (distinct ids), or None.
     Gated on the sidecar being committed (crash window reads as
     absent — the house sidecar self-heal contract)."""
+    raw = _read_signature_deletes_raw(spark, path)
+    if raw is None:
+        return None
+    idc = [c for c in raw.columns if c != "__del_batch"][0]
+    return raw.select(idc).distinct()
+
+
+def _read_signature_deletes_raw(spark, path: str) -> DataFrame | None:
+    """The sidecar WITH its ``__del_batch`` partition column — the
+    apply path needs the batch axis to clear only what it applied."""
     from docker_etl_spark.sources.stores import parquet_write_completed
 
     dpath = _signature_deletes_path(path)
     if not parquet_write_completed(spark, dpath):
         return None
-    return spark.read.parquet(dpath).distinct()
+    return spark.read.parquet(dpath)
 
 
 def delete_from_signature_store(
@@ -640,31 +673,59 @@ def delete_from_signature_store(
             [(v,) for v in vals], [id_col]
         ).distinct()
     with store_writer_lock(path, owner="delete_from_signature_store"):
-        idf.repartition(1).write.mode("append").parquet(
-            _signature_deletes_path(path)
+        dpath = _signature_deletes_path(path)
+        # Each purge batch lands under its own __del_batch partition
+        # (the search-sidecar pattern): the apply path can then clear
+        # exactly the batches it pinned and applied, so a tombstone
+        # appended between the apply's pin and its clear SURVIVES
+        # instead of being destroyed unapplied (r12 ADVICE).
+        b = _next_signature_del_batch(spark, dpath)
+        (
+            idf.withColumn("__del_batch", F.lit(int(b)))
+            .repartition(1)
+            .write.mode("append")
+            .partitionBy("__del_batch")
+            .parquet(dpath)
         )
 
 
 def apply_signature_deletes(
-    spark, path: str, target_rows_per_file: int = 1_000_000
+    spark, path: str, target_rows_per_file: int = 1_000_000,
+    _horizon: int | None = None,
 ) -> dict | None:
     """Physically drop tombstoned signatures: one band-layout rewrite
     through the crash-recovering store swap, then the sidecar is
     cleared (LAST — a crash leaves tombstones pending, which is safe:
-    readers keep anti-joining rows that may already be gone). No-op
-    (returns None) when no tombstones are pending."""
-    import shutil
+    readers keep anti-joining rows that may already be gone).
 
-    from docker_etl_spark.sources.stores import (
-        compact_partitioned_store,
-        store_writer_lock,
-    )
+    The clear drops ONLY the ``__del_batch`` partitions at or below
+    the horizon pinned at entry, via the same crash-recovering swap
+    (r12 ADVICE: an rmtree of the whole sidecar destroyed any
+    tombstone appended between the pin and the clear — a silently
+    lost purge request — and was local-FS-only besides). Re-applying
+    an already-applied tombstone is a harmless no-op anti-join, so
+    every crash window stays safe. No-op (returns None) when no
+    tombstones are pending. ``_horizon`` pins a lower horizon (test
+    seam for the late-tombstone race)."""
+    from docker_etl_spark.sources.stores import compact_partitioned_store
 
-    dels = read_signature_deletes(spark, path)
-    if dels is None:
+    raw = _read_signature_deletes_raw(spark, path)
+    if raw is None:
         return None
-    idc = dels.columns[0]
-    pinned = dels.localCheckpoint()
+    idc = [c for c in raw.columns if c != "__del_batch"][0]
+    if _horizon is None:
+        hrow = raw.agg(F.max("__del_batch")).collect()[0]
+        if hrow[0] is None:
+            return None
+        horizon = int(hrow[0])
+    else:
+        horizon = int(_horizon)
+    pinned = (
+        raw.filter(F.col("__del_batch") <= horizon)
+        .select(idc)
+        .distinct()
+        .localCheckpoint()
+    )
     if pinned.limit(1).count() == 0:
         return None
     res = compact_partitioned_store(
@@ -675,8 +736,18 @@ def apply_signature_deletes(
         owner="apply_signature_deletes",
         transform=lambda df: df.join(pinned, idc, "left_anti"),
     )
-    with store_writer_lock(path, owner="apply_signature_deletes"):
-        shutil.rmtree(_signature_deletes_path(path), ignore_errors=True)
+    # Clear exactly the applied batches; later batches survive. The
+    # swap leaves an empty-but-committed sidecar when everything was
+    # applied, which parquet_write_completed reports as absent.
+    compact_partitioned_store(
+        spark,
+        _signature_deletes_path(path),
+        ("__del_batch",),
+        target_rows_per_file=target_rows_per_file,
+        owner="apply_signature_deletes",
+        transform=lambda df: df.filter(F.col("__del_batch") > horizon),
+        lock_path=path,
+    )
     return res
 
 

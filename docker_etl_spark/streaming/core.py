@@ -898,8 +898,9 @@ def search_delete_stream(
     than either stream's redelivery window.
 
     A redelivered batch at or below the compaction horizon follows
-    the r11 verified-skip discipline: probe a bounded sample of the
-    batch's ids against the postings — if any is still PRESENT the
+    the r11 verified-skip discipline: probe EVERY id in the batch
+    against the postings (one semi-join; a delete batch is bounded)
+    — if any is still PRESENT the
     tombstone was never applied (the horizon advanced past a delete
     batch this stream never landed — out-of-band compaction) and the
     sink raises loudly instead of silently dropping a purge request;
@@ -915,23 +916,27 @@ def search_delete_stream(
         spark = batch_df.sparkSession
         horizon = read_search_index_horizon(spark, store_path)
         if horizon is not None and batch_id <= horizon:
-            sample_ids = [
+            # Probe EVERY id in the batch (r12 ADVICE: a 16-row
+            # sorted sample lets a batch whose lowest ids happen to
+            # be never-ingested no-ops pass verification while other
+            # ids are still present — a silently dropped purge). A
+            # delete batch is bounded, so one semi-join of the store
+            # scan against the batch ids suffices; note this is an
+            # O(store) read by design — ids are not a partition
+            # column, and this path runs only on the rare
+            # redelivered-below-horizon anomaly.
+            present = [
                 r[0]
-                for r in batch_df.select(id_col)
-                .orderBy(id_col)
-                .limit(16)
+                for r in spark.read.parquet(store_path + "/postings")
+                .select(id_col)
+                .join(
+                    F.broadcast(batch_df.select(id_col).distinct()),
+                    id_col,
+                    "left_semi",
+                )
+                .limit(4)
                 .collect()
             ]
-            present = []
-            if sample_ids:
-                present = [
-                    r[0]
-                    for r in spark.read.parquet(store_path + "/postings")
-                    .filter(F.col(id_col).isin(sample_ids))
-                    .select(id_col)
-                    .distinct()
-                    .collect()
-                ]
             if present:
                 raise ValueError(
                     f"search_delete_stream: batch {batch_id} is at or "
@@ -946,8 +951,8 @@ def search_delete_stream(
             log.warning(
                 "search_delete_stream: skipping redelivered delete "
                 "batch %d at or below the compaction horizon %d "
-                "(sample of %d ids verified absent at %s)",
-                batch_id, horizon, len(sample_ids), store_path,
+                "(every batch id verified absent at %s)",
+                batch_id, horizon, store_path,
             )
             return
         if batch_df.limit(1).count() == 0:
@@ -980,23 +985,21 @@ def ivfpq_delete_stream(
         spark = batch_df.sparkSession
         horizon = read_ivfpq_horizon(spark, store_path)
         if horizon is not None and batch_id <= horizon:
-            sample_ids = [
+            # Probe EVERY batch id (r12 ADVICE — see
+            # search_delete_stream): semi-join beats a sorted sample,
+            # which could verify only never-ingested no-op ids.
+            present = [
                 r[0]
-                for r in batch_df.select(id_col)
-                .orderBy(id_col)
-                .limit(16)
+                for r in spark.read.parquet(store_path + "/codes")
+                .select(id_col)
+                .join(
+                    F.broadcast(batch_df.select(id_col).distinct()),
+                    id_col,
+                    "left_semi",
+                )
+                .limit(4)
                 .collect()
             ]
-            present = []
-            if sample_ids:
-                present = [
-                    r[0]
-                    for r in spark.read.parquet(store_path + "/codes")
-                    .filter(F.col(id_col).isin(sample_ids))
-                    .select(id_col)
-                    .distinct()
-                    .collect()
-                ]
             if present:
                 raise ValueError(
                     f"ivfpq_delete_stream: batch {batch_id} is at or "
@@ -1011,8 +1014,8 @@ def ivfpq_delete_stream(
             log.warning(
                 "ivfpq_delete_stream: skipping redelivered delete "
                 "batch %d at or below the compaction horizon %d "
-                "(sample of %d ids verified absent at %s)",
-                batch_id, horizon, len(sample_ids), store_path,
+                "(every batch id verified absent at %s)",
+                batch_id, horizon, store_path,
             )
             return
         if batch_df.limit(1).count() == 0:
