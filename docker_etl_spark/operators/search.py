@@ -201,11 +201,20 @@ def read_search_index_meta(spark, path: str) -> dict | None:
     absent too — :func:`write_search_index` then rewrites it under
     the writer lease, so first-batch redelivery self-heals instead
     of failing every later read (r9 ADVICE)."""
-    from docker_etl_spark.sources.stores import parquet_write_completed
+    from docker_etl_spark.sources.stores import (
+        parquet_write_completed,
+        read_sidecar_rows,
+    )
 
     if not parquet_write_completed(spark, path + "/meta"):
         return None
-    row = spark.read.parquet(path + "/meta").collect()[0].asDict()
+    # bounded 1-row sidecar: driver-direct read, Spark fallback for
+    # non-local stores (read_sidecar_rows contract)
+    rows = read_sidecar_rows(path + "/meta")
+    if rows is not None:
+        row = rows[0]
+    else:
+        row = spark.read.parquet(path + "/meta").collect()[0].asDict()
     return {
         "prefix_len": int(row["prefix_len"]),
         "min_token_len": int(row["min_token_len"]),
@@ -227,10 +236,16 @@ def read_search_index_horizon(spark, path: str) -> int | None:
     with it — an incomplete horizon sidecar degrades to "no guard
     until the next compaction rewrites it", never to wrong
     prefix_len/min_token_len."""
-    from docker_etl_spark.sources.stores import parquet_write_completed
+    from docker_etl_spark.sources.stores import (
+        parquet_write_completed,
+        read_sidecar_rows,
+    )
 
     if not parquet_write_completed(spark, path + "/horizon"):
         return None
+    rows = read_sidecar_rows(path + "/horizon")
+    if rows is not None:
+        return int(rows[0]["compacted_through"])
     row = spark.read.parquet(path + "/horizon").collect()[0]
     return int(row["compacted_through"])
 
@@ -551,8 +566,15 @@ def write_search_index(
                 .write.mode("overwrite")
                 .parquet(path + "/meta")
             )
+        # Hash-distribute on the partition column first (the
+        # write_digest_store discipline / Iceberg's
+        # write.distribution-mode=hash): without it every upstream
+        # task opens a writer in every prefix directory it touches —
+        # commits scale as tasks × prefixes; with it each prefix
+        # directory gets one right-sized file per batch.
         (
             postings.withColumn("__batch_id", F.lit(bid))
+            .repartition("__pfx")
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("__pfx", "__batch_id")
@@ -591,6 +613,9 @@ def write_search_index(
                     F.max("tf").cast("long").alias("max_tf"),
                 )
                 .withColumn("__batch_id", F.lit(bid))
+                # one file per prefix directory, not one per
+                # (aggregate task × prefix) — see the postings write
+                .repartition("__pfx")
                 .write.option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .partitionBy("__pfx", "__batch_id")
@@ -660,6 +685,91 @@ def append_search_index(
     )
 
 
+def _store_totals(spark, path: str, as_of_batch: int | None) -> tuple[int, int]:
+    """(Σ n_docs, Σ sum_dl) across the stats sidecar's batch deltas —
+    one bounded row per batch by construction. Driver-direct read
+    (``read_sidecar_rows``) with a Spark-aggregate fallback for
+    non-local stores: a probe previously paid one scheduled job just
+    to sum a handful of sidecar rows."""
+    from docker_etl_spark.sources.stores import read_sidecar_rows
+
+    rows = read_sidecar_rows(path + "/stats")
+    if rows is not None:
+        sel = [
+            r
+            for r in rows
+            if as_of_batch is None
+            or int(r.get("__batch_id", -1)) <= as_of_batch
+        ]
+        return (
+            sum(int(r["n_docs"] or 0) for r in sel),
+            sum(int(r["sum_dl"] or 0) for r in sel),
+        )
+    st = spark.read.parquet(path + "/stats")
+    if as_of_batch is not None:
+        st = st.filter(F.col("__batch_id") <= as_of_batch)
+    tot = st.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    ).collect()[0]
+    return int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0)
+
+
+def _term_dict_rows(
+    spark,
+    path: str,
+    terms: list[str],
+    prefix_len: int,
+    as_of_batch: int | None,
+) -> list[dict] | None:
+    """Folded (term, df, sum_tf, max_tf) dictionary rows for a
+    BOUNDED term set, read driver-direct from the prefix-pruned dict
+    sidecar directories (``read_sidecar_rows`` with the same ``__pfx``
+    directory pruning the Spark read gets from partition filters).
+    Returns None — caller falls back to
+    :func:`read_search_dictionary` / postings aggregation — when the
+    store has no dictionary, the sidecar is non-local, or the pruned
+    slice exceeds the driver bound. The fold mirrors
+    :func:`read_search_dictionary` exactly: SUM(df), SUM(sum_tf),
+    MAX(max_tf) across batch deltas."""
+    from docker_etl_spark.sources.stores import (
+        parquet_write_completed,
+        read_sidecar_rows,
+    )
+
+    if not terms:
+        return []
+    meta = read_search_index_meta(spark, path)
+    if meta is None or not meta["has_dict"]:
+        return None
+    if not parquet_write_completed(spark, path + "/dict"):
+        return None
+    prefixes = {t[:prefix_len] for t in terms}
+    raw = read_sidecar_rows(
+        path + "/dict", partition_filter={"__pfx": prefixes}
+    )
+    if raw is None:
+        return None
+    tset = set(terms)
+    folded: dict[str, list[int]] = {}
+    for r in raw:
+        if r["term"] not in tset:
+            continue
+        if (
+            as_of_batch is not None
+            and int(r.get("__batch_id", -1)) > as_of_batch
+        ):
+            continue
+        e = folded.setdefault(r["term"], [0, 0, 0])
+        e[0] += int(r["df"])
+        e[1] += int(r["sum_tf"])
+        e[2] = max(e[2], int(r["max_tf"]))
+    return [
+        {"term": t, "df": v[0], "sum_tf": v[1], "max_tf": v[2]}
+        for t, v in folded.items()
+    ]
+
+
 def _collect_term_dfs(
     spark,
     path: str,
@@ -677,6 +787,9 @@ def _collect_term_dfs(
     keep counting until merge)."""
     if not terms:
         return {}
+    rows = _term_dict_rows(spark, path, terms, prefix_len, as_of_batch)
+    if rows is not None:
+        return {r["term"]: int(r["df"]) for r in rows}
     prefixes = sorted({t[:prefix_len] for t in terms})
     d = read_search_dictionary(
         spark, path, as_of_batch=as_of_batch, prefixes=prefixes,
@@ -866,19 +979,12 @@ def search_bm25_topk_batch(
             p = p.filter(F.col("__batch_id") <= as_of_batch)
         return _live_postings(p, spark, path, id_col, as_of_batch)
 
-    st = spark.read.parquet(path + "/stats")
-    if as_of_batch is not None:
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
-    tot = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
-    ).collect()[0]
+    tot_nd, tot_sdl = _store_totals(spark, path, as_of_batch)
     present = _collect_term_dfs(spark, path, terms, prefix_len, as_of_batch)
     if skip_zero_weight_terms:
-        nd = int(tot["n_docs"] or 0)
         terms = [
             t for t in terms
-            if t in present and _lw_py(nd, present[t]) > 0
+            if t in present and _lw_py(tot_nd, present[t]) > 0
         ]
         prefixes = sorted({t[:prefix_len] for t in terms})
     dfreq = spark.createDataFrame(
@@ -886,7 +992,7 @@ def search_bm25_topk_batch(
         "term string, df long",
     )
     totals = spark.createDataFrame(
-        [(int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0))],
+        [(tot_nd, tot_sdl)],
         "n_docs long, sum_dl long",
     )
     scored = _integer_term_scores(pruned_postings(), dfreq, totals, id_col)
@@ -1996,10 +2102,8 @@ def prefix_search_topk(
         )
         & F.col("term").startswith(term_prefix)
     )
-    st = spark.read.parquet(path + "/stats")
     if as_of_batch is not None:
         p = p.filter(F.col("__batch_id") <= as_of_batch)
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
     p = _live_postings(p, spark, path, id_col, as_of_batch)
     # the maxBooleanClauses guard counts expanded terms off the
     # DICTIONARY when the store has one (vocab-scale rows, same
@@ -2046,9 +2150,9 @@ def prefix_search_topk(
             "df table must stay broadcast-bounded; use a longer prefix "
             "or raise the guard explicitly"
         )
-    totals = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    nd_t, sdl_t = _store_totals(spark, path, as_of_batch)
+    totals = spark.createDataFrame(
+        [(nd_t, sdl_t)], "n_docs long, sum_dl long"
     )
     dfreq = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = _integer_term_scores(p, dfreq, totals, id_col)
@@ -2319,14 +2423,12 @@ def search_boolean_topk(
     p = spark.read.parquet(path + "/postings").filter(
         F.col("__pfx").isin(prefixes) & F.col("term").isin(all_terms)
     )
-    st = spark.read.parquet(path + "/stats")
     if as_of_batch is not None:
         p = p.filter(F.col("__batch_id") <= as_of_batch)
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
     p = _live_postings(p, spark, path, id_col, as_of_batch)
-    totals = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    nd_t, sdl_t = _store_totals(spark, path, as_of_batch)
+    totals = spark.createDataFrame(
+        [(nd_t, sdl_t)], "n_docs long, sum_dl long"
     )
     sp = p.filter(F.col("term").isin(scoring_terms))
     dfreq = sp.groupBy("term").agg(F.count("*").cast("long").alias("df"))
@@ -2764,16 +2866,9 @@ def search_bm25_topk(
         spark, path, None, prefix_len, "search_bm25_topk"
     )
     terms = list(query_terms)
-    st = spark.read.parquet(path + "/stats")
-    if as_of_batch is not None:
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
-    tot = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
-    ).collect()[0]
-    nd = int(tot["n_docs"] or 0)
+    nd, sdl = _store_totals(spark, path, as_of_batch)
     totals = spark.createDataFrame(
-        [(nd, int(tot["sum_dl"] or 0))], "n_docs long, sum_dl long"
+        [(nd, sdl)], "n_docs long, sum_dl long"
     )
     # Per-term df is COLLECTED (bounded: ≤ |query terms| rows) and
     # re-broadcast instead of derived as a second subtree over the
@@ -2911,25 +3006,20 @@ def search_bm25_topk_pruned(
     meta = read_search_index_meta(spark, path)
     if meta is None or not meta["has_dict"]:
         return exhaustive("store has no dictionary")
-    st = spark.read.parquet(path + "/stats")
-    if as_of_batch is not None:
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
-    tot = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
-    ).collect()[0]
-    nd, sdl = int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0)
+    nd, sdl = _store_totals(spark, path, as_of_batch)
     if nd <= 0 or sdl <= 0:
         return exhaustive("empty stats")
-    d = read_search_dictionary(
-        spark, path, as_of_batch=as_of_batch,
-        prefixes=sorted({t[:prefix_len] for t in terms}), terms=terms,
-    )
-    if d is None:
-        return exhaustive("dictionary sidecar unreadable")
+    drows = _term_dict_rows(spark, path, terms, prefix_len, as_of_batch)
+    if drows is None:
+        d = read_search_dictionary(
+            spark, path, as_of_batch=as_of_batch,
+            prefixes=sorted({t[:prefix_len] for t in terms}), terms=terms,
+        )
+        if d is None:
+            return exhaustive("dictionary sidecar unreadable")
+        drows = d.select("term", "df", "max_tf").collect()
     present = {
-        r["term"]: (int(r["df"]), int(r["max_tf"]))
-        for r in d.select("term", "df", "max_tf").collect()
+        r["term"]: (int(r["df"]), int(r["max_tf"])) for r in drows
     }
     tp = [t for t in terms if t in present]
     if not tp:
@@ -3101,16 +3191,9 @@ def search_bm25_proximity_topk(
         )
     tlist = sorted(terms)
     n = len(tlist)
-    st = spark.read.parquet(path + "/stats")
-    if as_of_batch is not None:
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
-    tot = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
-    ).collect()[0]
+    nd_t, sdl_t = _store_totals(spark, path, as_of_batch)
     totals = spark.createDataFrame(
-        [(int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0))],
-        "n_docs long, sum_dl long",
+        [(nd_t, sdl_t)], "n_docs long, sum_dl long"
     )
     present = _collect_term_dfs(spark, path, tlist, prefix_len, as_of_batch)
     live = [t for t in tlist if t in present]
@@ -3361,26 +3444,23 @@ def search_bm25_topk_batch_pruned(
             f"search_bm25_topk_batch_pruned: distinct query terms exceed "
             f"max_query_terms={max_query_terms}"
         )
-    st = spark.read.parquet(path + "/stats")
-    if as_of_batch is not None:
-        st = st.filter(F.col("__batch_id") <= as_of_batch)
-    tot = st.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_dl").cast("long").alias("sum_dl"),
-    ).collect()[0]
-    nd, sdl = int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0)
+    nd, sdl = _store_totals(spark, path, as_of_batch)
     if nd <= 0 or sdl <= 0:
         return exhaustive_all("empty stats")
-    d = read_search_dictionary(
-        spark, path, as_of_batch=as_of_batch,
-        prefixes=sorted({t[:prefix_len] for t in all_terms}),
-        terms=all_terms,
+    drows = _term_dict_rows(
+        spark, path, all_terms, prefix_len, as_of_batch
     )
-    if d is None:
-        return exhaustive_all("dictionary sidecar unreadable")
+    if drows is None:
+        d = read_search_dictionary(
+            spark, path, as_of_batch=as_of_batch,
+            prefixes=sorted({t[:prefix_len] for t in all_terms}),
+            terms=all_terms,
+        )
+        if d is None:
+            return exhaustive_all("dictionary sidecar unreadable")
+        drows = d.select("term", "df", "max_tf").collect()
     present = {
-        r["term"]: (int(r["df"]), int(r["max_tf"]))
-        for r in d.select("term", "df", "max_tf").collect()
+        r["term"]: (int(r["df"]), int(r["max_tf"])) for r in drows
     }
     ub = {
         t: _ts_upper_bound(

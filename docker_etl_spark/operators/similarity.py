@@ -730,43 +730,22 @@ def kmeans_assign_quantized(
         list(r["__vq"]) for r in sorted(init_rows, key=lambda r: r["__id"])
     ]
 
-    def centroid_literal(c: list[int]) -> Column:
-        return F.expr(
-            "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
-        )
-
     assigned = None
     for _ in range(iterations):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("__vq"),
-                    centroid_literal(c),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-        best = F.lit(0)
-        best_d = dists[0]
-        for j in range(1, k):
-            cond = dists[j] < best_d
-            best = F.when(cond, F.lit(j)).otherwise(best)
-            best_d = F.when(cond, dists[j]).otherwise(best_d)
-        assigned = train.withColumn("__cluster", best)
+        # whole argmin as one SQL string — a single py4j round trip
+        # instead of ~k·dim Column calls per round (see _sqdist_sql)
+        assigned = train.withColumn(
+            "__cluster", F.expr(_argmin_sql("__vq", centroids))
+        )
         new_rows = (
             assigned.groupBy("__cluster")
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.floor(
-                        F.sum(F.element_at("__vq", d + 1)).cast("double")
-                        / F.count("*")
-                    )
-                    .cast("bigint")
-                    .alias(f"d{d}")
+                    F.expr(
+                        "cast(floor(cast(sum(element_at(__vq, "
+                        f"{d + 1})) as double) / count(*)) as bigint)"
+                    ).alias(f"d{d}")
                     for d in range(len(centroids[0]))
                 ],
             )
@@ -784,7 +763,7 @@ def kmeans_assign_quantized(
         # caller that only wants the centroids (pq_train) never pays
         # this pass — Catalyst prunes the unused argmin column.
         assigned = _spread(sel).withColumn(
-            "__cluster", _pq_argmin(F.col("__vq"), centroids)
+            "__cluster", _pq_argmin("__vq", centroids)
         )
     assert assigned is not None
     return assigned, centroids
@@ -1214,7 +1193,12 @@ def write_vector_store(
         id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
     )
     with store_writer_lock(path, owner="write_vector_store"):
-        exploded.write.mode(mode).partitionBy("tbl").parquet(path)
+        # hash-distribute on the partition column first (the
+        # write_digest_store discipline): commits otherwise scale as
+        # tasks × tables instead of one file per table directory
+        exploded.repartition("tbl").write.mode(mode).partitionBy(
+            "tbl"
+        ).parquet(path)
 
 
 def incremental_embedding_dedup(
@@ -1621,7 +1605,55 @@ def mmr_rerank(
 
 
 def _int_array_literal(c: list[int]) -> Column:
-    return F.expr("array(" + ",".join(f"{int(x)}L" for x in c) + ")")
+    return F.expr(_int_array_sql(c))
+
+
+def _int_array_sql(c: list[int]) -> str:
+    return "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+
+
+def _sqdist_sql(vec_sql: str, c: list[int]) -> str:
+    """Integer squared-L2 between a vector SQL expression and a
+    centroid literal, as ONE SQL string.
+
+    Expression-tree construction is DRIVER-side cost: building these
+    per-centroid folds through the Column API costs dozens of py4j
+    round trips each (an IVF-PQ build paid ~20k round trips ≈ 6 s of
+    pure driver latency at fixture scale); one ``F.expr`` string is a
+    single round trip and parses JVM-side. The parsed tree is the
+    same zip_with/aggregate fold, so plans and results are unchanged.
+    """
+    return (
+        f"aggregate(zip_with({vec_sql}, {_int_array_sql(c)}, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _adc_table_sql(vec_sql: str, book: list[list[int]]) -> str:
+    """ADC distance table: array of squared-L2 to every codeword."""
+    return "array(" + ", ".join(_sqdist_sql(vec_sql, c) for c in book) + ")"
+
+
+def _argmin_sql(vec_sql: str, book: list[list[int]]) -> str:
+    """argmin over the codebook of integer squared L2, ties → lower
+    cid. ``array_min`` over (d, cid) structs IS the Lloyd argmin
+    order (struct comparison is lexicographic; distances of one row
+    are either all non-null or — for a null vector — all null, and
+    equal-null distances fall through to the lower cid), matching the
+    strict-< when-chain it replaces in every case."""
+    structs = ", ".join(
+        f"struct({_sqdist_sql(vec_sql, c)} AS d, {j} AS cid)"
+        for j, c in enumerate(book)
+    )
+    return f"array_min(array({structs})).cid"
+
+
+def _centroid_pick_sql(cell_sql: str, cents: list[list[int]]) -> str:
+    """The centroid literal of a (0-based) cell id column: one
+    element_at over an array-of-arrays literal — replaces a per-cell
+    CASE chain with identical results for cell ∈ [0, k)."""
+    arrs = ", ".join(_int_array_sql(c) for c in cents)
+    return f"element_at(array({arrs}), ({cell_sql}) + 1)"
 
 
 def pq_train(
@@ -1709,7 +1741,7 @@ def pq_train(
                 F.struct(
                     F.lit(s).alias("s"),
                     _pq_argmin(
-                        F.slice(F.col("__vq"), s * d + 1, d), books[s]
+                        f"slice(__vq, {s * d + 1}, {d})", books[s]
                     ).alias("cid"),
                     F.slice(F.col("__vq"), s * d + 1, d).alias("sv"),
                 )
@@ -1723,12 +1755,10 @@ def pq_train(
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.floor(
-                        F.sum(F.element_at("sv", j + 1)).cast("double")
-                        / F.count("*")
-                    )
-                    .cast("bigint")
-                    .alias(f"d{j}")
+                    F.expr(
+                        "cast(floor(cast(sum(element_at(sv, "
+                        f"{j + 1})) as double) / count(*)) as bigint)"
+                    ).alias(f"d{j}")
                     for j in range(d)
                 ],
             )
@@ -1745,43 +1775,26 @@ def pq_train(
     return books
 
 
-def _pq_argmin(slice_q: Column, book: list[list[int]]) -> Column:
+def _pq_argmin(slice_sql: str, book: list[list[int]]) -> Column:
     """Code = argmin over the codebook of integer squared L2 to the
     (already-quantized) slice, ties -> lower cid — the Lloyd
-    assignment spec applied at encode time."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                slice_q, _int_array_literal(c), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        for c in book
-    ]
-    best = F.lit(0)
-    best_d = dists[0]
-    for j in range(1, len(book)):
-        cond = dists[j] < best_d
-        best = F.when(cond, F.lit(j)).otherwise(best)
-        best_d = F.when(cond, dists[j]).otherwise(best_d)
-    return best
+    assignment spec applied at encode time. Takes the slice as a SQL
+    snippet so the whole argmin is ONE ``F.expr`` round trip (see
+    :func:`_sqdist_sql`)."""
+    return F.expr(_argmin_sql(slice_sql, book))
 
 
-def _pq_codes(vq_col: Column, codebooks: list[list[list[int]]]) -> Column:
-    """The m-int PQ code of an ALREADY-QUANTIZED vector column: per
-    subspace, argmin over the codebook of integer squared L2 on the
-    slice (ties -> lower cid)."""
+def _pq_codes(vq_sql: str, codebooks: list[list[list[int]]]) -> Column:
+    """The m-int PQ code of an ALREADY-QUANTIZED vector column (named
+    by its SQL snippet): per subspace, argmin over the codebook of
+    integer squared L2 on the slice (ties -> lower cid)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    return F.array(
-        *[
-            _pq_argmin(F.slice(vq_col, s * d + 1, d), codebooks[s]).cast(
-                "int"
-            )
-            for s in range(m)
-        ]
+    parts = ", ".join(
+        f"cast({_argmin_sql(f'slice({vq_sql}, {s * d + 1}, {d})', codebooks[s])} as int)"
+        for s in range(m)
     )
+    return F.expr(f"array({parts})")
 
 
 def pq_encode(
@@ -1802,7 +1815,7 @@ def pq_encode(
     )
     base = df.select(F.col(id_col), vq.alias("__vq"))
     return base.select(
-        F.col(id_col), _pq_codes(F.col("__vq"), codebooks).alias("pq_code")
+        F.col(id_col), _pq_codes("__vq", codebooks).alias("pq_code")
     )
 
 
@@ -1853,19 +1866,8 @@ def pq_adc_topk(
     )
     q = queries.select(F.col(query_id_col).alias("__qid"), vq.alias("__qv"))
     tables = [
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("__qv"), s * d + 1, d),
-                        _int_array_literal(c),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                )
-                for c in codebooks[s]
-            ]
+        F.expr(
+            _adc_table_sql(f"slice(__qv, {s * d + 1}, {d})", codebooks[s])
         ).alias(f"__t{s}")
         for s in range(m)
     ]
@@ -1953,19 +1955,15 @@ def ivfpq_build(
     # convention: encode with the trained quantizer, not the last
     # Lloyd round's pre-update assignment), then residual = quantized
     # vector - final cell centroid (per-cell literal CASE, map-only).
-    cell = _pq_argmin(F.col("__vq"), coarse)
+    cell = _pq_argmin("__vq", coarse)
     cdf = assigned.select(
         F.col("__id").alias(id_col), F.col("__vq"), cell.alias("__cell")
     )
-    cent_of_cell = None
-    for j, c in enumerate(coarse):
-        lit = _int_array_literal(c)
-        cent_of_cell = (
-            F.when(F.col("__cell") == j, lit)
-            if cent_of_cell is None
-            else cent_of_cell.when(F.col("__cell") == j, lit)
-        )
-    resid = F.zip_with(F.col("__vq"), cent_of_cell, lambda x, y: x - y)
+    resid = F.expr(
+        "zip_with(__vq, "
+        + _centroid_pick_sql("__cell", coarse)
+        + ", (x, y) -> x - y)"
+    )
     # Eager: a lazy local checkpoint materializes at first action,
     # which would land inside pq_train's Lloyd loop and re-evaluate
     # the residual CASE chain there AND again in pq_encode (house
@@ -1984,7 +1982,7 @@ def ivfpq_build(
     index = rdf.select(
         F.col(id_col),
         F.col("__cell"),
-        _pq_codes(F.col("__resid"), books).alias("pq_code"),
+        _pq_codes("__resid", books).alias("pq_code"),
     )
     return index, coarse, books
 
@@ -2042,24 +2040,15 @@ def ivfpq_topk(
     )
     q = queries.select(F.col(query_id_col).alias("__qid"), vq.alias("__qv"))
     # route to the nprobe nearest coarse cells (ties -> lower cid:
-    # struct sort on (dist, cid) is exactly the Lloyd argmin order)
-    cdists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("__qv"), _int_array_literal(c), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        for c in coarse
-    ]
-    cellarr = F.array(
-        *[
-            F.struct(cdists[j].alias("d"), F.lit(j).alias("cid"))
-            for j in range(len(coarse))
-        ]
+    # struct sort on (dist, cid) is exactly the Lloyd argmin order);
+    # one SQL string — a single py4j round trip (see _sqdist_sql)
+    structs = ", ".join(
+        f"struct({_sqdist_sql('__qv', c)} AS d, {j} AS cid)"
+        for j, c in enumerate(coarse)
     )
-    probed = F.slice(F.sort_array(cellarr), 1, min(nprobe, len(coarse)))
+    probed = F.expr(
+        f"slice(sort_array(array({structs})), 1, {min(nprobe, len(coarse))})"
+    )
     qcell = q.select(
         "__qid", "__qv", F.explode(probed).alias("__pc")
     ).select("__qid", "__qv", F.col("__pc.cid").alias("__cell"))
@@ -2069,35 +2058,18 @@ def ivfpq_topk(
             for r in qcell.select("__cell").distinct().collect()
         )
         index = index.filter(F.col("__cell").isin(probed_cells))
-    cent_of_cell = None
-    for j, c in enumerate(coarse):
-        lit = _int_array_literal(c)
-        cent_of_cell = (
-            F.when(F.col("__cell") == j, lit)
-            if cent_of_cell is None
-            else cent_of_cell.when(F.col("__cell") == j, lit)
-        )
     qr = qcell.select(
         "__qid",
         "__cell",
-        F.zip_with(F.col("__qv"), cent_of_cell, lambda x, y: x - y).alias(
-            "__qres"
-        ),
+        F.expr(
+            "zip_with(__qv, "
+            + _centroid_pick_sql("__cell", coarse)
+            + ", (x, y) -> x - y)"
+        ).alias("__qres"),
     )
     tables = [
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("__qres"), s * d + 1, d),
-                        _int_array_literal(c),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                )
-                for c in codebooks[s]
-            ]
+        F.expr(
+            _adc_table_sql(f"slice(__qres, {s * d + 1}, {d})", codebooks[s])
         ).alias(f"__t{s}")
         for s in range(m)
     ]
@@ -2176,24 +2148,20 @@ def ivfpq_encode(
     cdf = base.select(
         F.col(id_col),
         F.col("__vq"),
-        _pq_argmin(F.col("__vq"), coarse).alias("__cell"),
+        _pq_argmin("__vq", coarse).alias("__cell"),
     )
-    cent_of_cell = None
-    for j, c in enumerate(coarse):
-        lit = _int_array_literal(c)
-        cent_of_cell = (
-            F.when(F.col("__cell") == j, lit)
-            if cent_of_cell is None
-            else cent_of_cell.when(F.col("__cell") == j, lit)
-        )
-    resid = F.zip_with(F.col("__vq"), cent_of_cell, lambda x, y: x - y)
+    resid = F.expr(
+        "zip_with(__vq, "
+        + _centroid_pick_sql("__cell", coarse)
+        + ", (x, y) -> x - y)"
+    )
     # Bind the residual behind its own projection: _pq_codes slices
     # it m times and interpreted HOF lambdas have no CSE.
     rdf = cdf.select(F.col(id_col), F.col("__cell"), resid.alias("__resid"))
     return rdf.select(
         F.col(id_col),
         F.col("__cell"),
-        _pq_codes(F.col("__resid"), codebooks).alias("pq_code"),
+        _pq_codes("__resid", codebooks).alias("pq_code"),
     )
 
 
@@ -2265,6 +2233,10 @@ def write_ivfpq_store(
                     "__batch_id"
                 ),
             )
+            # hash-distribute on the partition column first (the
+            # write_digest_store discipline): commits otherwise scale
+            # as tasks × cells instead of one file per cell directory
+            .repartition("__cell")
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("__cell", "__batch_id")
@@ -2287,10 +2259,16 @@ def read_ivfpq_horizon(spark, path: str) -> int | None:
     pattern): rewritten per compaction, and an incomplete rewrite
     degrades to "no guard until the next compaction", never to a
     corrupted quantizer sidecar."""
-    from docker_etl_spark.sources.stores import parquet_write_completed
+    from docker_etl_spark.sources.stores import (
+        parquet_write_completed,
+        read_sidecar_rows,
+    )
 
     if not parquet_write_completed(spark, path + "/horizon"):
         return None
+    rows = read_sidecar_rows(path + "/horizon")
+    if rows is not None:
+        return int(rows[0]["compacted_through"])
     row = spark.read.parquet(path + "/horizon").collect()[0]
     return int(row["compacted_through"])
 
@@ -2401,7 +2379,13 @@ def load_ivfpq_store(
     ``as_of_batch`` is the partition-pruned snapshot read
     (``__batch_id <= N``, the load_cms_store convention).
     """
-    q = spark.read.parquet(path + "/quantizer").collect()
+    from docker_etl_spark.sources.stores import read_sidecar_rows
+
+    # bounded quantizer sidecar (n_cells·dim + m·k·(dim/m) rows):
+    # driver-direct read, Spark fallback for non-local stores
+    q = read_sidecar_rows(path + "/quantizer")
+    if q is None:
+        q = spark.read.parquet(path + "/quantizer").collect()
     meta_row = next(r for r in q if r["part"] == "meta")
     n_cells, m, k, d, quant_scale = (int(x) for x in meta_row["vals"])
     coarse_rows = {r["idx1"]: list(r["vals"]) for r in q if r["part"] == "coarse"}
@@ -2511,6 +2495,8 @@ def ivfpq_append(
                 F.col("__cell"),
                 F.lit(batch_id).alias("__batch_id"),
             )
+            # one file per cell directory — see write_ivfpq_store
+            .repartition("__cell")
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("__cell", "__batch_id")

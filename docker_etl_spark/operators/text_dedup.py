@@ -589,7 +589,12 @@ def write_signature_store(
         ).alias("bk"),
     ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     with store_writer_lock(path, owner="write_signature_store"):
-        exploded.write.mode(mode).partitionBy("band").parquet(path)
+        # hash-distribute on the partition column first (the
+        # write_digest_store discipline): commits otherwise scale as
+        # tasks × bands instead of one file per band directory
+        exploded.repartition("band").write.mode(mode).partitionBy(
+            "band"
+        ).parquet(path)
 
 
 def _signature_deletes_path(path: str) -> str:

@@ -102,4 +102,9 @@ def partition_replace(
     form of the reference's DELETE WHERE yyyymm + INSERT
     (etl/siterank.py:114-135). Requires the session default
     partitionOverwriteMode=dynamic (set by session.get_spark)."""
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    # hash-distribute on the partition column first (the
+    # write_digest_store discipline): one file per replaced partition
+    # instead of tasks × partitions commit operations
+    df.repartition(partition_col).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)

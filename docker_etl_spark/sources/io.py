@@ -197,6 +197,14 @@ def write_table(
         )
         return
     out = df.coalesce(1) if single_file else df
+    if partition_by and not single_file:
+        # Hash-distribute on the partition columns first (the
+        # write_digest_store discipline / Iceberg's
+        # write.distribution-mode=hash): otherwise every upstream task
+        # opens a writer in every partition directory it touches and
+        # commits scale as tasks × partition values. maxRecordsPerFile
+        # below still splits oversized partitions.
+        out = out.repartition(*partition_by)
     writer = out.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

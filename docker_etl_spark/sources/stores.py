@@ -242,6 +242,91 @@ def parquet_row_count(path: str) -> int | None:
         return None
 
 
+def read_sidecar_rows(
+    path: str,
+    max_rows: int = 100_000,
+    partition_filter: dict[str, set[str]] | None = None,
+) -> list[dict] | None:
+    """Driver-direct read of a BOUNDED sidecar parquet layout (1-row
+    meta/horizon markers, quantizer tables, stats/dict deltas) — the
+    pyarrow twin of :func:`parquet_row_count`.
+
+    These sidecars are bounded BY CONSTRUCTION (or bounded after
+    ``partition_filter`` pruning), yet a
+    ``spark.read.parquet(...).collect()`` per read pays schema
+    inference + job scheduling (~0.3-0.7 s each, several reads per
+    store probe — pure fixed overhead at any scale; the manifest-read
+    lesson from table formats: metadata reads should not be jobs).
+    Returns None when the path is not locally readable (object
+    stores) or the selected slice exceeds ``max_rows`` — callers MUST
+    fall back to the Spark read in that case. Hidden/staging files
+    are skipped with Spark's own listing convention, matching what
+    the Spark read would see.
+
+    ``partition_filter`` maps partition-column names to allowed
+    STRING values and prunes ``key=value`` directories during the
+    walk (directory pruning, like the Spark read's partition
+    filters). Partition values parsed from the directory names are
+    injected into every returned row AS STRINGS (both the escaped
+    directory form and its percent-decoded form are matched; callers
+    cast) — mirroring how Spark derives partition columns."""
+    from urllib.parse import unquote
+
+    local = _local_path(path)
+    if local is None or not os.path.isdir(local):
+        return None
+
+    def _hidden(name: str) -> bool:
+        return name.startswith(".") or (
+            name.startswith("_") and "=" not in name
+        )
+
+    def _keep(dirname: str) -> bool:
+        if partition_filter and "=" in dirname:
+            key, _, val = dirname.partition("=")
+            allowed = partition_filter.get(key)
+            if allowed is not None and not (
+                val in allowed or unquote(val) in allowed
+            ):
+                return False
+        return True
+
+    files: list[tuple[str, dict]] = []
+    for root, dirs, fns in os.walk(local):
+        dirs[:] = [d for d in dirs if not _hidden(d) and _keep(d)]
+        parts: dict[str, str] = {}
+        rel = os.path.relpath(root, local)
+        if rel != ".":
+            for comp in rel.split(os.sep):
+                if "=" in comp:
+                    key, _, val = comp.partition("=")
+                    parts[key] = unquote(val)
+        files.extend(
+            (os.path.join(root, fn), parts)
+            for fn in fns
+            if fn.endswith(".parquet") and not _hidden(fn)
+        )
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if (
+            sum(pq.ParquetFile(f).metadata.num_rows for f, _ in files)
+            > max_rows
+        ):
+            return None
+        rows: list[dict] = []
+        for f, parts in sorted(files):
+            for r in pq.read_table(f).to_pylist():
+                if parts:
+                    r.update(parts)
+                rows.append(r)
+        return rows
+    except Exception:  # pragma: no cover - pyarrow always present here
+        return None
+
+
 def parquet_file_count(path: str) -> int | None:
     """Data-file count of a local parquet layout (compaction metric)."""
     local = _local_path(path)
