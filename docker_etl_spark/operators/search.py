@@ -499,7 +499,10 @@ def write_search_index(
     nothing to replace and the redelivered rows would land BESIDE
     their folded copies, double-counting postings and stats
     (r9 ADVICE). Redelivery above the horizon stays idempotent."""
-    from docker_etl_spark.sources.stores import store_writer_lock
+    from docker_etl_spark.sources.stores import (
+        store_writer_lock,
+        write_sidecar_rows,
+    )
 
     spark = postings.sparkSession
     bid = -1 if batch_id is None else batch_id
@@ -556,16 +559,28 @@ def write_search_index(
         else:
             has_dict = True if write_dict is None else bool(write_dict)
         if existing is None:
-            (
-                spark.createDataFrame(
-                    [(prefix_len, min_token_len, positional, has_dict)],
-                    "prefix_len int, min_token_len int, "
-                    "positional boolean, has_dict boolean",
+            # 1-row marker: driver-direct write (write_sidecar_rows
+            # contract), Spark-job fallback for non-local stores
+            if not write_sidecar_rows(
+                path + "/meta",
+                [(prefix_len, min_token_len, positional, has_dict)],
+                [
+                    ("prefix_len", "int32"),
+                    ("min_token_len", "int32"),
+                    ("positional", "bool"),
+                    ("has_dict", "bool"),
+                ],
+            ):
+                (
+                    spark.createDataFrame(
+                        [(prefix_len, min_token_len, positional, has_dict)],
+                        "prefix_len int, min_token_len int, "
+                        "positional boolean, has_dict boolean",
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(path + "/meta")
                 )
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(path + "/meta")
-            )
         # Hash-distribute on the partition column first (the
         # write_digest_store discipline / Iceberg's
         # write.distribution-mode=hash): without it every upstream
@@ -580,14 +595,28 @@ def write_search_index(
             .partitionBy("__pfx", "__batch_id")
             .parquet(path + "/postings")
         )
-        (
-            stats.withColumn("__batch_id", F.lit(bid))
-            .repartition(1)
-            .write.option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .partitionBy("__batch_id")
-            .parquet(path + "/stats")
-        )
+        # The stats delta is 1 row by construction (one aggregate over
+        # the batch). Collect it and land it driver-direct under its
+        # __batch_id partition — same rows, same types, same dynamic-
+        # overwrite-one-partition semantics, minus a scheduled write
+        # job per batch. Non-local stores keep the Spark write.
+        srow = stats.select(
+            F.col("n_docs").cast("long"), F.col("sum_dl").cast("long")
+        ).collect()
+        if not write_sidecar_rows(
+            path + "/stats",
+            [tuple(r) for r in srow],
+            [("n_docs", "int64"), ("sum_dl", "int64")],
+            partition={"__batch_id": bid},
+        ):
+            (
+                stats.withColumn("__batch_id", F.lit(bid))
+                .repartition(1)
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path + "/stats")
+            )
         if has_dict:
             # Dictionary delta (the Lucene terms-dictionary analogue):
             # (term, df, sum_tf, max_tf) per batch, derived from the
@@ -2618,19 +2647,27 @@ def compact_search_index(
     from docker_etl_spark.sources.stores import (
         compact_partitioned_store,
         store_writer_lock,
+        write_sidecar_rows,
     )
 
     with store_writer_lock(path, owner="compact_search_index"):
         prior = read_search_index_horizon(spark, path)
         if prior is None or up_to_batch > prior:
-            (
-                spark.createDataFrame(
-                    [(int(up_to_batch),)], "compacted_through long"
+            # 1-row marker: driver-direct write, Spark-job fallback
+            # for non-local stores (write_sidecar_rows contract)
+            if not write_sidecar_rows(
+                path + "/horizon",
+                [(int(up_to_batch),)],
+                [("compacted_through", "int64")],
+            ):
+                (
+                    spark.createDataFrame(
+                        [(int(up_to_batch),)], "compacted_through long"
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(path + "/horizon")
                 )
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(path + "/horizon")
-            )
 
     # Tombstones at or below the horizon are applied PHYSICALLY in
     # this fold (Lucene's deletes-at-merge): the postings rewrite

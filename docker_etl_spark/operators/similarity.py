@@ -2204,7 +2204,10 @@ def write_ivfpq_store(
     would see those ids twice (the search-store r9 ADVICE hazard,
     fixed symmetrically here).
     """
-    from docker_etl_spark.sources.stores import store_writer_lock
+    from docker_etl_spark.sources.stores import (
+        store_writer_lock,
+        write_sidecar_rows,
+    )
 
     spark = index.sparkSession
     qrows = [
@@ -2217,9 +2220,6 @@ def write_ivfpq_store(
         for s, book in enumerate(codebooks)
         for cid, c in enumerate(book)
     ]
-    quant = spark.createDataFrame(
-        qrows, "part string, idx0 int, idx1 int, vals array<bigint>"
-    )
     with store_writer_lock(path, owner="write_ivfpq_store"):
         # horizon check under the lease (a concurrent compaction could
         # otherwise raise the horizon between check and write)
@@ -2242,14 +2242,31 @@ def write_ivfpq_store(
             .partitionBy("__cell", "__batch_id")
             .parquet(path + "/codes")
         )
-        # repartition(1), NOT coalesce(1): the local-collection parent
-        # has defaultParallelism python partitions, and a coalesced
-        # single task evaluates all of them sequentially through one
-        # python worker (~5 s for 13 rows); the one-step shuffle runs
-        # them in parallel first.
-        quant.repartition(1).write.mode("overwrite").parquet(
-            path + "/quantizer"
-        )
+        # The quantizer rows are a local Python collection already —
+        # land them driver-direct (write_sidecar_rows contract); the
+        # Spark fallback pays one scheduled job (repartition(1), NOT
+        # coalesce(1): a coalesced single task evaluates all
+        # defaultParallelism local-collection partitions sequentially
+        # through one python worker, ~5 s for 13 rows).
+        if not write_sidecar_rows(
+            path + "/quantizer",
+            qrows,
+            [
+                ("part", "string"),
+                ("idx0", "int32"),
+                ("idx1", "int32"),
+                ("vals", "list<int64>"),
+            ],
+        ):
+            (
+                spark.createDataFrame(
+                    qrows,
+                    "part string, idx0 int, idx1 int, vals array<bigint>",
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(path + "/quantizer")
+            )
 
 
 def read_ivfpq_horizon(spark, path: str) -> int | None:
@@ -2619,19 +2636,27 @@ def compact_ivfpq_store(
     from docker_etl_spark.sources.stores import (
         compact_partitioned_store,
         store_writer_lock,
+        write_sidecar_rows,
     )
 
     with store_writer_lock(path, owner="compact_ivfpq_store"):
         prior = read_ivfpq_horizon(spark, path)
         if prior is None or up_to_batch > prior:
-            (
-                spark.createDataFrame(
-                    [(int(up_to_batch),)], "compacted_through long"
+            # 1-row marker: driver-direct write, Spark-job fallback
+            # for non-local stores (write_sidecar_rows contract)
+            if not write_sidecar_rows(
+                path + "/horizon",
+                [(int(up_to_batch),)],
+                [("compacted_through", "int64")],
+            ):
+                (
+                    spark.createDataFrame(
+                        [(int(up_to_batch),)], "compacted_through long"
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(path + "/horizon")
                 )
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(path + "/horizon")
-            )
 
     # tombstones at or below the horizon are applied PHYSICALLY here
     # (FAISS remove_ids semantics, the search-store r12 recipe): the

@@ -327,6 +327,78 @@ def read_sidecar_rows(
         return None
 
 
+def write_sidecar_rows(
+    path: str,
+    rows: list[tuple],
+    schema: list[tuple[str, str]],
+    partition: dict[str, object] | None = None,
+) -> bool:
+    """Driver-direct pyarrow write of a BOUNDED sidecar parquet
+    layout — the write twin of :func:`read_sidecar_rows`. A 1-row
+    meta/horizon marker or per-batch stats delta written through a
+    Spark job pays shuffle + scheduling + commit protocol (~0.3-0.7 s
+    per write at ANY scale; several per store mutation); metadata
+    writes should not be jobs (the table-format manifest lesson).
+
+    ``schema`` is ``[(name, arrow_type_str)]`` with types matching
+    what the replaced Spark write produced (``int32`` for Spark
+    ``int``, ``int64`` for ``long``, ``bool``, ``string``) so the
+    Spark fallback read and any pre-existing Spark-written files in
+    the same layout stay type-consistent. ``partition`` appends
+    ``key=value`` directory levels and replaces ONLY that directory
+    (Spark's dynamic partition overwrite); None replaces the whole
+    sidecar directory (Spark's plain overwrite).
+
+    Crash ordering matches the Spark writes it replaces: the new file
+    lands under a hidden dot-name first, existing committed files are
+    removed, then the hidden file renames into place — a crash before
+    the unlink leaves the old sidecar intact; a crash between unlink
+    and rename leaves a directory :func:`parquet_write_completed`
+    reports ABSENT, which every sidecar reader already self-heals.
+    All call sites run under the store writer lease.
+
+    Returns False when the path is not local (object stores) or
+    pyarrow is unavailable — the caller MUST fall back to its Spark
+    write in that case."""
+    local = _local_path(path)
+    if local is None:
+        return False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow always present here
+        return False
+    target = local.rstrip("/")
+    if partition:
+        for k, v in partition.items():
+            target = os.path.join(target, f"{k}={v}")
+    os.makedirs(target, exist_ok=True)
+    typemap = {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "bool": pa.bool_(),
+        "string": pa.string(),
+        "double": pa.float64(),
+        # Spark writes array<bigint> as a 3-level list of
+        # field name "element" — match it so mixed layouts and the
+        # Spark fallback read stay schema-identical
+        "list<int64>": pa.list_(pa.field("element", pa.int64())),
+    }
+    arrays = [
+        pa.array([r[i] for r in rows], type=typemap[t])
+        for i, (_n, t) in enumerate(schema)
+    ]
+    table = pa.table(arrays, names=[n for n, _t in schema])
+    final = os.path.join(target, f"part-00000-{os.getpid()}.parquet")
+    tmp = os.path.join(target, f".{os.path.basename(final)}.tmp")
+    pq.write_table(table, tmp)
+    for fn in os.listdir(target):
+        if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+            os.unlink(os.path.join(target, fn))
+    os.rename(tmp, final)
+    return True
+
+
 def parquet_file_count(path: str) -> int | None:
     """Data-file count of a local parquet layout (compaction metric)."""
     local = _local_path(path)
