@@ -586,10 +586,16 @@ def write_search_index(
         # write.distribution-mode=hash): without it every upstream
         # task opens a writer in every prefix directory it touches —
         # commits scale as tasks × prefixes; with it each prefix
-        # directory gets one right-sized file per batch.
+        # directory gets one right-sized file per batch. Explicit
+        # count (write_repartition) so AQE cannot coalesce the batch
+        # to one task that pays every prefix directory's commit
+        # serially.
+        from docker_etl_spark.sources.stores import write_repartition
+
         (
-            postings.withColumn("__batch_id", F.lit(bid))
-            .repartition("__pfx")
+            write_repartition(
+                postings.withColumn("__batch_id", F.lit(bid)), ("__pfx",)
+            )
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("__pfx", "__batch_id")
@@ -644,7 +650,7 @@ def write_search_index(
                 .withColumn("__batch_id", F.lit(bid))
                 # one file per prefix directory, not one per
                 # (aggregate task × prefix) — see the postings write
-                .repartition("__pfx")
+                .transform(lambda d: write_repartition(d, ("__pfx",)))
                 .write.option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .partitionBy("__pfx", "__batch_id")

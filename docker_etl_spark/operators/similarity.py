@@ -1195,10 +1195,14 @@ def write_vector_store(
     with store_writer_lock(path, owner="write_vector_store"):
         # hash-distribute on the partition column first (the
         # write_digest_store discipline): commits otherwise scale as
-        # tasks × tables instead of one file per table directory
-        exploded.repartition("tbl").write.mode(mode).partitionBy(
-            "tbl"
-        ).parquet(path)
+        # tasks × tables instead of one file per table directory;
+        # explicit count (write_repartition) so AQE cannot serialize
+        # every table directory's commit into one task
+        from docker_etl_spark.sources.stores import write_repartition
+
+        write_repartition(exploded, ("tbl",)).write.mode(
+            mode
+        ).partitionBy("tbl").parquet(path)
 
 
 def incremental_embedding_dedup(
@@ -2206,6 +2210,7 @@ def write_ivfpq_store(
     """
     from docker_etl_spark.sources.stores import (
         store_writer_lock,
+        write_repartition,
         write_sidecar_rows,
     )
 
@@ -2235,8 +2240,10 @@ def write_ivfpq_store(
             )
             # hash-distribute on the partition column first (the
             # write_digest_store discipline): commits otherwise scale
-            # as tasks × cells instead of one file per cell directory
-            .repartition("__cell")
+            # as tasks × cells instead of one file per cell directory;
+            # explicit count (write_repartition) so AQE cannot
+            # serialize every cell directory's commit into one task
+            .transform(lambda d: write_repartition(d, ("__cell",)))
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("__cell", "__batch_id")
@@ -2474,7 +2481,10 @@ def ivfpq_append(
     encoded. Writes below the store's compaction horizon are rejected
     (see :func:`write_ivfpq_store`).
     """
-    from docker_etl_spark.sources.stores import store_writer_lock
+    from docker_etl_spark.sources.stores import (
+        store_writer_lock,
+        write_repartition,
+    )
 
     spark = new_vecs.sparkSession
     # fail-fast pre-check; re-checked under the lease before the write
@@ -2513,7 +2523,7 @@ def ivfpq_append(
                 F.lit(batch_id).alias("__batch_id"),
             )
             # one file per cell directory — see write_ivfpq_store
-            .repartition("__cell")
+            .transform(lambda d: write_repartition(d, ("__cell",)))
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("__cell", "__batch_id")

@@ -578,7 +578,10 @@ def write_signature_store(
     the store is bare parquet, so concurrency safety is enforced at
     the writer, not assumed.
     """
-    from docker_etl_spark.sources.stores import store_writer_lock
+    from docker_etl_spark.sources.stores import (
+        store_writer_lock,
+        write_repartition,
+    )
 
     rows_per_band = num_perm // bands
     exploded = sigs.select(
@@ -591,10 +594,11 @@ def write_signature_store(
     with store_writer_lock(path, owner="write_signature_store"):
         # hash-distribute on the partition column first (the
         # write_digest_store discipline): commits otherwise scale as
-        # tasks × bands instead of one file per band directory
-        exploded.repartition("band").write.mode(mode).partitionBy(
-            "band"
-        ).parquet(path)
+        # tasks × bands instead of one file per band directory;
+        # explicit count so AQE cannot serialize the band commits
+        write_repartition(exploded, ("band",)).write.mode(
+            mode
+        ).partitionBy("band").parquet(path)
 
 
 def _signature_deletes_path(path: str) -> str:

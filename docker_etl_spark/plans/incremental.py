@@ -104,7 +104,10 @@ def partition_replace(
     partitionOverwriteMode=dynamic (set by session.get_spark)."""
     # hash-distribute on the partition column first (the
     # write_digest_store discipline): one file per replaced partition
-    # instead of tasks × partitions commit operations
-    df.repartition(partition_col).write.mode("overwrite").partitionBy(
-        partition_col
-    ).parquet(path)
+    # instead of tasks × partitions commit operations; explicit count
+    # so AQE cannot serialize the directory commits into one task
+    from docker_etl_spark.sources.stores import write_repartition
+
+    write_repartition(df, (partition_col,)).write.mode(
+        "overwrite"
+    ).partitionBy(partition_col).parquet(path)

@@ -203,8 +203,12 @@ def write_table(
         # write.distribution-mode=hash): otherwise every upstream task
         # opens a writer in every partition directory it touches and
         # commits scale as tasks × partition values. maxRecordsPerFile
-        # below still splits oversized partitions.
-        out = out.repartition(*partition_by)
+        # below still splits oversized partitions. Explicit count so
+        # AQE cannot coalesce the tiny-bytes batch into one task that
+        # pays every directory commit serially (write_repartition).
+        from docker_etl_spark.sources.stores import write_repartition
+
+        out = write_repartition(out, partition_by)
     writer = out.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -172,3 +172,54 @@ def test_apply_signature_deletes_keeps_unapplied_tombstones(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert live_ids == {3, 4}
+
+
+def test_write_repartition_pins_explicit_partition_count(spark, tmp_path):
+    """Optimization-round invariant: the pre-partitionBy hash
+    distribution must carry an EXPLICIT partition count
+    (REPARTITION_BY_NUM). A bare repartition(col) is
+    REPARTITION_BY_COL, which AQE's coalescing shrinks by bytes — a
+    few-MB store batch collapses to ONE task that creates every
+    partition directory serially (measured 6.3 s for a
+    256-directory digest write vs ~1 s spread across the cores).
+    Layout must be unchanged: one file per directory per batch."""
+    import os
+
+    from docker_etl_spark.operators.dedupe import write_digest_store
+    from docker_etl_spark.sources.stores import write_repartition
+
+    df = spark.range(2000).select(
+        F.md5(F.col("id").cast("string")).alias("content_md5")
+    )
+    out = write_repartition(
+        df.withColumn(
+            "digest_prefix", F.substring("content_md5", 1, 2)
+        ),
+        ("digest_prefix",),
+    )
+    import re
+
+    # the explicit count shows as the RepartitionByExpression's
+    # trailing numPartitions in the optimized plan (a bare
+    # repartition(col) has NO trailing count there) and as
+    # REPARTITION_BY_NUM on the physical Exchange
+    n = spark.sparkContext.defaultParallelism
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(
+        rf"RepartitionByExpression \[digest_prefix#\d+\], {n}\b", plan
+    ), plan
+    phys = out._jdf.queryExecution().sparkPlan().toString()
+    assert "REPARTITION_BY_NUM" in phys, phys
+
+    # layout invariant: each prefix directory holds exactly one file
+    path = str(tmp_path / "digests")
+    write_digest_store(df, path)
+    for d in os.listdir(path):
+        if not d.startswith("digest_prefix="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
