@@ -246,8 +246,70 @@ def signlsh_bucket(
     )
 
 
+def _plane_row_sqls(
+    planes: list[list[float]], exact_int: bool
+) -> tuple[list[str], str]:
+    """Per-plane array-literal SQL snippets + the fold's zero literal."""
+    if exact_int:
+        rows = quantize_planes(planes)
+        lits = [
+            "array(" + ",".join(f"{int(x)}L" for x in r) + ")" for r in rows
+        ]
+        return lits, "CAST(0 AS BIGINT)"
+    lits = [
+        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in r) + ")"
+        for r in planes
+    ]
+    return lits, "CAST(0.0 AS DOUBLE)"
+
+
+def _dot_sql(vec_sql: str, arr_sql: str, zero_sql: str) -> str:
+    """The engine dot product (``dot``/``dot_int``'s zip-multiply
+    fold) as one SQL string — same expression tree, zero py4j calls
+    per plane."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+        f"{zero_sql}, (acc, v) -> acc + v)"
+    )
+
+
+def _signlsh_table_buckets_sql(
+    vec_sql: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    exact_int: bool,
+) -> str:
+    """:func:`signlsh_table_buckets` as ONE SQL string. Identical
+    expression tree to the per-table ``signlsh_bucket`` build (same
+    transform/zip_with/bitwise-OR fold, same literals), so bucket
+    values are bit-identical; only WHERE the tree is built moves
+    (one JVM-side parse instead of hundreds of py4j Column calls —
+    building these through the Column API measured ~1.4 s of pure
+    driver time per call at n_tables=4, n_planes=8, dim=64)."""
+    pow2 = "array(" + ",".join(f"{1 << i}L" for i in range(n_planes)) + ")"
+    tables = []
+    for t in range(n_tables):
+        lits, zero = _plane_row_sqls(
+            random_hyperplanes(dim, n_planes, seed + t), exact_int
+        )
+        mat = "array(" + ",".join(lits) + ")"
+        dot = _dot_sql(vec_sql, "p", zero)
+        signs = (
+            f"transform({mat}, p -> CASE WHEN {dot} >= 0 THEN "
+            "CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+        bkt = (
+            f"aggregate(zip_with({signs}, {pow2}, (s, p2) -> s * p2), "
+            "CAST(0 AS BIGINT), (a, b) -> a | b)"
+        )
+        tables.append(f"struct({t} AS tbl, {bkt} AS bkt)")
+    return "array(" + ",".join(tables) + ")"
+
+
 def signlsh_table_buckets(
-    vec: Column,
+    vec: Column | str,
     dim: int,
     n_planes: int,
     n_tables: int,
@@ -264,7 +326,19 @@ def signlsh_table_buckets(
     into every per-table expression by column reuse and cost
     n_tables× more. Bucket values are bit-identical to
     ``signlsh_bucket`` per table.
+
+    Pass ``vec`` as a STRING (column name / SQL snippet) to build the
+    whole expression as one SQL parse — the hot-path form: the Column
+    build costs hundreds of py4j round trips per call (driver-side
+    construction latency), the SQL form one. The Column form stays
+    for composed expressions.
     """
+    if isinstance(vec, str):
+        return F.expr(
+            _signlsh_table_buckets_sql(
+                vec, dim, n_planes, n_tables, seed, exact_int
+            )
+        )
     return F.array(
         *[
             F.struct(
@@ -278,8 +352,50 @@ def signlsh_table_buckets(
     )
 
 
+def _signlsh_probe_buckets_sql(
+    vec_sql: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    exact_int: bool,
+) -> str:
+    """:func:`signlsh_probe_buckets` as ONE SQL string — same
+    expression tree (per-plane projections duplicated into sign,
+    bucket and flip-delta subtrees exactly like the Column build, so
+    bucket values are bit-identical), one JVM parse instead of ~3k
+    py4j calls (measured ~3 s of pure driver construction per call
+    at n_tables=4, n_planes=8, dim=64)."""
+    entries = []
+    for t in range(n_tables):
+        lits, zero = _plane_row_sqls(
+            random_hyperplanes(dim, n_planes, seed + t), exact_int
+        )
+        projs = [_dot_sql(vec_sql, lit, zero) for lit in lits]
+        signs = [
+            f"(CASE WHEN {p} >= 0 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for p in projs
+        ]
+        bucket = " + ".join(
+            f"{s} * CAST({1 << i} AS BIGINT)" for i, s in enumerate(signs)
+        )
+        flips = "array(" + ",".join(
+            f"struct(abs({projs[i]}) AS a, {i} AS i, "
+            f"(CAST(1 AS BIGINT) - 2 * {signs[i]}) * "
+            f"CAST({1 << i} AS BIGINT) AS delta)"
+            for i in range(n_planes)
+        ) + ")"
+        lowest = f"element_at(sort_array({flips}), 1)"
+        entries.append(f"struct({t} AS tbl, ({bucket}) AS bkt)")
+        entries.append(
+            f"struct({t} AS tbl, (({bucket}) + {lowest}.delta) AS bkt)"
+        )
+    return "array(" + ",".join(entries) + ")"
+
+
 def signlsh_probe_buckets(
-    vec: Column,
+    vec: Column | str,
     dim: int,
     n_planes: int,
     n_tables: int,
@@ -300,7 +416,16 @@ def signlsh_probe_buckets(
     ``>= 0``), so its flip subtracts 2^i. Returns
     array<struct<tbl:int, bkt:bigint>> of length 2·n_tables,
     home buckets first per table.
+
+    Pass ``vec`` as a STRING (column name / SQL snippet) for the
+    one-parse SQL build (see :func:`signlsh_table_buckets`).
     """
+    if isinstance(vec, str):
+        return F.expr(
+            _signlsh_probe_buckets_sql(
+                vec, dim, n_planes, n_tables, seed, exact_int
+            )
+        )
     d = dot_int if exact_int else dot
     entries = []
     for t in range(n_tables):
@@ -390,7 +515,7 @@ def cosine_topk_lsh(
     """
     def bucketed(df: DataFrame, idc: str, probe: bool = False) -> DataFrame:
         fn = signlsh_probe_buckets if probe else signlsh_table_buckets
-        keys = fn(F.col(vec_col), dim, n_planes, n_tables, seed, exact_int)
+        keys = fn(f"`{vec_col}`", dim, n_planes, n_tables, seed, exact_int)
         return _spread(df).select(
             F.col(idc), F.col(vec_col), F.explode(keys).alias("tb")
         ).select(idc, vec_col, "tb.tbl", "tb.bkt")
@@ -523,7 +648,7 @@ def embedding_near_duplicates(
     engine-portable results)."""
     def bucketed(df: DataFrame) -> DataFrame:
         keys = signlsh_table_buckets(
-            F.col(vec_col), dim, n_planes, n_tables, seed, exact_int
+            f"`{vec_col}`", dim, n_planes, n_tables, seed, exact_int
         )
         return _spread(df).select(
             F.col(id_col), F.col(vec_col), F.explode(keys).alias("tb")
@@ -737,23 +862,22 @@ def kmeans_assign_quantized(
         assigned = train.withColumn(
             "__cluster", F.expr(_argmin_sql("__vq", centroids))
         )
+        # one array-of-aggregates expression (a single F.expr round
+        # trip) instead of one Column call per dimension — identical
+        # aggregate expressions, same floor-mean per dim
+        means = ",".join(
+            "cast(floor(cast(sum(element_at(__vq, "
+            f"{d + 1})) as double) / count(*)) as bigint)"
+            for d in range(len(centroids[0]))
+        )
         new_rows = (
             assigned.groupBy("__cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.expr(
-                        "cast(floor(cast(sum(element_at(__vq, "
-                        f"{d + 1})) as double) / count(*)) as bigint)"
-                    ).alias(f"d{d}")
-                    for d in range(len(centroids[0]))
-                ],
-            )
+            .agg(F.expr(f"array({means})").alias("ds"))
             .collect()
         )
-        by_cluster = {r["__cluster"]: r for r in new_rows}
+        by_cluster = {r["__cluster"]: list(r["ds"]) for r in new_rows}
         centroids = [
-            [by_cluster[j][f"d{d}"] for d in range(len(centroids[0]))]
+            by_cluster[j]
             if j in by_cluster
             else centroids[j]  # empty cluster keeps its centroid
             for j in range(k)
@@ -1185,7 +1309,7 @@ def write_vector_store(
     from docker_etl_spark.sources.stores import store_writer_lock
 
     keys = signlsh_table_buckets(
-        F.col(vec_col), dim, n_planes, n_tables, seed, exact_int=True
+        f"`{vec_col}`", dim, n_planes, n_tables, seed, exact_int=True
     )
     exploded = vecs.select(
         F.col(id_col), F.col(vec_col), F.explode(keys).alias("tb")
@@ -1242,7 +1366,7 @@ def incremental_embedding_dedup(
     Zero-norm vectors never pair (cosine undefined).
     """
     keys = signlsh_table_buckets(
-        F.col(vec_col), dim, n_planes, n_tables, seed, exact_int=True
+        f"`{vec_col}`", dim, n_planes, n_tables, seed, exact_int=True
     )
     nrm = dot_int(F.col(vec_col), F.col(vec_col))
     new_b = (
@@ -1578,26 +1702,51 @@ def mmr_rerank(
         )
         return F.aggregate(remaining, init, step)
 
-    df = cands.withColumn("__sel_0", F.array().cast(f"array<{id_type}>"))
-    for r in range(1, select_k + 1):
-        df = df.withColumn(f"__best_{r}", best_expr(F.col(f"__sel_{r-1}")))
-        df = df.withColumn(
-            f"__sel_{r}",
-            F.concat(F.col(f"__sel_{r-1}"), F.array(F.col(f"__best_{r}")["id"])),
-        )
-    picks = F.array(
-        *[
-            F.struct(
-                F.lit(r).cast("bigint").alias("mmr_rank"),
-                F.col(f"__best_{r}")["id"].alias(id_col),
-                F.col(f"__best_{r}")["rel"].alias(rel_col),
-                F.col(f"__best_{r}")["score"].alias("mmr_score"),
-            )
-            for r in range(1, select_k + 1)
-        ]
+    # The k greedy steps run as ONE runtime fold over sequence(1, k).
+    # They used to be UNROLLED into k withColumn steps, but Catalyst's
+    # projection collapse inlines each step's selection array into the
+    # next step's argmax twice, so the analyzed tree grows
+    # exponentially in k — at k=8 the driver spent ~2 s per run just
+    # analyzing the plan (guide §7.3: huge expression trees built in
+    # loops are driver-side planning cost). The fold evaluates the
+    # SAME per-step argmax (identical math, fold order and (score
+    # DESC, id ASC) tiebreak — step r still scans candidates not yet
+    # in the selection, appends the pick's id (null once the pool is
+    # exhausted, exactly like the unrolled concat) and ranks by
+    # position), so results are bit-identical while the tree is one
+    # step deep.
+    picks_type = (
+        f"array<struct<mmr_rank:bigint,{id_col}:{id_type},"
+        f"{rel_col}:double,mmr_score:double>>"
     )
+    if select_k < 1:
+        # the unrolled loop built zero picks; keep that contract
+        # (sequence(1, 0) would count DOWN, not produce an empty seq)
+        picks = F.array().cast(picks_type)
+    else:
+        def fold_step(acc, _r):
+            best = best_expr(acc["sel"])
+            pick = F.struct(
+                (F.size(acc["picks"]) + 1).cast("bigint").alias("mmr_rank"),
+                best["id"].alias(id_col),
+                best["rel"].cast("double").alias(rel_col),
+                best["score"].cast("double").alias("mmr_score"),
+            )
+            return F.struct(
+                F.concat(acc["sel"], F.array(best["id"])).alias("sel"),
+                F.concat(acc["picks"], F.array(pick)).alias("picks"),
+            )
+
+        picks = F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(select_k))),
+            F.struct(
+                F.array().cast(f"array<{id_type}>").alias("sel"),
+                F.array().cast(picks_type).alias("picks"),
+            ),
+            fold_step,
+        )["picks"]
     return (
-        df.select(F.explode(picks).alias("__p"))
+        cands.select(F.explode(picks).alias("__p"))
         .select("__p.*")
         .filter(F.col(id_col).isNotNull())
     )
@@ -1752,23 +1901,21 @@ def pq_train(
                 for s in range(m)
             ]
         )
+        # one array-of-aggregates expression per round (a single
+        # F.expr round trip) instead of one Column call per dimension
+        means = ",".join(
+            "cast(floor(cast(sum(element_at(sv, "
+            f"{j + 1})) as double) / count(*)) as bigint)"
+            for j in range(d)
+        )
         rows = (
             train.select(F.explode(entries).alias("e"))
             .select("e.s", "e.cid", "e.sv")
             .groupBy("s", "cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.expr(
-                        "cast(floor(cast(sum(element_at(sv, "
-                        f"{j + 1})) as double) / count(*)) as bigint)"
-                    ).alias(f"d{j}")
-                    for j in range(d)
-                ],
-            )
+            .agg(F.expr(f"array({means})").alias("ds"))
             .collect()
         )
-        upd = {(r["s"], r["cid"]): [r[f"d{j}"] for j in range(d)] for r in rows}
+        upd = {(r["s"], r["cid"]): list(r["ds"]) for r in rows}
         books = [
             [
                 upd.get((s, cid), books[s][cid])  # empty keeps centroid

@@ -11299,33 +11299,51 @@ def cp04_hybrid_store_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_docs_spread(spark, sf_dir)
-    lex_path = _x90_store_path("cp04lex", sf_dir)
-    shutil.rmtree(lex_path, ignore_errors=True)
-    postings, stats = build_postings(d, "text", "doc_id")
-    write_search_index(postings, stats, lex_path)
-    lex = search_bm25_topk(spark, lex_path, _X25_TERMS, k=50).select(
-        "doc_id", F.col("rank").cast("long").alias("rank")
-    )
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
-    )
-    index, coarse, books = ivfpq_build(
-        em, "dv", "vec_id", dim=64, n_cells=_X23_K, coarse_iterations=2,
-        m=2, k=4, pq_iterations=1, max_training_points=128,
-    )
-    vec_path = _x90_store_path("cp04vec", sf_dir)
-    shutil.rmtree(vec_path, ignore_errors=True)
-    write_ivfpq_store(index, coarse, books, vec_path, id_col="vec_id")
-    idx2, coarse2, books2, _meta = load_ivfpq_store(spark, vec_path)
-    q0 = em.filter(F.col("vec_id") == 0)
-    vec = ivfpq_topk(
-        q0, idx2, coarse2, books2, vec_col="dv", query_id_col="vec_id",
-        topk=50, prune_index_partitions=True,
-    ).select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+
+    # The lexical and vector store builds share NOTHING (different
+    # inputs, different store paths) but each is a driver-sequential
+    # chain of jobs with scheduling gaps; submitting them from two
+    # driver threads lets each chain's jobs back-fill the other's
+    # idle cores (guide §2.6 overlap — actions are only sequential
+    # because the driver calls them sequentially). Results are
+    # unchanged: the fused probe consumes both finished stores.
+    def _lex():
+        lex_path = _x90_store_path("cp04lex", sf_dir)
+        shutil.rmtree(lex_path, ignore_errors=True)
+        postings, stats = build_postings(d, "text", "doc_id")
+        write_search_index(postings, stats, lex_path)
+        return search_bm25_topk(spark, lex_path, _X25_TERMS, k=50).select(
+            "doc_id", F.col("rank").cast("long").alias("rank")
+        )
+
+    def _vec():
+        em = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("dv"),
+        )
+        index, coarse, books = ivfpq_build(
+            em, "dv", "vec_id", dim=64, n_cells=_X23_K,
+            coarse_iterations=2, m=2, k=4, pq_iterations=1,
+            max_training_points=128,
+        )
+        vec_path = _x90_store_path("cp04vec", sf_dir)
+        shutil.rmtree(vec_path, ignore_errors=True)
+        write_ivfpq_store(index, coarse, books, vec_path, id_col="vec_id")
+        idx2, coarse2, books2, _meta = load_ivfpq_store(spark, vec_path)
+        q0 = em.filter(F.col("vec_id") == 0)
+        return ivfpq_topk(
+            q0, idx2, coarse2, books2, vec_col="dv", query_id_col="vec_id",
+            topk=50, prune_index_partitions=True,
+        ).select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f, vec_f = pool.submit(_lex), pool.submit(_vec)
+        lex, vec = lex_f.result(), vec_f.result()
     return reciprocal_rank_fusion(
         [("lex", lex), ("vec", vec)], id_col="doc_id", rrf_k=60, top_k=20
     )
@@ -11601,20 +11619,38 @@ def cp05_pmi_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docker_etl_spark.operators.text_analysis import pmi_collocations
 
     d = load_docs_spread(spark, sf_dir)
-    scored = pmi_collocations(d, min_count=_X102_MIN_COUNT)
-    w = Window.partitionBy("w1").orderBy(F.desc("pmi_scaled"), F.asc("w2"))
-    partners = (
-        scored.filter(F.col("w1").isin(list(_CP05_BASE)))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("w2")
-        .collect()
-    )
+
+    # The PMI expansion pass and the index build are independent
+    # chains over the same corpus (the probe needs both: expanded
+    # terms + a finished store); overlap them from two driver
+    # threads so one chain's jobs back-fill the other's scheduling
+    # gaps (guide §2.6). Results unchanged.
+    def _partners():
+        scored = pmi_collocations(d, min_count=_X102_MIN_COUNT)
+        w = Window.partitionBy("w1").orderBy(
+            F.desc("pmi_scaled"), F.asc("w2")
+        )
+        return (
+            scored.filter(F.col("w1").isin(list(_CP05_BASE)))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("w2")
+            .collect()
+        )
+
+    def _store():
+        postings, stats = build_postings(d, "text", "doc_id")
+        path = _x90_store_path("cp05", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        write_search_index(postings, stats, path)
+        return path
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        partners_f, store_f = pool.submit(_partners), pool.submit(_store)
+        partners, path = partners_f.result(), store_f.result()
     expanded = tuple(sorted(set(_CP05_BASE) | {r["w2"] for r in partners}))
-    postings, stats = build_postings(d, "text", "doc_id")
-    path = _x90_store_path("cp05", sf_dir)
-    shutil.rmtree(path, ignore_errors=True)
-    write_search_index(postings, stats, path)
     return search_bm25_topk(spark, path, expanded, id_col="doc_id", k=10)
 
 

@@ -223,3 +223,49 @@ def test_write_repartition_pins_explicit_partition_count(spark, tmp_path):
             if f.endswith(".parquet")
         ]
         assert len(files) == 1, (d, files)
+
+
+def test_signlsh_sql_builders_bit_identical_to_column_form(spark):
+    """The one-parse SQL forms of signlsh_table_buckets /
+    signlsh_probe_buckets (hot-path driver-latency fix) must produce
+    exactly the buckets the Column forms produce, in both exact-int
+    and float-plane modes."""
+    from docker_etl_spark.operators.similarity import (
+        signlsh_probe_buckets,
+        signlsh_table_buckets,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: ((F.col("id") * 37 + i * 13) % 19 - 9).cast("bigint"),
+        ).alias("v"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (((F.col("id") * 37 + i * 13) % 19 - 9) / 3.0),
+        ).alias("vf"),
+    )
+    for exact, col in ((True, "v"), (False, "vf")):
+        a = df.select(
+            "id",
+            signlsh_table_buckets(
+                F.col(col), 16, 6, 3, 42, exact
+            ).alias("k"),
+        )
+        b = df.select(
+            "id",
+            signlsh_table_buckets(col, 16, 6, 3, 42, exact).alias("k"),
+        )
+        assert a.collect() == b.collect(), f"table buckets exact={exact}"
+        ap = df.select(
+            "id",
+            signlsh_probe_buckets(
+                F.col(col), 16, 6, 3, 42, exact
+            ).alias("k"),
+        )
+        bp = df.select(
+            "id",
+            signlsh_probe_buckets(col, 16, 6, 3, 42, exact).alias("k"),
+        )
+        assert ap.collect() == bp.collect(), f"probe buckets exact={exact}"
