@@ -1926,13 +1926,35 @@ def pq_train(
     return books
 
 
-def _pq_argmin(slice_sql: str, book: list[list[int]]) -> Column:
+def _pq_argmin(slice_ref: str | Column, book: list[list[int]]) -> Column:
     """Code = argmin over the codebook of integer squared L2 to the
     (already-quantized) slice, ties -> lower cid — the Lloyd
-    assignment spec applied at encode time. Takes the slice as a SQL
+    assignment spec applied at encode time. Pass the slice as a SQL
     snippet so the whole argmin is ONE ``F.expr`` round trip (see
-    :func:`_sqdist_sql`)."""
-    return F.expr(_argmin_sql(slice_sql, book))
+    :func:`_sqdist_sql`) — the hot-path form; a Column builds the
+    same array_min-over-(d, cid)-structs tree through the Column API
+    (identical argmin: struct comparison is lexicographic, equal
+    distances fall through to the lower cid)."""
+    if isinstance(slice_ref, str):
+        return F.expr(_argmin_sql(slice_ref, book))
+    structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        slice_ref,
+                        _int_array_literal(c),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(j).alias("cid"),
+            )
+            for j, c in enumerate(book)
+        ]
+    )
+    return F.array_min(structs)["cid"]
 
 
 def _pq_codes(vq_sql: str, codebooks: list[list[list[int]]]) -> Column:

@@ -13280,7 +13280,15 @@ def x118_ivfpq_delete_lifecycle(
     pre = probe("live").localCheckpoint()
     compact_ivfpq_store(spark, path, up_to_batch=1)
     post = probe("compacted")
-    ncodes = spark.read.parquet(path + "/codes").count()
+    # the census count comes from parquet FOOTER metadata (the
+    # engine's parquet_row_count discipline — no scheduled scan job
+    # for a number the footers already hold); Spark count fallback
+    # for non-local stores
+    from docker_etl_spark.sources.stores import parquet_row_count
+
+    ncodes = parquet_row_count(path + "/codes")
+    if ncodes is None:
+        ncodes = spark.read.parquet(path + "/codes").count()
     cen = spark.createDataFrame(
         [("census", -1, 0, int(ncodes), 0)],
         "phase string, query_id long, rank int, neighbor_id long, "
