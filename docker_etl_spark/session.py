@@ -44,6 +44,18 @@ _ENGINE_DEFAULTS: dict[str, str] = {
     # at SF100k; keep autoBroadcast generous (64 MB) so star joins
     # broadcast instead of shuffling the fact table.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Partition-discovery listing: above this many paths Spark lists
+    # via a SCHEDULED JOB (~0.5-0.7 s of scheduling at any scale);
+    # below it, on the driver. The default 32 turns every read of a
+    # 256-directory digest store into a job that spends 50x longer
+    # scheduling than listing (local-FS directory listing is sub-ms
+    # per path). 1024 keeps metadata reads driver-side for every
+    # store layout the engine writes (≤16^2 digest prefixes, ≤~1k
+    # term-prefix/cell dirs); object-store deployments with slow
+    # LIST calls can lower it via extra_conf or the env knob.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "1024"
+    ),
 }
 
 
