@@ -43,8 +43,15 @@ def duck_result(con, sql: str):
 
 
 def assert_matches_oracle(df: DataFrame, con, sql: str, name: str = "query"):
+    assert_matches_result(df, duck_result(con, sql), name=name)
+
+
+def assert_matches_result(df: DataFrame, oracle, name: str = "query"):
+    """Compare a Spark frame against a PRECOMPUTED (cols, rows) oracle
+    result — the prefetch-pool variant of :func:`assert_matches_oracle`
+    (same normalization, same assertions)."""
     s_cols, s_rows = spark_result(df)
-    d_cols, d_rows = duck_result(con, sql)
+    d_cols, d_rows = oracle
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )

@@ -26,9 +26,9 @@ def formatted(df) -> str:
     return buf.getvalue()
 
 
-def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir, qdf):
     """P4: the a01 date predicate must appear in PushedFilters."""
-    txt = formatted(QUERIES["a01_pricing_summary"](spark, sf_dir))
+    txt = formatted(qdf("a01_pricing_summary"))
     assert "PushedFilters" in txt
     assert "l_shipdate" in txt.split("PushedFilters", 1)[1].splitlines()[0]
 
@@ -43,34 +43,34 @@ def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
     assert "l_orderkey" in read_schema_line and "l_quantity" in read_schema_line
 
 
-def test_star_join_broadcasts_dimensions(spark, sf_dir):
+def test_star_join_broadcasts_dimensions(spark, sf_dir, qdf):
     """J1: supplier/nation/region joins must be BroadcastHashJoin —
     the fact table never shuffles for the join."""
-    txt = formatted(QUERIES["j01_star_revenue"](spark, sf_dir))
+    txt = formatted(qdf("j01_star_revenue"))
     assert txt.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in txt
 
 
-def test_topk_uses_take_ordered(spark, sf_dir):
+def test_topk_uses_take_ordered(spark, sf_dir, qdf):
     """O1: ORDER BY + LIMIT must plan TakeOrderedAndProject, not a
     global Sort."""
-    txt = formatted(QUERIES["o01_top_revenue_orders"](spark, sf_dir))
+    txt = formatted(qdf("o01_top_revenue_orders"))
     assert "TakeOrderedAndProject" in txt
 
 
-def test_aggregate_is_partial_then_final(spark, sf_dir):
+def test_aggregate_is_partial_then_final(spark, sf_dir, qdf):
     """A1: hash aggregation must run map-side partial + final."""
-    txt = formatted(QUERIES["a01_pricing_summary"](spark, sf_dir))
+    txt = formatted(qdf("a01_pricing_summary"))
     assert "HashAggregate" in txt
     assert "partial_sum" in txt or "Partial" in txt
 
 
-def test_range_join_is_bucketed_equi(spark, sf_dir):
+def test_range_join_is_bucketed_equi(spark, sf_dir, qdf):
     """J6: the date-spine range join runs as a month-bucketed EQUI
     hash join (bucket key + residual range predicate) — never a
     nested loop or cartesian, so the plan survives an orders side
     1000x bigger than the spine."""
-    txt = formatted(QUERIES["j06_orders_active_per_month"](spark, sf_dir))
+    txt = formatted(qdf("j06_orders_active_per_month"))
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
     assert (
@@ -91,54 +91,54 @@ PANDAS_STAGE_ALLOWED = {
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - PANDAS_STAGE_ALLOWED))
-def test_no_python_in_hot_path(spark, sf_dir, name):
+def test_no_python_in_hot_path(spark, sf_dir, name, qdf):
     """Every relational registry query executes fully JVM-side: no
     row-at-a-time Python UDFs (BatchEvalPython) and no Arrow Python
     stages (those live only in the PANDAS_STAGE_ALLOWED set)."""
-    txt = formatted(QUERIES[name](spark, sf_dir))
+    txt = formatted(qdf(name))
     assert "BatchEvalPython" not in txt, f"{name} fell back to Python UDF"
     assert "ArrowEvalPython" not in txt, f"{name} uses a pandas UDF"
     assert "MapInPandas" not in txt, f"{name} uses mapInPandas"
 
 
-def test_whole_stage_codegen_covers_scalar_gauntlet(spark, sf_dir):
+def test_whole_stage_codegen_covers_scalar_gauntlet(spark, sf_dir, qdf):
     """§2.8 scalar families must stay inside WholeStageCodegen
     (formatted explain marks codegen'd operators with a '*' prefix)."""
-    txt = formatted(QUERIES["p01_scalar_gauntlet"](spark, sf_dir))
+    txt = formatted(qdf("p01_scalar_gauntlet"))
     assert "* Project" in txt, txt
 
 
-def test_ivf_probe_join_broadcasts(spark, sf_dir):
+def test_ivf_probe_join_broadcasts(spark, sf_dir, qdf):
     """x13: the cell-probe join must broadcast the (tiny) probe side —
     the assigned corpus never shuffles for it."""
-    txt = formatted(QUERIES["x13_ivf_cosine_topk"](spark, sf_dir))
+    txt = formatted(qdf("x13_ivf_cosine_topk"))
     assert "SortMergeJoin" not in txt
     assert "BroadcastHashJoin" in txt
 
 
-def test_boilerplate_antijoin_broadcasts(spark, sf_dir):
+def test_boilerplate_antijoin_broadcasts(spark, sf_dir, qdf):
     """x34: the frequent-chunk set is broadcast — the exploded corpus
     must never shuffle for the anti-join (LeftAnti over a broadcast
     exchange, no SortMergeJoin on the digest)."""
-    txt = formatted(QUERIES["x34_strip_boilerplate"](spark, sf_dir))
+    txt = formatted(qdf("x34_strip_boilerplate"))
     assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
     assert "SortMergeJoin LeftAnti" not in txt
 
 
-def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+def test_cms_probe_broadcasts_sketch(spark, sf_dir, qdf):
     """x79: the Count-Min sketch is bounded (depth x width cells) and
     must be BROADCAST into the probe join — probing never shuffles on
     the sketch side however large the probe set grows."""
-    txt = formatted(QUERIES["x79_count_min_frequencies"](spark, sf_dir))
+    txt = formatted(qdf("x79_count_min_frequencies"))
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin LeftOuter" not in txt
 
 
-def test_no_cartesian_products_anywhere(spark, sf_dir):
+def test_no_cartesian_products_anywhere(spark, sf_dir, qdf):
     """No registry query may plan a CartesianProduct — every join has
     equi keys, a broadcast, or a bounded non-equi broadcast-NL."""
     for name in sorted(QUERIES):
-        txt = formatted(QUERIES[name](spark, sf_dir))
+        txt = formatted(qdf(name))
         assert "CartesianProduct" not in txt, name
 
 def test_spread_for_compute_skips_already_parallel_input(spark, sf_dir):
@@ -157,48 +157,48 @@ def test_spread_for_compute_skips_already_parallel_input(spark, sf_dir):
     assert "Exchange" in plan
 
 
-def test_intradoc_dedup_is_shuffle_free(spark, sf_dir):
+def test_intradoc_dedup_is_shuffle_free(spark, sf_dir, qdf):
     """x40's claim: intra-doc repetition removal is one map-side
     fold — no Exchange anywhere (a 100 TB pass at scan speed)."""
-    plan = formatted(QUERIES["x40_intradoc_dedup"](spark, sf_dir))
+    plan = formatted(qdf("x40_intradoc_dedup"))
     assert "Exchange" not in plan
 
 
-def test_temperature_mixture_broadcasts_threshold_dim(spark, sf_dir):
+def test_temperature_mixture_broadcasts_threshold_dim(spark, sf_dir, qdf):
     """x38: the census-derived threshold dim must broadcast back over
     the scan — the corpus never shuffles for the keep decision."""
-    plan = formatted(QUERIES["x38_temperature_mixture"](spark, sf_dir))
+    plan = formatted(qdf("x38_temperature_mixture"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
-def test_adaptive_floor_broadcasts_threshold_dim(spark, sf_dir):
+def test_adaptive_floor_broadcasts_threshold_dim(spark, sf_dir, qdf):
     """x43: the per-group percentile dim must broadcast — the corpus
     never shuffles for the keep decision."""
-    plan = formatted(QUERIES["x43_adaptive_quality_floor"](spark, sf_dir))
+    plan = formatted(qdf("x43_adaptive_quality_floor"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
-def test_expectations_report_has_no_cartesian_and_counts_only(spark, sf_dir):
+def test_expectations_report_has_no_cartesian_and_counts_only(spark, sf_dir, qdf):
     """e01: checks aggregate to counts — no violating-row
     materialization means no wide project after the checks."""
-    plan = formatted(QUERIES["e01_expectations_report"](spark, sf_dir))
+    plan = formatted(qdf("e01_expectations_report"))
     assert "CartesianProduct" not in plan
 
 
-def test_chunk_windows_is_shuffle_free(spark, sf_dir):
+def test_chunk_windows_is_shuffle_free(spark, sf_dir, qdf):
     """x30's claim: chunking is one map-side pass — the plan must
     contain no Exchange of any kind (chunking 100 TB = one scan)."""
-    plan = formatted(QUERIES["x30_chunk_windows"](spark, sf_dir))
+    plan = formatted(qdf("x30_chunk_windows"))
     assert "Exchange" not in plan
 
 
-def test_mixture_sample_filter_is_map_side(spark, sf_dir):
+def test_mixture_sample_filter_is_map_side(spark, sf_dir, qdf):
     """x21's sampling decision must evaluate before any exchange:
     the only Exchange in the plan belongs to the census aggregation,
     so exactly one (the agg shuffle) may appear."""
-    plan = formatted(QUERIES["x21_mixture_sample"](spark, sf_dir))
+    plan = formatted(qdf("x21_mixture_sample"))
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
 
 

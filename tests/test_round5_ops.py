@@ -281,7 +281,7 @@ def test_hashed_linear_scores_rejects_bad_weights(spark):
         hashed_linear_scores(df, n_buckets=8, weights=[1.0] * 9)
 
 
-def test_hashed_classifier_plan_is_map_side(spark, sf_dir):
+def test_hashed_classifier_plan_is_map_side(spark, sf_dir, qdf):
     """x46: scoring must add NO exchange beyond the input spread and
     no Python stage — the whole classifier is one map-side pass."""
     import contextlib
@@ -289,7 +289,7 @@ def test_hashed_classifier_plan_is_map_side(spark, sf_dir):
 
     from docker_etl_spark.queries import QUERIES
 
-    df = QUERIES["x46_hashed_classifier"](spark, sf_dir)
+    df = qdf("x46_hashed_classifier")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")

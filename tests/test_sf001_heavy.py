@@ -13,14 +13,13 @@ Marked ``sf001``: deselect with ``-m "not sf001"`` when iterating
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
-from docker_etl_spark.queries import ORACLES, QUERIES
-from docker_etl_spark.sources.io import TESTDATA_TABLES
-from tests.oracle import assert_matches_oracle
+from docker_etl_spark.queries import ORACLES
+from tests.conftest import SF_HEAVY
+from tests.oracle import assert_matches_result
 
-SF001_DIR = "/root/testdata/sf0.01"
+SF001_DIR = SF_HEAVY
 
 # The kernels whose behaviour actually changes with planted-structure
 # density: the full x-family plus the other iterative/heavy ops.
@@ -29,19 +28,9 @@ HEAVY = [n for n in sorted(ORACLES) if n.startswith("x")]
 pytestmark = pytest.mark.sf001
 
 
-@pytest.fixture(scope="module")
-def duck001():
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF001_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
-
-
 @pytest.mark.parametrize("name", HEAVY)
-def test_heavy_kernel_matches_oracle_at_sf001(spark, duck001, name):
-    df = QUERIES[name](spark, SF001_DIR)
-    assert_matches_oracle(df, duck001, ORACLES[name], name=name)
+def test_heavy_kernel_matches_oracle_at_sf001(qdf, oracle_pool, name):
+    df = qdf(name, SF001_DIR)
+    assert_matches_result(
+        df, oracle_pool.result(SF001_DIR, name), name=name
+    )

@@ -149,13 +149,13 @@ def test_bpe_ish_token_count(spark):
     assert rows[1] == 1
 
 
-def test_x12_recovers_planted_near_duplicates(spark, sf_dir):
+def test_x12_recovers_planted_near_duplicates(spark, sf_dir, qdf):
     """The sign-LSH near-dup query must recover every planted
     perturbed-copy pair (cosine ≈ 1) — a recall check, since the
     random fixture itself has no near-dups (max cosine ≈ 0.51)."""
     from docker_etl_spark.queries import QUERIES
 
-    rows = QUERIES["x12_embedding_near_dups"](spark, sf_dir).collect()
+    rows = qdf("x12_embedding_near_dups").collect()
     planted = {(r.id_a, r.id_b) for r in rows if r.id_b >= 1_000_000}
     assert planted == {(i, i + 1_000_000) for i in range(20)}
     assert all(r.cosine > 0.999 for r in rows if r.id_b >= 1_000_000)
