@@ -99,6 +99,17 @@ def build_postings(
     indexed-token count (every posting of a doc carries it, so
     probes never re-read the corpus). stats_delta: 1 row
     (n_docs, sum_dl) — mergeable by sum across append batches.
+
+    The postings frame additionally carries an OBSERVATION of the
+    same two stats aggregates (``_stats_observation``, a
+    CollectMetrics node over the tokenized docs): collecting the
+    stats frame separately costs a SECOND full tokenize pass over
+    the batch, while the observation yields the identical
+    (n_docs, sum_dl) as a side effect of whatever action evaluates
+    the postings — :func:`write_search_index` reads it after the
+    postings write, so a store write tokenizes the batch exactly
+    once (guide §1.2: don't compute things twice). Stats stays a
+    plain aggregate for every other consumer.
     """
     from docker_etl_spark.operators.text_analysis import tokens
 
@@ -110,6 +121,7 @@ def build_postings(
         toks.alias("__toks"),
         F.size(toks).cast("long").alias("dl"),
     )
+    docs, obs = _observe_stats(docs)
     postings = (
         docs.select(
             F.col(id_col), F.col("dl"), F.explode("__toks").alias("term")
@@ -128,6 +140,7 @@ def build_postings(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
+    postings._stats_observation = obs
     return postings, stats
 
 
@@ -163,6 +176,7 @@ def build_positional_postings(
         raw.alias("__raw"),
         F.size(indexed).cast("long").alias("dl"),
     )
+    docs, obs = _observe_stats(docs)
     pe = docs.select(
         F.col(id_col),
         F.col("dl"),
@@ -188,7 +202,24 @@ def build_positional_postings(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
+    postings._stats_observation = obs
     return postings, stats
+
+
+def _observe_stats(docs: DataFrame):
+    """Attach a CollectMetrics observation of (n_docs, sum_dl) to the
+    tokenized-docs frame — see :func:`build_postings`."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return (
+        docs.observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        ),
+        obs,
+    )
 
 
 def read_search_index_meta(spark, path: str) -> dict | None:
@@ -412,14 +443,20 @@ def delete_from_search_index(
                 "physically and cleared; issue deletes only above the "
                 "horizon"
             )
-        (
-            ids.withColumn("__batch_id", F.lit(int(batch_id)))
-            .repartition(1)
-            .write.option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .partitionBy("__batch_id")
-            .parquet(path + "/deletes")
-        )
+        # bounded tombstone batch: driver-direct write (one collect,
+        # no scheduled write job), Spark fallback for non-local or
+        # oversized batches (write_tombstone_sidecar contract)
+        from docker_etl_spark.sources.stores import write_tombstone_sidecar
+
+        if not write_tombstone_sidecar(ids, path + "/deletes", batch_id):
+            (
+                ids.withColumn("__batch_id", F.lit(int(batch_id)))
+                .repartition(1)
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path + "/deletes")
+            )
 
 
 def _resolve_search_meta(
@@ -602,13 +639,23 @@ def write_search_index(
             .parquet(path + "/postings")
         )
         # The stats delta is 1 row by construction (one aggregate over
-        # the batch). Collect it and land it driver-direct under its
+        # the batch). When the postings carry the builder's stats
+        # OBSERVATION (build_postings attaches it), the identical
+        # (n_docs, sum_dl) was collected as a side effect of the
+        # postings write above — no second tokenize pass over the
+        # batch. Frames built elsewhere collect the stats aggregate
+        # as before. Either way the row lands driver-direct under its
         # __batch_id partition — same rows, same types, same dynamic-
         # overwrite-one-partition semantics, minus a scheduled write
         # job per batch. Non-local stores keep the Spark write.
-        srow = stats.select(
-            F.col("n_docs").cast("long"), F.col("sum_dl").cast("long")
-        ).collect()
+        obs = getattr(postings, "_stats_observation", None)
+        if obs is not None:
+            m = obs.get
+            srow = [(int(m["n_docs"]), int(m["sum_dl"]))]
+        else:
+            srow = stats.select(
+                F.col("n_docs").cast("long"), F.col("sum_dl").cast("long")
+            ).collect()
         if not write_sidecar_rows(
             path + "/stats",
             [tuple(r) for r in srow],
@@ -616,7 +663,11 @@ def write_search_index(
             partition={"__batch_id": bid},
         ):
             (
-                stats.withColumn("__batch_id", F.lit(bid))
+                spark.createDataFrame(
+                    [tuple(int(v) for v in r) for r in srow],
+                    "n_docs long, sum_dl long",
+                )
+                .withColumn("__batch_id", F.lit(bid))
                 .repartition(1)
                 .write.option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
@@ -2011,6 +2062,56 @@ def bm25_topk_batch_from_postings(
     return _rank_topk_per_query(per_query, query_id_col, id_col, k)
 
 
+def _n_batches_from_layout(path: str, as_of_batch: int | None) -> int | None:
+    """Distinct ``__batch_id`` partition values with at least one
+    committed, non-empty data file — derived from the directory
+    listing + parquet footers on the driver (Spark's hidden-path
+    listing rule applied), exactly what
+    ``countDistinct(__batch_id)`` over the raw scan returns. None
+    when the store is not locally walkable or the layout is
+    unexpected — callers fall back to the Spark aggregate."""
+    import os
+
+    from docker_etl_spark.sources.stores import (
+        _hidden_component,
+        _local_path,
+    )
+
+    local = _local_path(path)
+    if local is None or not os.path.isdir(local):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        seen: set[int] = set()
+        for root, dirs, fns in os.walk(local):
+            dirs[:] = [d for d in dirs if not _hidden_component(d)]
+            comp = os.path.basename(root)
+            if not comp.startswith("__batch_id="):
+                continue
+            try:
+                bid = int(comp.split("=", 1)[1])
+            except ValueError:
+                return None
+            if bid in seen or (
+                as_of_batch is not None and bid > as_of_batch
+            ):
+                continue
+            for fn in fns:
+                if fn.endswith(".parquet") and not _hidden_component(fn):
+                    if (
+                        pq.ParquetFile(
+                            os.path.join(root, fn)
+                        ).metadata.num_rows
+                        > 0
+                    ):
+                        seen.add(bid)
+                        break
+        return len(seen)
+    except Exception:  # pragma: no cover - pyarrow always present here
+        return None
+
+
 def search_index_census(
     spark,
     path: str,
@@ -2078,9 +2179,17 @@ def search_index_census(
         F.max("dl").cast("long").alias("max_dl"),
         F.sum("np").cast("long").alias("n_postings"),
     )
-    glob = p_raw.agg(
-        F.countDistinct("__batch_id").cast("long").alias("n_batches"),
-    )
+    # n_batches describes PHYSICAL layout; it is a partition-listing
+    # + footer fact (the x118 footer-census pattern — no scheduled
+    # scan job for a number the directory names already hold), with
+    # the Spark aggregate as the mandatory non-local fallback.
+    nb = _n_batches_from_layout(path + "/postings", as_of_batch)
+    if nb is not None:
+        glob = spark.createDataFrame([(nb,)], "n_batches long")
+    else:
+        glob = p_raw.agg(
+            F.countDistinct("__batch_id").cast("long").alias("n_batches"),
+        )
     return (
         glob.crossJoin(F.broadcast(term_stats))
         .crossJoin(F.broadcast(top_term))
@@ -2579,6 +2688,132 @@ def fuzzy_term_suggest_batch(
     )
 
 
+def _compact_dict_driver_direct(
+    spark, path: str, up_to_batch: int, has_dels: bool,
+    cap: int = 100_000,
+) -> dict | None:
+    """Driver-direct dictionary fold for :func:`compact_search_index`
+    (see the call site): tiered copy of above-horizon delta files +
+    one folded base file per prefix directory. Returns None — the
+    caller falls back to the Spark compaction — when the store is
+    non-local/oversized, the recomputed vocab exceeds the driver cap,
+    or (ultra-corner) a recomputed prefix has no at-or-below-horizon
+    delta directory to anchor its fold group (a crashed partial dict
+    write; the Spark fold handles it)."""
+    import os
+    from urllib.parse import unquote
+
+    from docker_etl_spark.sources.stores import (
+        _local_path,
+        compact_sidecar_partitioned,
+    )
+
+    by_pfx: dict[str, list] | None = None
+    if has_dels:
+        local = _local_path(path + "/dict")
+        if local is None or not os.path.isdir(local):
+            return None
+        rows = (
+            spark.read.parquet(path + "/postings")
+            .filter(F.col("__batch_id") == -1)
+            .groupBy("__pfx", "term")
+            .agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("sum_tf"),
+                F.max("tf").cast("long").alias("max_tf"),
+            )
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            return None
+        by_pfx = {}
+        for r in rows:
+            by_pfx.setdefault(r["__pfx"], []).append(r)
+        have = set()
+        for d in os.listdir(local):
+            if not d.startswith("__pfx="):
+                continue
+            sub = os.path.join(local, d)
+            if not os.path.isdir(sub):
+                continue
+            for b in os.listdir(sub):
+                if b.startswith("__batch_id="):
+                    try:
+                        bid = int(b.split("=", 1)[1])
+                    except ValueError:
+                        return None
+                    if bid <= up_to_batch:
+                        have.add(unquote(d.split("=", 1)[1]))
+                        break
+        if not set(by_pfx) <= have:
+            return None
+
+    def fold(gk, tables):
+        import pyarrow as pa
+
+        schema = (
+            tables[0].select(["term", "df", "sum_tf", "max_tf"]).schema
+            if tables
+            else pa.schema(
+                [
+                    ("term", pa.string()),
+                    ("df", pa.int64()),
+                    ("sum_tf", pa.int64()),
+                    ("max_tf", pa.int64()),
+                ]
+            )
+        )
+        if by_pfx is not None:
+            pfx = unquote(gk[0].split("=", 1)[1])
+            rs = sorted(by_pfx.get(pfx, []), key=lambda r: r["term"])
+            if not rs:
+                return None
+            return pa.table(
+                {
+                    "term": [r["term"] for r in rs],
+                    "df": [int(r["df"]) for r in rs],
+                    "sum_tf": [int(r["sum_tf"]) for r in rs],
+                    "max_tf": [int(r["max_tf"]) for r in rs],
+                },
+                schema=schema,
+            )
+        agg: dict[str, list[int]] = {}
+        for t in tables:
+            terms = t.column("term").to_pylist()
+            dfs = t.column("df").to_pylist()
+            stfs = t.column("sum_tf").to_pylist()
+            mtfs = t.column("max_tf").to_pylist()
+            for term, dfv, stf, mtf in zip(terms, dfs, stfs, mtfs):
+                e = agg.setdefault(term, [0, 0, 0])
+                e[0] += int(dfv)
+                e[1] += int(stf)
+                e[2] = max(e[2], int(mtf))
+        if not agg:
+            return None
+        ts = sorted(agg)
+        return pa.table(
+            {
+                "term": ts,
+                "df": [agg[t][0] for t in ts],
+                "sum_tf": [agg[t][1] for t in ts],
+                "max_tf": [agg[t][2] for t in ts],
+            },
+            schema=schema,
+        )
+
+    return compact_sidecar_partitioned(
+        spark,
+        path + "/dict",
+        up_to_batch,
+        fold,
+        group_levels=1,
+        max_rows=cap,
+        owner="compact_search_index",
+        lock_path=path,
+    )
+
+
 def compact_search_index(
     spark,
     path: str,
@@ -2652,6 +2887,7 @@ def compact_search_index(
     """
     from docker_etl_spark.sources.stores import (
         compact_partitioned_store,
+        compact_sidecar_partitioned,
         store_writer_lock,
         write_sidecar_rows,
     )
@@ -2684,16 +2920,42 @@ def compact_search_index(
     # crash at any point leaves a consistent store that a re-run
     # completes. Tombstones above the horizon stay pending (their
     # documents stay physically present; probes keep anti-joining).
-    dels = read_search_deletes(spark, path, as_of_batch=up_to_batch)
     del_ids = None
-    if dels is not None:
-        del_id_col = [c for c in dels.columns if c != "__batch_id"][0]
-        # pinned once (localCheckpoint): the ids feed the postings
-        # transform inside the swap AND the later sidecar fold must
-        # not observe a concurrently-delivered delete batch
-        ids = dels.select(del_id_col).distinct().localCheckpoint()
-        if ids.limit(1).count() > 0:
-            del_ids = ids
+    del_id_col = None
+    from docker_etl_spark.sources.stores import (
+        parquet_write_completed as _pwc,
+        read_sidecar_rows as _rsr,
+    )
+
+    if _pwc(spark, path + "/deletes"):
+        # The tombstone sidecar is bounded; read it driver-direct and
+        # pin the ids as a LITERAL frame — same effect as the previous
+        # localCheckpoint (the ids feed the postings transform inside
+        # the swap and must not observe a concurrently-delivered
+        # delete batch) minus the checkpoint + probe-count jobs.
+        # Spark fallback below for non-local/oversized sidecars.
+        drows = _rsr(path + "/deletes")
+        if drows is not None:
+            sel = [
+                r
+                for r in drows
+                if int(r.get("__batch_id", -1)) <= up_to_batch
+            ]
+            if sel:
+                del_id_col = [c for c in sel[0] if c != "__batch_id"][0]
+                vals = sorted({r[del_id_col] for r in sel})
+                del_ids = spark.createDataFrame(
+                    [(v,) for v in vals], [del_id_col]
+                )
+        else:
+            dels = read_search_deletes(spark, path, as_of_batch=up_to_batch)
+            if dels is not None:
+                del_id_col = [
+                    c for c in dels.columns if c != "__batch_id"
+                ][0]
+                ids = dels.select(del_id_col).distinct().localCheckpoint()
+                if ids.limit(1).count() > 0:
+                    del_ids = ids
 
     def relabel(df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -2809,15 +3071,76 @@ def compact_search_index(
         transform=fold_postings,
         lock_path=path,
     )
-    stats_res = compact_partitioned_store(
+
+    # The stats store is ONE ROW PER BATCH by construction — folding
+    # it through compact_partitioned_store pays a Spark read + an
+    # explicit-count shuffle + a partitioned write + swap for a
+    # handful of rows (~1-2 s of pure scheduling at any scale).
+    # Driver-direct fold instead (compact_sidecar_partitioned: tiered
+    # — above-horizon delta files are copied byte-for-byte, only the
+    # at-or-below-horizon rows are read and folded), with the Spark
+    # compaction as the mandatory fallback for non-local/oversized
+    # stores. Exactly the same arithmetic as fold_stats: SUM when no
+    # tombstones apply; the recomputed base row (one aggregate job
+    # over the just-folded base postings, collected — 2 longs) when
+    # they do.
+    recomputed_base: tuple[int, int] | None = None
+    if del_ids is not None:
+        rb = (
+            spark.read.parquet(path + "/postings")
+            .filter(F.col("__batch_id") == -1)
+            .groupBy(id_name)
+            .agg(F.first("dl").cast("long").alias("dl"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+            )
+            .collect()[0]
+        )
+        recomputed_base = (int(rb["n_docs"]), int(rb["sum_dl"]))
+
+    def _fold_stats_tables(_gk, tables):
+        import pyarrow as pa
+
+        if recomputed_base is not None:
+            nd, sdl = recomputed_base
+        else:
+            nd = sum(
+                sum(v or 0 for v in t.column("n_docs").to_pylist())
+                for t in tables
+            )
+            sdl = sum(
+                sum(v or 0 for v in t.column("sum_dl").to_pylist())
+                for t in tables
+            )
+        schema = (
+            tables[0].select(["n_docs", "sum_dl"]).schema
+            if tables
+            else pa.schema([("n_docs", pa.int64()), ("sum_dl", pa.int64())])
+        )
+        return pa.table(
+            {"n_docs": [int(nd)], "sum_dl": [int(sdl)]}, schema=schema
+        )
+
+    stats_res = compact_sidecar_partitioned(
         spark,
         path + "/stats",
-        ("__batch_id",),
-        target_rows_per_file=target_rows_per_file,
+        up_to_batch,
+        _fold_stats_tables,
+        always_fold_root=True,
         owner="compact_search_index",
-        transform=fold_stats,
         lock_path=path,
     )
+    if stats_res is None:
+        stats_res = compact_partitioned_store(
+            spark,
+            path + "/stats",
+            ("__batch_id",),
+            target_rows_per_file=target_rows_per_file,
+            owner="compact_search_index",
+            transform=fold_stats,
+            lock_path=path,
+        )
     res = {"postings": postings_res, "stats": stats_res}
     meta = read_search_index_meta(spark, path)
     # the dict fold is gated on the dict dir being COMMITTED, not
@@ -2835,31 +3158,54 @@ def compact_search_index(
         and meta["has_dict"]
         and parquet_write_completed(spark, path + "/dict")
     ):
-        res["dict"] = compact_partitioned_store(
-            spark,
-            path + "/dict",
-            ("__pfx", "__batch_id"),
-            target_rows_per_file=target_rows_per_file,
-            owner="compact_search_index",
-            transform=fold_dict,
-            lock_path=path,
+        # Dictionary fold, driver-direct when the dict sidecar is
+        # bounded (vocab-scale deltas): same tiered copy-vs-fold split
+        # as the stats fold. Without tombstones the fold is the exact
+        # SUM/SUM/MAX per (prefix, term); with them every base row is
+        # recomputed from the surviving base postings (one vocab-scale
+        # aggregate job, collected under the same driver bound) —
+        # identical arithmetic to fold_dict, minus a full Spark
+        # read+shuffle+write+swap cycle per compaction.
+        res["dict"] = _compact_dict_driver_direct(
+            spark, path, up_to_batch, del_ids is not None
         )
+        if res["dict"] is None:
+            res["dict"] = compact_partitioned_store(
+                spark,
+                path + "/dict",
+                ("__pfx", "__batch_id"),
+                target_rows_per_file=target_rows_per_file,
+                owner="compact_search_index",
+                transform=fold_dict,
+                lock_path=path,
+            )
     if del_ids is not None:
         # applied tombstones are cleared LAST — a crash anywhere
         # earlier leaves them pending, which is safe (probes keep
         # anti-joining ids whose rows are already gone) and a re-run
-        # completes the clear
-        res["deletes"] = compact_partitioned_store(
+        # completes the clear. The clear is pure partition filtering
+        # (keep > horizon), so the driver-direct tiered path copies
+        # the surviving delta files byte-for-byte and folds nothing.
+        res["deletes"] = compact_sidecar_partitioned(
             spark,
             path + "/deletes",
-            ("__batch_id",),
-            target_rows_per_file=target_rows_per_file,
+            up_to_batch,
+            lambda _gk, _tables: None,
             owner="compact_search_index",
-            transform=lambda df: df.filter(
-                F.col("__batch_id") > up_to_batch
-            ),
             lock_path=path,
         )
+        if res["deletes"] is None:
+            res["deletes"] = compact_partitioned_store(
+                spark,
+                path + "/deletes",
+                ("__batch_id",),
+                target_rows_per_file=target_rows_per_file,
+                owner="compact_search_index",
+                transform=lambda df: df.filter(
+                    F.col("__batch_id") > up_to_batch
+                ),
+                lock_path=path,
+            )
     return res
 
 
@@ -3415,11 +3761,15 @@ def search_bm25_topk_batch_pruned(
        sum are PRUNED: phase 2 fetches their common terms' rows
        semi-joined to (query, doc) candidates, so non-candidate
        stopword rows never reach the scoring aggregate. Every other
-       query (fewer than k candidates, θ ≤ S_C, all-common split,
-       no term in store) is re-run through the exhaustive batch
-       plan as a SUBSET — handled exactly once, never approximated.
-    4. Valid-query finals (partial + remainder) union the
-       exhaustive subset; per-query top-k ranks identically to the
+       query stays EXACT without a separate exhaustive chain (the
+       r13 one-pruned-scan consolidation): a query with no
+       essential/non-essential split rides phase 1 with ALL its
+       terms (its partial IS its exact score), and a query whose
+       validity check fails scores its common terms in phase 2
+       WITHOUT the candidate restriction (its exact full aggregate)
+       — two postings scans total, never a third.
+    4. Finals = one FULL OUTER merge of the phase-1 partials and the
+       phase-2 remainders; per-query top-k ranks identically to the
        exhaustive path (score desc, id asc).
 
     Falls back to the exhaustive batch entirely when the store has
@@ -3513,7 +3863,7 @@ def search_bm25_topk_batch_pruned(
     }
     split: dict = {}
     s_c: dict = {}
-    exhaust_q: list = []
+    exact_q: list = []
     for q, ts in per_q.items():
         tp = [t for t in ts if t in present]
         if not tp:
@@ -3522,7 +3872,17 @@ def search_bm25_topk_batch_pruned(
         cset = [t for t in tp if ub[t] <= nonessential_ub_ratio * m]
         eset = [t for t in tp if t not in set(cset)]
         if not cset or not eset:
-            exhaust_q.append(q)
+            # No essential/non-essential split exists (single-term,
+            # similar-ceiling, or all-zero-ceiling queries). Their
+            # EXACT score is the plain per-term sum, which is exactly
+            # what the phase-1 aggregate computes when ALL the
+            # query's terms ride the essential scan — so they join
+            # phase 1 instead of a separate exhaustive chain (the
+            # r13 verdict's one-pruned-scan consolidation, §6
+            # read-once / §2.3): their partial IS their final, no
+            # validity check needed.
+            exact_q.append(q)
+            split[q] = (tp, [])
             continue
         split[q] = (eset, cset)
         # +len(cset) slack: ub derives from CPython libm ln while the
@@ -3533,7 +3893,7 @@ def search_bm25_topk_batch_pruned(
         # marginally more frequent exhaustive fallback.
         s_c[q] = sum(ub[t] for t in cset) + len(cset)
     if not split:
-        return exhaustive_all("no query splits")
+        return exhaustive_all("no query terms in store")
 
     totals = spark.createDataFrame(
         [(nd, sdl)], "n_docs long, sum_dl long"
@@ -3579,39 +3939,50 @@ def search_bm25_topk_batch_pruned(
         .select(query_id_col, "__se")
         .collect()
     }
-    valid = [q for q in split if q in kth and kth[q] > s_c[q]]
-    invalid = [q for q in split if q not in set(valid)] + exhaust_q
+    exact = set(exact_q)
+    splitq = [q for q in split if q not in exact]
+    valid = [q for q in splitq if q in kth and kth[q] > s_c[q]]
+    # "exhaustive" here = computed WITHOUT candidate pruning. Failed
+    # validity checks and no-split queries both get their exact full
+    # aggregate below — from the same two scans, never a separate
+    # exhaustive chain re-reading the store (r13 verdict item #3).
+    failed = [q for q in splitq if q not in set(valid)]
     diag.update(
         valid=sorted(map(str, valid)),
-        exhaustive_queries=sorted(map(str, invalid)),
+        exhaustive_queries=sorted(map(str, failed + exact_q)),
         s_c={str(q): int(v) for q, v in s_c.items()},
         theta={str(q): v for q, v in kth.items()},
     )
-    parts = []
-    if valid:
-        c_terms = sorted({t for q in valid for t in split[q][1]})
+    agg_c = None
+    if splitq:
+        c_terms = sorted({t for q in splitq for t in split[q][1]})
         qt_c = spark.createDataFrame(
-            [(q, t) for q in valid for t in split[q][1]],
+            [(q, t) for q in splitq for t in split[q][1]],
             [query_id_col, "term"],
         )
-        vcand = cand.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(q,) for q in valid], [query_id_col]
-                )
-            ),
-            query_id_col,
-            "left_semi",
+        # per-query pruning flag: valid queries score their common
+        # terms ONLY for candidate documents (the MaxScore guarantee
+        # makes that exact for the top k); failed ones score them for
+        # every matching document (their exact full aggregate)
+        vq = spark.createDataFrame(
+            [(q, q in set(valid)) for q in splitq],
+            [query_id_col, "__pruned"],
         )
         scored_c = _integer_term_scores(
             live_scan(c_terms), dfreq_all, totals, id_col
         )
         agg_c = (
             scored_c.join(F.broadcast(qt_c), "term")
+            .join(F.broadcast(vq), query_id_col)
             .join(
-                vcand.select(query_id_col, id_col),
+                cand.select(
+                    query_id_col, id_col, F.lit(True).alias("__in_cand")
+                ),
                 [query_id_col, id_col],
-                "left_semi",
+                "left",
+            )
+            .filter(
+                (~F.col("__pruned")) | F.col("__in_cand").isNotNull()
             )
             .groupBy(query_id_col, id_col)
             .agg(
@@ -3619,44 +3990,44 @@ def search_bm25_topk_batch_pruned(
                 F.sum("__ts").cast("long").alias("__sc"),
             )
         )
-        full = vcand.join(agg_c, [query_id_col, id_col], "left").select(
-            F.col(query_id_col),
-            F.col(id_col),
-            (F.col("__ne") + F.coalesce(F.col("__nc"), F.lit(0)))
-            .cast("long")
-            .alias("n_terms"),
-            (F.col("__se") + F.coalesce(F.col("__sc"), F.lit(0)))
-            .cast("long")
-            .alias("score_scaled"),
-        )
-        wr = Window.partitionBy(query_id_col).orderBy(
-            F.desc("score_scaled"), F.asc(id_col)
-        )
-        parts.append(
-            full.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "n_terms", "score_scaled",
-                    "rank")
-        )
-    if invalid:
-        sub = queries.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(q,) for q in invalid], [query_id_col]
-                )
-            ),
-            query_id_col,
-            "left_semi",
-        )
-        parts.append(
-            search_bm25_topk_batch(
-                sub, path, query_id_col=query_id_col,
-                terms_col=terms_col, id_col=id_col, k=k,
-                prefix_len=prefix_len, as_of_batch=as_of_batch,
-                max_query_terms=max_query_terms, max_queries=max_queries,
+    if agg_c is None:
+        full = cand
+    else:
+        # FULL OUTER: exact queries have no common-term rows (left
+        # only), valid queries' agg_c keys are a subset of cand
+        # (left), failed queries may match docs on common terms alone
+        # (right only) — one join covers all three populations with
+        # the exhaustive arithmetic.
+        full = cand.join(agg_c, [query_id_col, id_col], "full_outer")
+    full = full.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            F.coalesce(F.col("__ne"), F.lit(0))
+            + (
+                F.coalesce(F.col("__nc"), F.lit(0))
+                if agg_c is not None
+                else F.lit(0)
             )
         )
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.unionByName(p_)
-    return out
+        .cast("long")
+        .alias("n_terms"),
+        (
+            F.coalesce(F.col("__se"), F.lit(0))
+            + (
+                F.coalesce(F.col("__sc"), F.lit(0))
+                if agg_c is not None
+                else F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("score_scaled"),
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_scaled"), F.asc(id_col)
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "n_terms", "score_scaled", "rank")
+    )

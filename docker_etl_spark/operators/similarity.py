@@ -2546,14 +2546,19 @@ def delete_from_ivfpq_store(
                 "applied physically and cleared; issue deletes only "
                 "above the horizon"
             )
-        (
-            ids.withColumn("__batch_id", F.lit(int(batch_id)))
-            .repartition(1)
-            .write.option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .partitionBy("__batch_id")
-            .parquet(path + "/deletes")
-        )
+        # bounded tombstone batch: driver-direct write, Spark
+        # fallback (write_tombstone_sidecar contract)
+        from docker_etl_spark.sources.stores import write_tombstone_sidecar
+
+        if not write_tombstone_sidecar(ids, path + "/deletes", batch_id):
+            (
+                ids.withColumn("__batch_id", F.lit(int(batch_id)))
+                .repartition(1)
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path + "/deletes")
+            )
 
 
 def load_ivfpq_store(
@@ -2843,14 +2848,40 @@ def compact_ivfpq_store(
     # from the sidecar LAST — a crash between the folds leaves them
     # pending, which is safe (probes keep anti-joining ids whose rows
     # are gone) and a re-run completes the clear
-    dels = read_ivfpq_deletes(spark, path, as_of_batch=up_to_batch)
     del_ids = None
     del_id_col = None
-    if dels is not None:
-        del_id_col = [c for c in dels.columns if c != "__batch_id"][0]
-        ids = dels.select(del_id_col).distinct().localCheckpoint()
-        if ids.limit(1).count() > 0:
-            del_ids = ids
+    from docker_etl_spark.sources.stores import (
+        parquet_write_completed as _pwc,
+        read_sidecar_rows as _rsr,
+    )
+
+    if _pwc(spark, path + "/deletes"):
+        # bounded tombstone sidecar: driver-direct read + literal
+        # frame replaces the localCheckpoint + probe-count jobs (the
+        # compact_search_index recipe); Spark fallback for
+        # non-local/oversized sidecars
+        drows = _rsr(path + "/deletes")
+        if drows is not None:
+            sel = [
+                r
+                for r in drows
+                if int(r.get("__batch_id", -1)) <= up_to_batch
+            ]
+            if sel:
+                del_id_col = [c for c in sel[0] if c != "__batch_id"][0]
+                vals = sorted({r[del_id_col] for r in sel})
+                del_ids = spark.createDataFrame(
+                    [(v,) for v in vals], [del_id_col]
+                )
+        else:
+            dels = read_ivfpq_deletes(spark, path, as_of_batch=up_to_batch)
+            if dels is not None:
+                del_id_col = [
+                    c for c in dels.columns if c != "__batch_id"
+                ][0]
+                ids = dels.select(del_id_col).distinct().localCheckpoint()
+                if ids.limit(1).count() > 0:
+                    del_ids = ids
 
     def fold(df: DataFrame) -> DataFrame:
         out = df.withColumn(
@@ -2881,15 +2912,32 @@ def compact_ivfpq_store(
         lock_path=path,
     )
     if del_ids is not None:
-        compact_partitioned_store(
+        # clear-applied-tombstones = pure partition filtering: the
+        # driver-direct tiered path copies surviving delta files
+        # byte-for-byte and folds nothing (Spark fallback for
+        # non-local/oversized sidecars).
+        from docker_etl_spark.sources.stores import (
+            compact_sidecar_partitioned,
+        )
+
+        cleared = compact_sidecar_partitioned(
             spark,
             path + "/deletes",
-            ("__batch_id",),
-            target_rows_per_file=target_rows_per_file,
+            up_to_batch,
+            lambda _gk, _tables: None,
             owner="compact_ivfpq_store",
-            transform=lambda df: df.filter(
-                F.col("__batch_id") > up_to_batch
-            ),
             lock_path=path,
         )
+        if cleared is None:
+            compact_partitioned_store(
+                spark,
+                path + "/deletes",
+                ("__batch_id",),
+                target_rows_per_file=target_rows_per_file,
+                owner="compact_ivfpq_store",
+                transform=lambda df: df.filter(
+                    F.col("__batch_id") > up_to_batch
+                ),
+                lock_path=path,
+            )
     return res

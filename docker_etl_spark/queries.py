@@ -11339,10 +11339,17 @@ def cp04_hybrid_store_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
 
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
+    # INVARIANT for threaded chains: neither chain may mutate
+    # session-global conf (e.g. spark.conf.set) — both threads share
+    # one SparkSession, so a per-chain conf write would race the
+    # other chain's plans. wait(FIRST_EXCEPTION) surfaces a failure
+    # in either chain immediately instead of after the other chain
+    # fully completes.
     with ThreadPoolExecutor(max_workers=2) as pool:
         lex_f, vec_f = pool.submit(_lex), pool.submit(_vec)
+        wait([lex_f, vec_f], return_when=FIRST_EXCEPTION)
         lex, vec = lex_f.result(), vec_f.result()
     return reciprocal_rank_fusion(
         [("lex", lex), ("vec", vec)], id_col="doc_id", rrf_k=60, top_k=20
@@ -11645,10 +11652,13 @@ def cp05_pmi_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_search_index(postings, stats, path)
         return path
 
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
+    # Same threaded-chain invariant as cp04: no session-global conf
+    # mutation inside either chain; fail fast on the first exception.
     with ThreadPoolExecutor(max_workers=2) as pool:
         partners_f, store_f = pool.submit(_partners), pool.submit(_store)
+        wait([partners_f, store_f], return_when=FIRST_EXCEPTION)
         partners, path = partners_f.result(), store_f.result()
     expanded = tuple(sorted(set(_CP05_BASE) | {r["w2"] for r in partners}))
     return search_bm25_topk(spark, path, expanded, id_col="doc_id", k=10)

@@ -230,29 +230,52 @@ def write_repartition(df, partition_cols):
     must keep, so directory commits spread across the cluster's
     cores. The count is ``defaultParallelism`` — scale-adaptive (the
     session's core budget locally, total executor cores on a
-    cluster), never a constant tuned for either. Layout is unchanged:
+    cluster), never a constant tuned for either — FLOORED at a
+    quarter of the configured shuffle partitions: on a cluster with
+    dynamic allocation, ``defaultParallelism`` read at plan-build
+    time reflects only the executors registered so far (can be ~2 at
+    startup), which would quietly revert toward the serial-commit
+    behaviour this helper exists to prevent. Layout is unchanged:
     every partition value still hashes wholly into one task, so each
     directory still receives exactly one file per batch."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *[str(c) for c in partition_cols])
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions")) // 4
+    except Exception:
+        floor = 0
+    return df.repartition(max(n, floor, 1), *[str(c) for c in partition_cols])
+
+
+def _hidden_component(name: str) -> bool:
+    """Spark's listing convention (InMemoryFileIndex): "."-led names
+    are always hidden; "_"-led names are hidden unless they contain
+    "=" (partition directories like ``__pfx=ab``)."""
+    return name.startswith(".") or (name.startswith("_") and "=" not in name)
 
 
 def parquet_row_count(path: str) -> int | None:
     """Total rows of a parquet file/directory from FOOTER metadata
     only — no Spark job, no data pages read. Returns None when the
-    path is not locally walkable (caller falls back to a scan)."""
+    path is not locally walkable (caller falls back to a scan).
+    Hidden/staging components (``_temporary`` task staging, dot-led
+    temp files) are skipped with Spark's own listing convention, so
+    the footer count always agrees with the Spark-scan fallback even
+    over crash leftovers."""
     local = _local_path(path)
     if local is None or not os.path.exists(local):
         return None
     if os.path.isfile(local):
         files = [local]
     else:
-        files = [
-            os.path.join(root, fn)
-            for root, _dirs, fns in os.walk(local)
-            for fn in fns
-            if fn.endswith(".parquet")
-        ]
+        files = []
+        for root, dirs, fns in os.walk(local):
+            dirs[:] = [d for d in dirs if not _hidden_component(d)]
+            files.extend(
+                os.path.join(root, fn)
+                for fn in fns
+                if fn.endswith(".parquet") and not _hidden_component(fn)
+            )
     if not files:
         return 0
     try:
@@ -420,17 +443,222 @@ def write_sidecar_rows(
     return True
 
 
+def write_tombstone_sidecar(
+    ids_df, path: str, batch_id: int, max_rows: int = 100_000
+) -> bool:
+    """Driver-direct write of a bounded delete-tombstone batch under
+    its ``__batch_id`` partition — the delete twin of
+    :func:`write_sidecar_rows`. A takedown batch is bounded by
+    construction (ids only), yet the Spark write paid repartition +
+    job scheduling + commit protocol per delete call. Collects the
+    (distinct) ids under ``max_rows`` and lands them with
+    :func:`write_sidecar_rows`'s crash discipline; returns False —
+    the caller MUST fall back to its Spark write — when the path is
+    non-local, the batch exceeds the bound, or the id type has no
+    arrow mapping. Same dynamic-overwrite-one-partition semantics:
+    redelivery of the same batch replaces its own partition."""
+    if _local_path(path) is None:
+        return False
+    col = ids_df.columns[0]
+    amap = {
+        "bigint": "int64",
+        "int": "int32",
+        "string": "string",
+        "double": "double",
+    }
+    dtype = dict(ids_df.dtypes)[col]
+    if dtype not in amap:
+        return False
+    rows = ids_df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return False
+    vals = sorted({r[0] for r in rows}, key=lambda v: (v is None, v))
+    if not vals:
+        # an empty batch writes no partition (dynamic overwrite of
+        # nothing), exactly like the Spark write it replaces
+        return True
+    return write_sidecar_rows(
+        path,
+        [(v,) for v in vals],
+        [(col, amap[dtype])],
+        partition={"__batch_id": int(batch_id)},
+    )
+
+
 def parquet_file_count(path: str) -> int | None:
-    """Data-file count of a local parquet layout (compaction metric)."""
+    """Data-file count of a local parquet layout (compaction metric).
+    Applies the same hidden-component rule as :func:`parquet_row_count`
+    so crash leftovers under ``_temporary``/dot-staging never count."""
     local = _local_path(path)
     if local is None or not os.path.exists(local):
         return None
-    return sum(
-        1
-        for root, _dirs, fns in os.walk(local)
-        for fn in fns
-        if fn.endswith(".parquet")
-    )
+    n = 0
+    for root, dirs, fns in os.walk(local):
+        dirs[:] = [d for d in dirs if not _hidden_component(d)]
+        n += sum(
+            1
+            for fn in fns
+            if fn.endswith(".parquet") and not _hidden_component(fn)
+        )
+    return n
+
+
+def _recover_interrupted_swap(local: str, tmp: str, bak: str, label: str) -> None:
+    """Entry recovery for the two-rename swap (shared by the Spark and
+    driver-direct compactions): a leftover ``.__bak`` with no live
+    store is rolled forward (the fully-written ``.__compact`` renamed
+    live — its ``_SUCCESS`` marker proves the temp write completed
+    before any rename began) or rolled back (backup restored)."""
+    if os.path.exists(bak) and not os.path.exists(local):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            log.warning(
+                "compaction: completing interrupted swap at %s (rolling "
+                "the compacted copy forward)",
+                label,
+            )
+            os.rename(tmp, local)
+            shutil.rmtree(bak)
+        else:
+            log.warning(
+                "compaction: restoring backup after interrupted swap at %s",
+                label,
+            )
+            os.rename(bak, local)
+
+
+def _swap_compacted(local: str, tmp: str, bak: str) -> None:
+    """The two-rename swap itself: live → .bak, tmp → live, rm .bak.
+    Callers hold the writer lease; a crash between the renames is
+    healed by :func:`_recover_interrupted_swap` on the next entry."""
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(local, bak)
+    os.rename(tmp, local)
+    shutil.rmtree(bak)
+
+
+def compact_sidecar_partitioned(
+    spark,
+    path: str,
+    up_to_batch: int,
+    fold,
+    group_levels: int = 0,
+    always_fold_root: bool = False,
+    max_rows: int = 100_000,
+    owner: str | None = None,
+    lock_path: str | None = None,
+) -> dict | None:
+    """DRIVER-DIRECT compaction of a BOUNDED ``__batch_id``-partitioned
+    sidecar store (stats deltas, delete tombstones, dictionary deltas)
+    — the compaction twin of :func:`read_sidecar_rows` /
+    :func:`write_sidecar_rows`. Routing a 3-row stats store through
+    :func:`compact_partitioned_store` pays a full Spark read + an
+    explicit-count shuffle + a partitioned write + commit protocol
+    (~1-2 s of pure scheduling at ANY scale); metadata folds should
+    not be jobs (the table-format manifest lesson, guide §5/§7.3).
+
+    TIERED FOLD (the r12/r13 verdicts' ask, applied where it is
+    crash-safe): partitions with ``__batch_id > up_to_batch`` are
+    COPIED BYTE-FOR-BYTE into the compacted tree — never decoded,
+    re-encoded, or re-ordered — so their schema, types and escaped
+    directory names are preserved exactly; only partitions at or
+    below the horizon are read and folded. ``fold(group_key_raw,
+    tables)`` receives the raw (still-escaped) partition directory
+    components above ``__batch_id`` (``group_levels`` of them — the
+    dict store's ``__pfx=..`` level) and the pyarrow tables of that
+    group's at-or-below-horizon files, and returns the folded base
+    table (written under ``__batch_id=-1``) or None (nothing to
+    write — the delete-clear shape). ``always_fold_root=True`` calls
+    the fold even when no at-or-below-horizon files exist (the stats
+    fold always emits a base row, like its Spark twin's
+    ungrouped aggregate).
+
+    Crash story is IDENTICAL to :func:`compact_partitioned_store`:
+    the new tree is built under ``.__compact`` with a ``_SUCCESS``
+    marker, the same two-rename swap runs under the writer lease, and
+    entry recovery rolls an interrupted swap forward or back. Returns
+    None — callers MUST fall back to the Spark compaction — when the
+    path is not local, the layout is not the expected
+    ``[group dirs/]__batch_id=K`` shape, or the store exceeds
+    ``max_rows`` (footer metadata check, no data read)."""
+    local = _local_path(path)
+    if local is None or not os.path.isdir(local):
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow always present here
+        return None
+    tmp = local.rstrip("/") + ".__compact"
+    bak = local.rstrip("/") + ".__bak"
+    with store_writer_lock(lock_path or path, owner=owner or "compact_sidecar"):
+        _recover_interrupted_swap(local, tmp, bak, path)
+        entries: list[tuple[tuple[str, ...], int, list[str]]] = []
+        total_rows = 0
+        for root, dirs, fns in os.walk(local):
+            dirs[:] = [d for d in dirs if not _hidden_component(d)]
+            pfiles = [
+                fn
+                for fn in fns
+                if fn.endswith(".parquet") and not _hidden_component(fn)
+            ]
+            if not pfiles:
+                continue
+            rel = os.path.relpath(root, local)
+            comps = [] if rel == "." else rel.split(os.sep)
+            if len(comps) != group_levels + 1 or not comps[-1].startswith(
+                "__batch_id="
+            ):
+                return None
+            try:
+                bid = int(comps[-1].split("=", 1)[1])
+            except ValueError:
+                return None
+            files = sorted(os.path.join(root, f) for f in pfiles)
+            try:
+                total_rows += sum(
+                    pq.ParquetFile(f).metadata.num_rows for f in files
+                )
+            except Exception:
+                return None
+            if total_rows > max_rows:
+                return None
+            entries.append((tuple(comps[:-1]), bid, files))
+        if not entries:
+            return None
+        files_before = sum(len(fs) for _, _, fs in entries)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        files_after = 0
+        fold_groups: dict[tuple[str, ...], list[str]] = {}
+        for gk, bid, files in entries:
+            if bid <= up_to_batch:
+                fold_groups.setdefault(gk, []).extend(files)
+            else:
+                dst = os.path.join(tmp, *gk, f"__batch_id={bid}")
+                os.makedirs(dst, exist_ok=True)
+                for f in files:
+                    shutil.copy2(f, os.path.join(dst, os.path.basename(f)))
+                    files_after += 1
+        if always_fold_root and group_levels == 0 and () not in fold_groups:
+            fold_groups[()] = []
+        for gk in sorted(fold_groups):
+            tables = [pq.read_table(f) for f in sorted(fold_groups[gk])]
+            base = fold(gk, tables)
+            if base is None or base.num_rows == 0:
+                continue
+            dst = os.path.join(tmp, *gk, "__batch_id=-1")
+            os.makedirs(dst, exist_ok=True)
+            pq.write_table(
+                base, os.path.join(dst, f"part-00000-{os.getpid()}.parquet")
+            )
+            files_after += 1
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        _swap_compacted(local, tmp, bak)
+    spark.catalog.clearCache()
+    return {
+        "rows": total_rows,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def compact_partitioned_store(
@@ -487,24 +715,7 @@ def compact_partitioned_store(
     tmp = local.rstrip("/") + ".__compact"
     bak = local.rstrip("/") + ".__bak"
     with store_writer_lock(lock_path or path, owner=owner or "compact"):
-        if os.path.exists(bak) and not os.path.exists(local):
-            # Crash between the two swap renames of a previous run.
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                log.warning(
-                    "compact_partitioned_store: completing interrupted "
-                    "compaction swap at %s (rolling the compacted copy "
-                    "forward)",
-                    path,
-                )
-                os.rename(tmp, local)
-                shutil.rmtree(bak)
-            else:
-                log.warning(
-                    "compact_partitioned_store: restoring backup after "
-                    "interrupted compaction at %s",
-                    path,
-                )
-                os.rename(bak, local)
+        _recover_interrupted_swap(local, tmp, bak, path)
         files_before = parquet_file_count(local) or 0
         rows = parquet_row_count(local)
         df = spark.read.parquet(local)
@@ -518,10 +729,7 @@ def compact_partitioned_store(
             .option("maxRecordsPerFile", target_rows_per_file)
             .parquet(tmp)
         )
-        shutil.rmtree(bak, ignore_errors=True)
-        os.rename(local, bak)
-        os.rename(tmp, local)
-        shutil.rmtree(bak)
+        _swap_compacted(local, tmp, bak)
         files_after = parquet_file_count(local) or 0
     # Spark caches file listings per path string in some plans; make
     # sure later reads observe the swapped directory.

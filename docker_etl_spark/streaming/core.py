@@ -292,6 +292,7 @@ def minhash_dedup_stream(
     est_threshold: float = 0.5,
     hash_fn: str = "md5",
     compact_every: int | None = None,
+    _assume_pinned: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink running the flagship LLM-dedup operator
     continuously: each micro-batch is near-dup-gated against the
@@ -350,7 +351,12 @@ def minhash_dedup_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # ``_assume_pinned`` (internal; curation_stream): the caller
+        # already eagerly checkpointed this exact batch — re-pinning
+        # it here would materialize the same rows a second time per
+        # micro-batch for no added determinism.
+        if not _assume_pinned:
+            batch_df = batch_df.localCheckpoint(eager=True)
         # Narrow first-batch test (ADVICE r5): only a genuinely absent
         # store means "empty"; a transient/corrupt read error must
         # propagate and fail the batch (the streaming query retries)
@@ -1109,6 +1115,9 @@ def curation_stream(
         shingle_n=shingle_n, num_perm=num_perm, bands=bands,
         est_threshold=est_threshold, hash_fn=hash_fn,
         compact_every=compact_every,
+        # the exact-stage survivors below are already eagerly
+        # checkpointed; the inner sink must not re-materialize them
+        _assume_pinned=True,
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
