@@ -13679,9 +13679,10 @@ def x121_digest_purge_reopen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # splits essential/non-essential off the dictionary ceilings; one
 # shared pruned scan scores all essential terms, per-query θ comes
 # back in one bounded collect, and common-term rows enter the
-# scoring aggregate only semi-joined to candidates of queries whose
-# θ strictly beats their ceiling sum — the rest re-run exhaustively
-# as a subset. Bit-identical by construction, so the oracle is the
+# scoring aggregate semi-joined to candidates of queries whose
+# θ strictly beats their ceiling sum — queries without a split or a
+# proven bound stay exact from the same two scans (r14: the separate
+# exhaustive subset chain is gone). Bit-identical, so the oracle is the
 # exhaustive batch SQL (x98's shape) — the hash match proves the
 # two-phase split, the validity check and the fallback routing all
 # preserve exact ranking.

@@ -67,6 +67,12 @@ def spark():
         app_name="docker-etl-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
+        # the qdf frame cache keeps localCheckpoint blocks and
+        # broadcast pieces referenced for the session; the default
+        # 1 GB local-mode heap exhausts its storage region late in
+        # the run (TorrentBroadcast store failures) — give the test
+        # driver real memory (driver == executor in local mode)
+        extra_conf={"spark.driver.memory": "6g"},
     )
     yield s
     s.stop()
@@ -171,13 +177,21 @@ def qdf(spark):
     expensive part (the store writes run at build time); the plan
     pins, the no-cartesian sweep and the differential compare all
     inspect/execute the same frame instead of rebuilding the store
-    three times. Each (name, sf_dir) still builds fresh every run."""
+    three times. Each (name, sf_dir) still builds fresh every run.
+
+    ``evict=True`` (the differential tiers — the LAST consumer of
+    almost every frame) pops the entry after returning it, releasing
+    the frame's localCheckpoint blocks to the session instead of
+    pinning all ~220 queries' RDDs until exit."""
     cache: dict[tuple[str, str], object] = {}
 
-    def get(name: str, sf_dir: str = SF_SMOKE):
+    def get(name: str, sf_dir: str = SF_SMOKE, evict: bool = False):
         key = (name, sf_dir)
-        if key not in cache:
-            cache[key] = QUERIES[name](spark, sf_dir)
-        return cache[key]
+        if key in cache:
+            return cache.pop(key) if evict else cache[key]
+        df = QUERIES[name](spark, sf_dir)
+        if not evict:
+            cache[key] = df
+        return df
 
     return get

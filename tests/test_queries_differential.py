@@ -21,12 +21,12 @@ ORACLE_QUERIES = sorted(ORACLES)
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(qdf, oracle_pool, name):
-    df = qdf(name)
+    df = qdf(name, evict=True)
     assert_matches_result(df, oracle_pool.result(SF_SMOKE, name), name=name)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_query_without_oracle_runs(qdf, name):
-    df = qdf(name)
+    df = qdf(name, evict=True)
     assert df.count() >= 0
     assert df.columns

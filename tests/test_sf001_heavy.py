@@ -30,7 +30,7 @@ pytestmark = pytest.mark.sf001
 
 @pytest.mark.parametrize("name", HEAVY)
 def test_heavy_kernel_matches_oracle_at_sf001(qdf, oracle_pool, name):
-    df = qdf(name, SF001_DIR)
+    df = qdf(name, SF001_DIR, evict=True)
     assert_matches_result(
         df, oracle_pool.result(SF001_DIR, name), name=name
     )
