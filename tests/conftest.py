@@ -72,7 +72,7 @@ def spark():
         # 1 GB local-mode heap exhausts its storage region late in
         # the run (TorrentBroadcast store failures) — give the test
         # driver real memory (driver == executor in local mode)
-        extra_conf={"spark.driver.memory": "6g"},
+        extra_conf={"spark.driver.memory": "6g", "spark.sql.adaptive.enabled": "false"},
     )
     yield s
     s.stop()
